@@ -1,0 +1,82 @@
+"""Engine configuration.
+
+The reference's config surface is the Stanford property file plus
+positional CLI args of the RUN-* scripts (NEUtilities.pm:325-514).  We
+keep the user-visible knobs — most importantly the refinement order
+string, e.g. ``"L N S R_0.7 C T_0.90 A"`` (RUN-NEMuc7TagPlaintext.sh:8,
+default ``"L N S R_0.7 C T_0.90"`` at NERefinements.pm:40) — in one
+dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Short <-> MUC-7 type mapping, NEUtilities.pm:54-127.
+SHORT_TO_MUC = {
+    "PERS": ("PERSON", "ENAMEX"),
+    "LOC": ("LOCATION", "ENAMEX"),
+    "ORG": ("ORGANIZATION", "ENAMEX"),
+    "PROD": ("PRODUCT", "ENAMEX"),
+    "DATE": ("DATE", "TIMEX"),
+    "TIME": ("TIME", "TIMEX"),
+    "MON": ("MONEY", "NUMEX"),
+}
+MUC_TO_SHORT = {muc: short for short, (muc, _elem) in SHORT_TO_MUC.items()}
+NE_TYPES = tuple(SHORT_TO_MUC)
+# Types eligible for gazetteer extraction, NEUtilities.pm:26-45.
+GAZETTEER_TYPES = ("PERS", "LOC", "ORG")
+# Token-level label space: {B-,I-} x types + O  (NEEvaluation_v2.pl:40-55).
+BIO_LABELS = tuple(
+    f"{p}-{t}" for t in NE_TYPES for p in ("B", "I")
+) + ("O",)
+
+
+@dataclass
+class EngineConfig:
+    """All tunables of the pipeline, reference-compatible defaults."""
+
+    # Refinement order string, parsed like NERefinements.pm:58-101.
+    refinements: str = "L N S R_0.7 C T_0.90 A"
+    # RemoveEmptyLines mode: 1 keep all, 2 keep runs>=2, else drop all
+    # (NEPreprocess.pm:18,49).
+    empty_line_mode: int = 2
+    # Bootstrap thresholds (BASELINE.md).
+    gazetteer_min_prob: float = 0.95   # BootstrapNEModel.pl:355
+    gazetteer_max_tokens: int = 10     # BootstrapTools.pm:764
+    sentence_min_other_prob: float = 0.8  # BootstrapTools.pm:549
+    paragraph_break_prob: float = 0.8  # NEUtilities.pm:202
+    morpho_fingerprint_cap: int = 3    # BootstrapTools.pm:549
+    min_sentence_tokens: int = 3       # BootstrapTools.pm:549
+    # Entity-linking knobs (new-engine; north_rule).
+    minhash_rows: int = 4
+    minhash_bands: int = 8             # 32 hashes total
+    shingle_size: int = 3
+    link_min_score: float = 0.82       # Jaro-Winkler acceptance
+    cc_max_iterations: int = 20
+    # Skew handling: salt fan-out for connected-components joins.
+    salt_buckets: int = 16
+    # Deterministic seed for anything sampled.
+    seed: int = 42
+    # Where stage checkpoints go (per-stage parquet + _lineage rows).
+    checkpoint_dir: str | None = None
+    extra: dict = field(default_factory=dict)
+
+    def refinement_steps(self) -> list[tuple[str, float | None]]:
+        """Parse ``"L N S R_0.7 C T_0.90 A"`` into [(letter, thr)].
+
+        Mirrors the split/threshold parse at NERefinements.pm:58-80;
+        unknown letters are ignored (reference warns and skips).
+        """
+        steps: list[tuple[str, float | None]] = []
+        for part in self.refinements.split():
+            if "_" in part:
+                letter, _, thr = part.partition("_")
+                try:
+                    steps.append((letter.upper(), float(thr)))
+                except ValueError:
+                    continue
+            else:
+                steps.append((part.upper(), None))
+        return steps
