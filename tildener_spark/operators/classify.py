@@ -1,0 +1,211 @@
+"""Batched mention detection + NE classification (the CRF replacement).
+
+The reference forks ``java CRFClassifier`` once *per document*
+(NEMuc7TagPlaintext.pl:71, ProcessDirectory.pl:55-73) to add columns
+8 (BIO tag) and 9 (probability) to the token file.  Here the same
+signature — every token gets a BIO label over
+{B-,I-}x{PERS,LOC,ORG,PROD,DATE,TIME,MON} + O (NEEvaluation_v2.pl:40-55)
+and a probability in [0,1] (printBestProbabs,
+LV_F_Tagging_prop_sample.prop:62) — is produced by a vectorized pandas
+UDF over the nested token arrays: the gazetteer index is built once per
+Python worker (vs once per document per JVM fork in the reference) and
+every Arrow batch classifies thousands of documents.
+
+The decision list (deterministic, priority order; probabilities are a
+fixed confidence model so downstream thresholds R_0.7 / T_0.90 /
+gazetteer-0.95 are meaningful):
+
+  1. exact gazetteer longest match (case-sensitive)        p=0.97
+  2. lemma-level gazetteer longest match (lowercased)      p=0.93
+  3. honorific cue: Cap+ followed by kungs/kundze -> PERS  p=0.92
+  4. ORG_INIT cue: initialism + Cap run -> ORG             p=0.90
+     (LV_ORG_INIT gazetteer semantics, Sample_Data/LV_Gazetteer/
+      LV_ORG_INIT_GAZETTEER.txt)
+  5. DATE / TIME / MON surface patterns                    p=0.85
+  6. shape-only: mid-sentence Capitalized token -> PERS    p=0.55
+  O tokens get p=0.97 (0.75 for skipped ALL-CAPS tokens) so the
+  bootstrap sentence filter "min other-token prob > 0.8"
+  (BootstrapTools.pm:549) has signal.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from tildener_spark.functions.lexicon import (
+    CURRENCY_WORDS, HONORIFICS, MONTH_WORDS,
+)
+from tildener_spark.operators.tokenize import TAGGED_TYPE
+
+P_EXACT, P_LEMMA, P_HONORIFIC, P_ORG_INIT = 0.97, 0.93, 0.92, 0.90
+P_PATTERN, P_SHAPE, P_O, P_O_UNSURE = 0.85, 0.55, 0.97, 0.75
+_MAX_GAZ_TOKENS = 6
+_TIME_RE = re.compile(r"^\d{1,2}:\d{2}$")
+_YEAR_RE = re.compile(r"^\d{1,4}$")
+
+
+def build_gazetteer_index(rows) -> dict:
+    """rows of (ne_type, surface[, lemma_key]) -> match indexes.
+
+    Mirrors ReadExistingGazetteerData's uniqueness hash
+    (NEUtilities.pm:561-604) but keyed for longest-first greedy match
+    (the ordering rule of TagEqualLemmas, NERefinements.pm:582).
+    """
+    exact: dict[str, list[tuple[tuple[str, ...], str]]] = defaultdict(list)
+    lemma: dict[str, list[tuple[tuple[str, ...], str]]] = defaultdict(list)
+    org_init: set[str] = set()
+    for row in rows:
+        ne_type, surface = row[0], row[1]
+        if ne_type == "ORG_INIT":
+            org_init.add(surface)
+            continue
+        toks = tuple(surface.split(" "))
+        exact[toks[0]].append((toks, ne_type))
+        low = tuple(t.lower() for t in toks)
+        lemma[low[0]].append((low, ne_type))
+    for d in (exact, lemma):
+        for k in d:
+            d[k] = sorted(set(d[k]), key=lambda e: (-len(e[0]), e[0], e[1]))
+    return {"exact": dict(exact), "lemma": dict(lemma), "org_init": org_init}
+
+
+def _is_cap(tok: str) -> bool:
+    return bool(tok) and tok[0].isupper() and any(c.islower() for c in tok[1:])
+
+
+def _is_allcaps(tok: str) -> bool:
+    return len(tok) > 1 and tok.isupper() and tok.isalpha()
+
+
+def classify_doc_py(tokens: list[dict], gaz: dict) -> list[dict]:
+    """Classify one document's token list; returns tagged token dicts."""
+    n = len(tokens)
+    tags = ["O"] * n
+    probs = [P_O] * n
+
+    def set_span(i: int, j: int, ne_type: str, p: float) -> None:
+        tags[i] = f"B-{ne_type}"
+        probs[i] = p
+        for k in range(i + 1, j + 1):
+            tags[k] = f"I-{ne_type}"
+            probs[k] = p
+
+    words = [t["token"] for t in tokens]
+    lows = [w.lower() for w in words]
+    sent_start = [
+        i == 0 or tokens[i]["sent_id"] != tokens[i - 1]["sent_id"]
+        for i in range(n)
+    ]
+
+    i = 0
+    while i < n:
+        if tags[i] != "O":
+            i += 1
+            continue
+        w = words[i]
+        matched = False
+        # 1/2: gazetteer longest match, exact then lemma level
+        for index, key, p in (
+            (gaz["exact"], w, P_EXACT),
+            (gaz["lemma"], lows[i], P_LEMMA),
+        ):
+            for toks, ne_type in index.get(key, ()):
+                m = len(toks)
+                if m > _MAX_GAZ_TOKENS or i + m > n:
+                    continue
+                cand = (
+                    words[i:i + m] if p == P_EXACT else lows[i:i + m]
+                )
+                if tuple(cand) == toks and all(
+                    t == "O" for t in tags[i:i + m]
+                ):
+                    set_span(i, i + m - 1, ne_type, p)
+                    i += m
+                    matched = True
+                    break
+            if matched:
+                break
+        if matched:
+            continue
+        # 3: honorific — Cap (Cap)? + kungs/kundze => PERS over the caps
+        if _is_cap(w):
+            j = i
+            if j + 1 < n and _is_cap(words[j + 1]):
+                j += 1
+            if j + 1 < n and lows[j + 1] in HONORIFICS:
+                set_span(i, j, "PERS", P_HONORIFIC)
+                i = j + 2
+                continue
+        # 4: ORG_INIT initialism + capitalized run (<=3) => ORG
+        if w in gaz["org_init"] and i + 1 < n and _is_cap(words[i + 1]):
+            j = i + 1
+            while j + 1 < n and _is_cap(words[j + 1]) and j - i < 3:
+                j += 1
+            set_span(i, j, "ORG", P_ORG_INIT)
+            i = j + 1
+            continue
+        # 5: DATE / TIME / MON surface patterns
+        if _TIME_RE.match(w):
+            set_span(i, i, "TIME", P_PATTERN)
+            i += 1
+            continue
+        if w.isdigit():
+            if i + 1 < n and lows[i + 1] in CURRENCY_WORDS:
+                set_span(i, i + 1, "MON", P_PATTERN)
+                i += 2
+                continue
+            if i + 1 < n and lows[i + 1] in MONTH_WORDS:
+                # maximal run of digit/month tokens => DATE
+                j = i + 1
+                while j + 1 < n and (
+                    words[j + 1].isdigit() or lows[j + 1] in MONTH_WORDS
+                ):
+                    j += 1
+                set_span(i, j, "DATE", P_PATTERN)
+                i = j + 1
+                continue
+        # 6: shape fallback — mid-sentence Capitalized, single token
+        if _is_cap(w) and not sent_start[i]:
+            set_span(i, i, "PERS", P_SHAPE)
+            i += 1
+            continue
+        if _is_allcaps(w):
+            probs[i] = P_O_UNSURE
+        i += 1
+
+    return [
+        {**tok, "ne_tag": tags[k], "ne_prob": probs[k]}
+        for k, tok in enumerate(tokens)
+    ]
+
+
+def make_classify_udf(gazetteer_rows):
+    """Build the pandas UDF; the index ships once per worker."""
+    gaz = build_gazetteer_index(gazetteer_rows)
+
+    @F.pandas_udf(TAGGED_TYPE)
+    def classify_mentions(tokens: pd.Series) -> pd.Series:
+        return tokens.map(lambda ts: classify_doc_py(list(ts), gaz))
+
+    return classify_mentions
+
+
+def with_ne_tags(df: DataFrame, gazetteer: DataFrame | list,
+                 tokens_col: str = "tokens",
+                 out_col: str = "tokens") -> DataFrame:
+    """Add BIO tags + probs to the nested token column.
+
+    ``gazetteer`` may be a (small) DataFrame — collected driver-side
+    and shipped in the UDF closure, the moral equivalent of
+    ``F.broadcast`` for a python-side lookup table.
+    """
+    rows = (
+        [(r["ne_type"], r["surface"]) for r in gazetteer.collect()]
+        if isinstance(gazetteer, DataFrame) else list(gazetteer)
+    )
+    udf = make_classify_udf(rows)
+    return df.withColumn(out_col, udf(F.col(tokens_col)))

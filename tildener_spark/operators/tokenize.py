@@ -1,0 +1,171 @@
+"""Tokenization + POS + lemma + character offsets, document-local.
+
+Re-expresses the reference's POS stage (Tag.pm:21-298) and
+NEPreprocess::FindTokenPos (NEPreprocess.pm:356-413):
+
+  * tokens are located in their source line with a first-match,
+    advancing-cursor search — character (not byte) offsets, 0-based,
+    ``col_to`` inclusive (writer format at NEPreprocess.pm:400-404);
+  * blank lines carry paragraph structure and produce no tokens
+    (RemoveEmptyLines, NEPreprocess.pm:23-72 — we keep original line
+    numbers, so a line_from gap > 1 between consecutive tokens marks a
+    paragraph break, which is what refinement A consumes,
+    NEUtilities.pm:136-260);
+  * sentence id increments after a SENT-tagged token or on a source
+    line change (BootstrapTools.pm:199,293,507);
+  * the 10-column token record becomes a struct kept NESTED per page
+    row — one document never spans partitions, so every doc-local
+    operator downstream is shuffle-free (SURVEY.md §4.3.1).
+
+The tokenizer itself (the part TreeTagger did) is deterministic:
+whitespace split, then leading/trailing punctuation split off as
+separate tokens; tokens containing ``://`` (URLs) are kept whole —
+they matter to refinement S (NERefinements.pm:951-1012).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+from tildener_spark.functions.lexicon import SENTENCE_END, VERB_LEMMAS
+
+TOKEN_STRUCT = T.StructType([
+    T.StructField("tok_id", T.IntegerType()),
+    T.StructField("sent_id", T.IntegerType()),
+    T.StructField("token", T.StringType()),
+    T.StructField("pos", T.StringType()),
+    T.StructField("lemma", T.StringType()),
+    T.StructField("morpho", T.StringType()),
+    T.StructField("line_from", T.IntegerType()),
+    T.StructField("col_from", T.IntegerType()),
+    T.StructField("line_to", T.IntegerType()),
+    T.StructField("col_to", T.IntegerType()),
+])
+TOKENS_TYPE = T.ArrayType(TOKEN_STRUCT)
+
+# tagged-token struct = token struct + BIO tag + probability
+TAGGED_STRUCT = T.StructType(
+    TOKEN_STRUCT.fields
+    + [T.StructField("ne_tag", T.StringType()),
+       T.StructField("ne_prob", T.DoubleType())]
+)
+TAGGED_TYPE = T.ArrayType(TAGGED_STRUCT)
+
+_PUNCT_EDGE = "\"'«»„“”‚‘’()[]{}<>,;:.!?…"
+_WS = re.compile(r"\s+")
+
+
+def _split_token(raw: str) -> list[str]:
+    """Split edge punctuation off a whitespace token; URLs stay whole."""
+    if "://" in raw:
+        return [raw]
+    lead: list[str] = []
+    trail: list[str] = []
+    core = raw
+    while core and core[0] in _PUNCT_EDGE:
+        lead.append(core[0])
+        core = core[1:]
+    while core and core[-1] in _PUNCT_EDGE:
+        # keep a terminal '.' attached to single-letter abbreviations
+        # like initials ("J.") — TreeTagger behaviour for initials
+        if core[-1] == "." and len(core) == 2 and core[0].isupper():
+            break
+        trail.append(core[-1])
+        core = core[:-1]
+    parts = lead + ([core] if core else []) + list(reversed(trail))
+    return [p for p in parts if p]
+
+
+def _shape(token: str) -> str:
+    """Morpho stand-in: per-char class fingerprint (X/x/d/p), capped."""
+    out = []
+    for ch in token[:12]:
+        if ch.isupper():
+            out.append("X")
+        elif ch.islower():
+            out.append("x")
+        elif ch.isdigit():
+            out.append("d")
+        else:
+            out.append("p")
+    return "".join(out)
+
+
+def _pos_lemma(token: str) -> tuple[str, str]:
+    if token in SENTENCE_END:
+        return "SENT", token
+    if all(not ch.isalnum() for ch in token):
+        return "PUNCT", token
+    if token.isdigit():
+        return "CD", token
+    low = token.lower()
+    if low in VERB_LEMMAS:
+        return "VB", VERB_LEMMAS[low]
+    if token[0].isupper():
+        return "NP", low
+    return "NN", low
+
+
+def tokenize_text_py(text: str | None) -> list[dict]:
+    """Pure-Python single-document tokenizer (FindTokenPos semantics)."""
+    if not text:
+        return []
+    out: list[dict] = []
+    tok_id = 0
+    sent_id = 0
+    sent_open = False  # tokens emitted in current sentence?
+    prev_line = None
+    for line_no, line in enumerate(text.split("\n")):
+        if line.strip() == "":
+            continue
+        if prev_line is not None and sent_open:
+            # line change closes a sentence (BootstrapTools.pm:199)
+            sent_id += 1
+            sent_open = False
+        prev_line = line_no
+        cursor = 0
+        for raw in _WS.split(line):
+            if not raw:
+                continue
+            for tok in _split_token(raw):
+                # first-match cursor advance (NEPreprocess.pm:391-399)
+                start = line.find(tok, cursor)
+                if start < 0:  # defensive; cannot happen for our splitter
+                    start = cursor
+                end = start + len(tok) - 1
+                cursor = end + 1
+                pos, lemma = _pos_lemma(tok)
+                out.append({
+                    "tok_id": tok_id, "sent_id": sent_id, "token": tok,
+                    "pos": pos, "lemma": lemma, "morpho": _shape(tok),
+                    "line_from": line_no, "col_from": start,
+                    "line_to": line_no, "col_to": end,
+                })
+                tok_id += 1
+                sent_open = True
+                if pos == "SENT":
+                    sent_id += 1
+                    sent_open = False
+    return out
+
+
+@F.pandas_udf(TOKENS_TYPE)
+def tokenize_pos(text: pd.Series) -> pd.Series:
+    """Vectorized: text column -> nested array<struct> token column."""
+    return text.map(tokenize_text_py)
+
+
+def with_tokens(df, text_col: str = "text", out_col: str = "tokens"):
+    return df.withColumn(out_col, tokenize_pos(F.col(text_col)))
+
+
+def explode_tokens(df, tokens_col: str = "tokens", keys: tuple = ("url",)) -> "Column":
+    """Nested tokens -> flat tokens DataFrame (url, token columns...)."""
+    return (
+        df.select(*keys, F.explode(tokens_col).alias("t"))
+        .select(*keys, "t.*")
+    )
