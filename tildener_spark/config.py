@@ -53,7 +53,8 @@ class EngineConfig:
     minhash_rows: int = 4
     minhash_bands: int = 8             # 32 hashes total
     shingle_size: int = 3
-    link_min_score: float = 0.82       # Jaro-Winkler acceptance
+    link_min_score: float = 0.82       # Jaro-Winkler acceptance (LSH path)
+    typo_min_score: float = 0.93       # JW bar for 1-token alias variants
     cc_max_iterations: int = 20
     # Skew handling: salt fan-out for connected-components joins.
     salt_buckets: int = 16

