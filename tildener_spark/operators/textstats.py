@@ -1,0 +1,127 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Training-data pipeline operators (not in the reference, which assumes
+its language is given per run — Tag.pm:64).  All pure built-ins, each
+with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tildener_spark.operators.dedup import normalized_text, word_shingles
+
+# tiny closed marker-word profiles (deterministic n-gram-heuristic
+# stand-in for a real language-ID model)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "por"],
+    "lv": ["un", "ir", "ar", "par", "kas", "tas", "no", "uz"],
+}
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def lang_scores(text_col):
+    """Per-language marker-hit counts as a map expression."""
+    toks = F.split(normalized_text(text_col), " ")
+    scores = {}
+    for lang, words in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return scores
+
+
+def detect_language(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """argmax over marker-hit counts; tie-break 'und' (undetermined)
+    when the best score is 0, else lexicographically smallest lang."""
+    scores = lang_scores(F.col(text_col))
+    pairs = F.array(*[
+        F.struct(
+            (-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_PROFILES)
+    ])
+    best = F.array_min(pairs)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].alias(f"score_{lang}")
+          for lang in sorted(LANG_PROFILES)],
+        F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("detected_lang"),
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition quality features
+    + a composite score in [0,1]."""
+    text = F.col(text_col)
+    toks = F.split(normalized_text(text), " ")
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_uniq = F.size(F.array_distinct(toks))
+    # raw (unrounded) ratios feed the composite; rounding happens only
+    # at the output projection so the score is order-of-ops exact
+    rep_ratio = 1 - n_uniq / F.greatest(n_tok, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    digit_ratio = n_digit / F.greatest(n_chars, F.lit(1))
+    avg_tok_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        / F.greatest(n_tok, F.lit(1)))
+    # composite: long enough, not too repetitive, light punctuation
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (1 - rep_ratio) * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(rep_ratio, 6).alias("repetition_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (regex pieces:
+    word chars split at ~4-char boundaries, digits, punctuation)."""
+    text = F.col(text_col)
+    ws = F.size(F.split(F.trim(text), r"\s+"))
+    # BPE-ish: every run of <=4 word chars, each digit run, each punct
+    pieces = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"), 0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        pieces.alias("subword_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): the minimum
+    md5 over word n-gram shingles + the shingle count.  Equal
+    fingerprints => near-identical prefixes/content at much lower cost
+    than full jaccard."""
+    sh = word_shingles(F.col(text_col), n)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )
