@@ -1,0 +1,48 @@
+"""Connected components: correctness, chains, determinism."""
+
+from tildener_spark.config import EngineConfig
+from tildener_spark.operators.components import connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def comp_sets(rows):
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["component"], set()).add(r["node"])
+    return {frozenset(v) for v in groups.values()}
+
+
+def test_two_components(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    got = comp_sets(connected_components(e).collect())
+    assert got == {frozenset({"a", "b", "c"}), frozenset({"x", "y"})}
+
+
+def test_long_chain_converges(spark):
+    nodes = [f"n{i:02d}" for i in range(12)]
+    e = _edges(spark, list(zip(nodes, nodes[1:])))
+    got = comp_sets(connected_components(e).collect())
+    assert got == {frozenset(nodes)}
+
+
+def test_representative_is_min_node(spark):
+    e = _edges(spark, [("z", "m"), ("m", "a")])
+    rows = connected_components(e).collect()
+    assert all(r["component"] == "a" for r in rows)
+
+
+def test_deterministic(spark):
+    e = _edges(spark, [("a", "b"), ("c", "b"), ("d", "e")])
+    r1 = sorted(map(tuple, connected_components(e).collect()))
+    r2 = sorted(map(tuple, connected_components(e).collect()))
+    assert r1 == r2
+
+
+def test_salting_config_does_not_change_result(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    r1 = comp_sets(connected_components(e, EngineConfig(salt_buckets=1)).collect())
+    r2 = comp_sets(connected_components(e, EngineConfig(salt_buckets=64)).collect())
+    assert r1 == r2

@@ -1,0 +1,50 @@
+"""Dedup operators: exact, jaccard, minhash-LSH, simhash."""
+
+from tildener_spark.operators.dedup import (
+    exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash_duplicates)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "The  quick brown fox jumps over the lazy dog today"),  # ws/case
+    (2, "the quick brown fox jumps over the lazy cat today"),   # near-dup
+    (3, "completely different text about spark shuffle joins"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalized(spark):
+    out = exact_duplicates(_docs(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["representative"] == 0
+
+
+def test_ngram_jaccard(spark):
+    out = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_pairs(spark):
+    got = {(r["doc_a"], r["doc_b"])
+           for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (0, 1) in got
+    assert (0, 3) not in got
+
+
+def test_simhash(spark):
+    out = simhash_duplicates(_docs(spark), max_hamming=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (0, 1) in got
+    assert (0, 3) not in got
+
+
+def test_skew_guard_max_df(spark):
+    # with max_df=1 every shared shingle is dropped -> no pairs
+    out = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.1, max_df=1)
+    assert out.collect() == []

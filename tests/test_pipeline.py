@@ -1,0 +1,70 @@
+"""End-to-end pipeline + checkpoint/lineage/resume (north_rule)."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from tildener_spark.config import EngineConfig
+from tildener_spark.datagen import corpus_df, gazetteer_df, split_gold
+from tildener_spark.plans.lineage import stage_counters
+from tildener_spark.plans.pipeline import materialize, run_pipeline
+
+
+def test_pipeline_checkpoint_and_resume(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    cfg = EngineConfig(checkpoint_dir=ckpt)
+    corpus = corpus_df(spark, 20).cache()
+    pages, gm, gt, gl = split_gold(corpus)
+    gaz = gazetteer_df(spark)
+
+    res = run_pipeline(spark, pages, gaz, cfg)
+    n_triples = res.triples.count()
+    n_mentions = res.mentions.count()
+    assert n_triples > 0 and n_mentions > 0
+
+    # lineage rows exist for every stage, with correct totals
+    lin = stage_counters(spark, ckpt)
+    by_stage = {
+        r["stage"]: r["total"]
+        for r in lin.groupBy("stage").agg(
+            F.sum("rows").alias("total")).collect()
+    }
+    assert by_stage["mentions"] == n_mentions
+    assert by_stage["triples"] == n_triples
+    assert set(by_stage) >= {
+        "tagged", "mentions", "triples", "links", "entities",
+        "mapping", "canonical_triples"}
+
+    # simulate a crash after 'mentions': drop later stages, resume
+    for stage in ("triples", "links", "entities", "mapping",
+                  "canonical_triples"):
+        shutil.rmtree(os.path.join(ckpt, stage))
+    res2 = run_pipeline(spark, pages, gaz, cfg)
+    assert res2.triples.count() == n_triples
+    assert res2.mentions.count() == n_mentions  # reloaded, not rebuilt
+
+    # full resume: everything present -> same results again
+    res3 = run_pipeline(spark, pages, gaz, cfg)
+    assert res3.canonical_triples.count() == res2.canonical_triples.count()
+
+
+def test_materialize_graph(spark, tmp_path):
+    corpus = corpus_df(spark, 10)
+    pages, *_ = split_gold(corpus)
+    res = run_pipeline(spark, pages, gazetteer_df(spark), EngineConfig())
+    paths = materialize(res, str(tmp_path / "graph"), buckets=4)
+    nodes = spark.read.parquet(paths["nodes"])
+    edges = spark.read.parquet(paths["edges"])
+    assert nodes.count() > 0 and edges.count() > 0
+    assert "bucket" in nodes.columns and "bucket" in edges.columns
+    assert edges.filter(F.col("n_evidence") < 1).count() == 0
+
+
+def test_reextract_matches_embedded_text(spark):
+    corpus = corpus_df(spark, 15)
+    pages, *_ = split_gold(corpus)
+    from tildener_spark.functions.text import extract_text
+    mism = pages.withColumn("t2", extract_text("html")) \
+        .filter(F.col("t2") != F.col("text")).count()
+    assert mism == 0

@@ -1,0 +1,45 @@
+"""Text analysis: language-ID, quality features, counts, fingerprints."""
+
+from tildener_spark.operators.textstats import (
+    detect_language, fingerprints, quality_features, token_counts)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_detect_language(spark):
+    d = _docs(spark, [
+        (0, "the cat and the dog of a house"),
+        (1, "der Hund und die Katze ist nicht da"),
+        (2, "xyzzy qwerty plugh"),
+    ])
+    out = {r["doc_id"]: r["detected_lang"]
+           for r in detect_language(d).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "und"
+
+
+def test_quality_features_bounds(spark):
+    d = _docs(spark, [(0, "word " * 100), (1, "a b c d e f g h")])
+    rows = {r["doc_id"]: r for r in quality_features(d).collect()}
+    rep = rows[0]
+    assert rep["repetition_ratio"] > 0.9  # 100x same word
+    assert 0.0 <= rep["quality_score"] <= 1.0
+    assert rows[1]["repetition_ratio"] == 0.0
+
+
+def test_token_counts(spark):
+    d = _docs(spark, [(0, "hello world 123 !")])
+    r = token_counts(d).collect()[0]
+    assert r["ws_tokens"] == 4
+    # hell+o, worl+d, 123, ! -> 6 subword pieces
+    assert r["subword_tokens"] == 6
+
+
+def test_fingerprint_equal_for_equal_docs(spark):
+    d = _docs(spark, [
+        (0, "a b c d e f"), (1, "a b c d e f"), (2, "z y x w v u")])
+    rows = {r["doc_id"]: r["fingerprint"]
+            for r in fingerprints(d).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]

@@ -1,0 +1,68 @@
+"""FindTokenPos semantics (NEPreprocess.pm:356-413) + sentence rules
+(BootstrapTools.pm:199,293)."""
+
+from tildener_spark.operators.tokenize import tokenize_text_py
+
+
+def toks(text):
+    return tokenize_text_py(text)
+
+
+def test_offsets_inclusive_and_cursor_advance():
+    t = toks("aa aa bb")
+    # repeated token must advance the cursor (first-match semantics)
+    assert [(x["col_from"], x["col_to"]) for x in t] == [(0, 1), (3, 4), (6, 7)]
+    for x in t:
+        assert x["col_to"] == x["col_from"] + len(x["token"]) - 1
+
+
+def test_line_numbering_skips_blanks_but_keeps_original_numbers():
+    t = toks("a\n\nb")
+    assert t[0]["line_from"] == 0
+    assert t[1]["line_from"] == 2  # original line number preserved
+
+
+def test_sentence_ends_at_sent_pos_and_line_change():
+    t = toks("A b . C d\nE f")
+    sids = {x["token"]: x["sent_id"] for x in t}
+    assert sids["A"] == sids["b"] == sids["."] == 0
+    assert sids["C"] == sids["d"] == 1
+    assert sids["E"] == sids["f"] == 2
+
+
+def test_edge_punct_split_and_urls_whole():
+    t = toks('"Rīga" (test) http://x.lv/a.')
+    words = [x["token"] for x in t]
+    assert words == ['"', "Rīga", '"', "(", "test", ")", "http://x.lv/a."]
+
+
+def test_initials_keep_dot():
+    words = [x["token"] for x in toks("J. Bērziņš brauc .")]
+    assert words[0] == "J."
+
+
+def test_unicode_char_offsets():
+    # offsets are characters, not bytes (NEPreprocess.pm:392-399)
+    t = toks("Jānis Bērziņš")
+    assert (t[0]["col_from"], t[0]["col_to"]) == (0, 4)
+    assert (t[1]["col_from"], t[1]["col_to"]) == (6, 12)
+
+
+def test_pos_and_lemma_rules():
+    t = {x["token"]: x for x in toks("Jānis vadīja banku 12 .")}
+    assert t["Jānis"]["pos"] == "NP" and t["Jānis"]["lemma"] == "jānis"
+    assert t["vadīja"]["pos"] == "VB" and t["vadīja"]["lemma"] == "vadīt"
+    assert t["banku"]["pos"] == "NN"
+    assert t["12"]["pos"] == "CD"
+    assert t["."]["pos"] == "SENT"
+
+
+def test_morpho_shape():
+    t = toks("Ab1-")
+    assert t[0]["morpho"].startswith("Xxd")
+
+
+def test_empty_and_blank():
+    assert toks("") == []
+    assert toks(None) == []
+    assert toks("\n\n") == []

@@ -37,6 +37,6 @@ MONTH_WORDS = {
     "jūlijā", "augustā", "septembrī", "oktobrī", "novembrī", "decembrī",
     "janvāris", "februāris", "marts", "aprīlis", "maijs", "jūnijs",
     "jūlijs", "augusts", "septembris", "oktobris", "novembris",
-    "decembris", "gadā", "gads",
+    "decembris", "gadā", "gads", "gada",
 }
 CURRENCY_WORDS = {"eur", "usd", "ls", "lvl", "eiro", "dolāru", "latu"}
