@@ -1,0 +1,104 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "docs_per_hour": ..., "cpus": ...}
+
+The KG-pipeline throughput number (docs/hour) is measured over a
+pre-materialized pages parquet (generation excluded — the pipeline is
+timed from table scan to canonical-triple count, which is what a
+production run does).  Scaling-efficiency evidence (local[8] vs
+local[32]) lives in scripts/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_events_sessionize",
+    "q05_span_assembly",
+    "q11_ngram_jaccard",
+    "q12_simhash",
+    "q15_quality",
+]
+
+
+def main() -> None:
+    from tildener_spark import get_spark
+    from tildener_spark.config import EngineConfig
+    from tildener_spark.datagen import gazetteer_df, pages_df
+    from tildener_spark.operators.similarity import lsh_topk
+    from tildener_spark.plans.pipeline import run_pipeline
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="tildener-bench",
+                      master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    queries = entry_mod.queries()
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = queries[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # ANN scale path over the embeddings table
+    t0 = time.perf_counter()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lsh_topk(emb, k=5, n_bits=6).count()
+    timings["q21_lsh_topk"] = round(time.perf_counter() - t0, 3)
+
+    # KG pipeline throughput over a pre-materialized pages table
+    work = tempfile.mkdtemp(prefix="tildener_bench_")
+    try:
+        pages_path = os.path.join(work, "pages")
+        pages_df(spark, N_DOCS, partitions=max(CPUS, 8)) \
+            .write.parquet(pages_path)
+        gaz = gazetteer_df(spark)
+        pages = spark.read.parquet(pages_path)
+        # warm JVM codegen + the Python worker pool, then measure
+        # steady state (what a long-running cluster job sees)
+        warm = pages.limit(500).repartition(CPUS)
+        run_pipeline(spark, warm, gaz, EngineConfig()) \
+            .canonical_triples.count()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        res = run_pipeline(spark, pages, gaz, EngineConfig())
+        res.canonical_triples.count()
+        kg_sec = time.perf_counter() - t0
+        timings["kg_pipeline"] = round(kg_sec, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_hour = round(N_DOCS / kg_sec * 3600, 1)
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs_per_hour": docs_per_hour,
+        "kg_docs": N_DOCS,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,37 @@ def make_classify_udf(gazetteer_rows):
     return classify_mentions
 
 
+def make_tag_pages_udf(gazetteer_rows, cfg=None):
+    """Fused text -> tagged-tokens UDF: tokenize + classify + refine
+    in ONE Arrow round-trip.
+
+    The modular UDFs (tokenize_pos / classify_mentions /
+    refine_document) each cost a JVM->Python->JVM transfer of the full
+    nested token arrays; chaining all three triples the serialization
+    volume, which is the dominant cost of the tagging stage (measured:
+    ~3x tagging wall time at 200k docs).  The production pipeline uses
+    this fused form; the modular forms remain for tests and ad-hoc
+    composition.  Semantics are identical by construction — all three
+    stages are pure functions over one document.
+    """
+    from tildener_spark.config import EngineConfig
+    from tildener_spark.operators.refine import refine_doc_py
+    from tildener_spark.operators.tokenize import tokenize_text_py
+
+    cfg = cfg or EngineConfig()
+    gaz = build_gazetteer_index(gazetteer_rows)
+
+    def _tag(text):
+        return refine_doc_py(
+            classify_doc_py(tokenize_text_py(text), gaz), cfg)
+
+    @F.pandas_udf(TAGGED_TYPE)
+    def tag_pages(text: pd.Series) -> pd.Series:
+        return text.map(_tag)
+
+    return tag_pages
+
+
 def with_ne_tags(df: DataFrame, gazetteer: DataFrame | list,
                  tokens_col: str = "tokens",
                  out_col: str = "tokens") -> DataFrame:

@@ -34,18 +34,27 @@ def connected_components(edges: DataFrame, cfg: EngineConfig | None = None,
     smallest node id in the component.
     """
     cfg = cfg or EngineConfig()
+    # duplicate edges are harmless under min-aggregation; skipping the
+    # distinct() saves a full shuffle of the edge table
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        # checkpoint FIRST: labels and every iteration derive from the
+        # materialized edge set, never from the (possibly expensive)
+        # upstream lineage
+        .localCheckpoint()
     )
+    if sym.isEmpty():
+        # fast path: no edges (e.g. a hub graph with no alias chains)
+        # — skip the iteration machinery entirely
+        return sym.select(
+            F.col("a").alias("node"), F.col("b").alias("component"))
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    sym = sym.localCheckpoint()
 
     for _i in range(cfg.cc_max_iterations):
         # candidate label for b = label(a) over every edge (a,b)

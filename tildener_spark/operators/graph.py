@@ -45,7 +45,9 @@ def build_entity_graph(mentions: DataFrame,
                        initialisms: frozenset[str] | set[str] = frozenset()) -> dict:
     """mentions -> {links, edges, components, entities, mapping}."""
     cfg = cfg or EngineConfig()
-    links = alias_links(mentions, cfg, initialisms)
+    # links is consumed by resolved, alias_edges and hub_pairs (x2);
+    # it contains window functions + a pandas UDF — materialize once
+    links = alias_links(mentions, cfg, initialisms).persist()
 
     groups = mentions.select("url", "ne_type", "surface").distinct()
     # doc-canonical surface: alias -> antecedent, others -> self
@@ -58,6 +60,14 @@ def build_entity_graph(mentions: DataFrame,
         .withColumn("doc_canonical", F.coalesce("canonical", "surface"))
         .drop("canonical")
     )
+    # ---- star contraction before CC (the 10^12-scale move) --------
+    # Every mention node has exactly one hub edge (its doc-canonical
+    # surface), so the mention->hub stars are contracted *first* with
+    # plain joins; the iterative CC then runs only on the hub-hub
+    # multigraph induced by alias chains — typically orders of
+    # magnitude smaller than the mention graph (and empty when no doc
+    # contains chained aliases).  This bounds CC input by the number
+    # of *linked surface pairs*, not by corpus size.
     alias_edges = links.select(
         _mention_node(F.col("url"), F.col("ne_type"), F.col("alias"))
         .alias("src"),
@@ -69,14 +79,49 @@ def build_entity_graph(mentions: DataFrame,
         .alias("src"),
         _hub_node(F.col("ne_type"), F.col("doc_canonical")).alias("dst"),
     )
-    graph_edges = alias_edges.union(hub_edges).distinct()
-    components = connected_components(graph_edges, cfg)
+    graph_edges = alias_edges.union(hub_edges)
+
+    mention_hub = resolved.select(
+        "url", "ne_type", "surface",
+        _hub_node(F.col("ne_type"), F.col("doc_canonical")).alias("hub"),
+    ).persist()  # reused by hub_pairs (x2), components, mapping
+    # hub-hub edges: an alias mention and its antecedent may resolve
+    # to different hubs only through a chain (A aliases B aliases C)
+    hub_pairs = (
+        links
+        .join(mention_hub.withColumnRenamed("surface", "alias")
+              .withColumnRenamed("hub", "hub_a"),
+              ["url", "ne_type", "alias"])
+        .join(mention_hub.withColumnRenamed("surface", "canonical")
+              .withColumnRenamed("hub", "hub_c"),
+              ["url", "ne_type", "canonical"])
+        .filter(F.col("hub_a") != F.col("hub_c"))
+        .select(F.col("hub_a").alias("src"), F.col("hub_c").alias("dst"))
+        .distinct()
+    )
+    hub_cc = connected_components(hub_pairs, cfg)
+    # hub -> component (hubs outside any alias chain are their own)
+    hub_component = (
+        mention_hub.select(F.col("hub")).distinct()
+        .join(hub_cc.withColumnRenamed("node", "hub"), "hub", "left")
+        .withColumn("component", F.coalesce("component", "hub"))
+    )
+    components = (
+        mention_hub
+        .join(hub_component, "hub")
+        .select(
+            _mention_node(F.col("url"), F.col("ne_type"),
+                          F.col("surface")).alias("node"),
+            "component")
+        .union(hub_component.select(F.col("hub").alias("node"),
+                                    "component"))
+    )
 
     # canonical entity per component = smallest hub node id
     reps = (
-        components.filter(F.col("node").startswith("g:"))
+        hub_component
         .groupBy("component")
-        .agg(F.min("node").alias("rep"))
+        .agg(F.min("hub").alias("rep"))
         .withColumn("parts", F.split(F.substring("rep", 3, 1 << 20), SEP))
         .select(
             "component",
@@ -86,16 +131,10 @@ def build_entity_graph(mentions: DataFrame,
     )
     # mention node -> canonical surface mapping
     mapping = (
-        components.filter(F.col("node").startswith("m:"))
-        .join(reps, "component")
-        .withColumn("parts", F.split(F.substring("node", 3, 1 << 20), SEP))
-        .select(
-            F.col("parts")[0].alias("url"),
-            F.col("ne_type"),
-            F.col("parts")[2].alias("surface"),
-            F.col("canonical"),
-            F.col("component"),
-        )
+        mention_hub
+        .join(hub_component, "hub")
+        .join(reps.withColumnRenamed("ne_type", "_t"), "component")
+        .select("url", "ne_type", "surface", "canonical", "component")
     )
     entities = (
         mapping.groupBy("component", "ne_type", "canonical")

@@ -211,7 +211,11 @@ def alias_links(mentions: DataFrame,
             F.col("c.begin_tok").alias("canon_tok"),
             F.col("c.toks").alias("canon_toks"),
         )
-        .distinct()
+        # NOTE: no distinct() here — pairs sharing several tokens
+        # appear multiple times, but the per-occurrence row_number and
+        # the per-alias majority groupBy below collapse duplicates; a
+        # distinct over rows carrying array columns is a gratuitous
+        # wide shuffle
     )
     # Acceptance is containment-first: an alias must be a strict
     # sub-phrase of its antecedent ("Bērziņš" ⊂ "Jānis Bērziņš").
@@ -221,24 +225,26 @@ def alias_links(mentions: DataFrame,
     # must NOT link.
     contained = F.size(F.array_except("alias_toks", "canon_toks")) == 0
     single_pair = (F.size("alias_toks") == 1) & (F.size("canon_toks") == 1)
-    scored = (
-        pairs.withColumn(
+    # Split the scoring paths so the pandas UDF only ever sees the
+    # single-token-vs-single-token slice (typo variants) — running
+    # Python over the full candidate set would dominate the stage:
+    #   contained            -> score 0.95, no UDF
+    #   single & !contained  -> Jaro-Winkler UDF, tiny row count
+    #   everything else      -> cannot link, dropped JVM-side
+    cont_scored = pairs.filter(contained).withColumn(
+        "score", F.lit(0.95))
+    jw_scored = (
+        pairs.filter(~contained & single_pair)
+        .withColumn(
             "score",
-            F.when(contained, F.lit(0.95)).otherwise(
-                F.when(
-                    single_pair,
-                    jaro_winkler(
-                        F.lower(F.array_join("alias_toks", " ")),
-                        F.lower(F.array_join("canon_toks", " ")),
-                    ),
-                ).otherwise(F.lit(0.0))
+            jaro_winkler(
+                F.lower(F.array_join("alias_toks", " ")),
+                F.lower(F.array_join("canon_toks", " ")),
             ),
         )
-        .filter(
-            (F.col("score") >= 0.95)
-            | (single_pair & (F.col("score") >= cfg.typo_min_score))
-        )
+        .filter(F.col("score") >= cfg.typo_min_score)
     )
+    scored = cont_scored.unionByName(jw_scored)
     # best antecedent per alias occurrence: highest score, then nearest
     # preceding (largest canon_tok < alias_tok), then lexicographic
     pref = F.when(F.col("canon_tok") < F.col("alias_tok"),

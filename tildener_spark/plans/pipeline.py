@@ -26,13 +26,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tildener_spark.config import EngineConfig
 from tildener_spark.functions.text import extract_text
-from tildener_spark.operators.classify import with_ne_tags
+from tildener_spark.operators.classify import make_tag_pages_udf
 from tildener_spark.operators.graph import (
     build_entity_graph, canonicalize_triples, materialize_graph,
 )
-from tildener_spark.operators.refine import with_refinements
 from tildener_spark.operators.spans import assemble_spans
-from tildener_spark.operators.tokenize import explode_tokens, with_tokens
+from tildener_spark.operators.tokenize import explode_tokens
 from tildener_spark.operators.triples import extract_triples
 from tildener_spark.plans.lineage import checkpoint_stage
 
@@ -74,16 +73,27 @@ def run_pipeline(
         for r in gazetteer.filter(F.col("ne_type") == "ORG_INIT").collect()
     }
 
-    tagged = with_refinements(
-        with_ne_tags(with_tokens(pages), gazetteer), cfg)
-    tagged = tagged.select("url", "lang", "tokens")
+    gaz_rows = (
+        [(r["ne_type"], r["surface"]) for r in gazetteer.collect()]
+        if hasattr(gazetteer, "collect") else list(gazetteer)
+    )
+    tag_udf = make_tag_pages_udf(gaz_rows, cfg)
+    tagged = pages.select(
+        "url", "lang", tag_udf(F.col("text")).alias("tokens"))
     if ckpt:
         tagged = checkpoint_stage(spark, tagged, ckpt, "tagged")
+    else:
+        # the tagged table feeds three downstream branches (spans,
+        # triples' verb lookup, linking); without materialization each
+        # branch would re-run the whole UDF chain
+        tagged = tagged.persist()
 
     tokens = explode_tokens(tagged)
     mentions = assemble_spans(tokens)
     if ckpt:
         mentions = checkpoint_stage(spark, mentions, ckpt, "mentions")
+    else:
+        mentions = mentions.persist()
 
     triples = extract_triples(mentions, tokens)
     if ckpt:
@@ -96,6 +106,8 @@ def run_pipeline(
         links = checkpoint_stage(spark, links, ckpt, "links")
         entities = checkpoint_stage(spark, entities, ckpt, "entities")
         mapping = checkpoint_stage(spark, mapping, ckpt, "mapping")
+    else:
+        mapping = mapping.persist()  # joined twice (subj + obj sides)
 
     canon = canonicalize_triples(triples, mapping)
     if ckpt:
