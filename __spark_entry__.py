@@ -378,6 +378,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.round(F.sum("value"), 4).alias("sum_value"))
         )
 
+    def q22_tag_writeback(spark, sf):
+        # WriteNEtagsInTokens as a positional join
+        # (operators/retag.py; NERefinements.pm:296-355)
+        from tildener_spark.operators.retag import write_tags_from_spans
+        toks = _doc_tokens(spark, sf).select(
+            F.col("doc_id").alias("url"),
+            F.col("tok_idx").alias("tok_id"), "token")
+        spans = _doc_spans(spark, sf).select(
+            F.col("doc_id").alias("url"),
+            F.col("begin_idx").alias("begin_tok"),
+            (F.col("begin_idx") + F.col("n_tokens") - 1).cast("int")
+            .alias("end_tok"),
+            "ne_type")
+        return write_tags_from_spans(toks, spans).select(
+            F.col("url").alias("doc_id"), F.col("tok_id").alias("tok_idx"),
+            "token", "ne_tag")
+
+    def q23_muc7_markup(spark, sf):
+        # MUC-7 inline markup sink (functions/muc7.py;
+        # AddMarkupToPlaintext, NEPreprocess.pm:422-506)
+        from tildener_spark.functions.muc7 import add_markup
+        toks = _doc_tokens(spark, sf)
+        w = Window.partitionBy("doc_id").orderBy("tok_idx")
+        offs = toks.withColumn(
+            "start",
+            F.coalesce(
+                F.sum(F.length("token") + 1).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)).cast("int"))
+        spans = _doc_spans(spark, sf)
+        b = offs.select(
+            "doc_id", F.col("tok_idx").alias("begin_idx"),
+            F.col("start").alias("col_from"))
+        e = offs.select(
+            "doc_id", F.col("tok_idx").alias("end_idx"),
+            (F.col("start") + F.length("token") - 1).cast("int")
+            .alias("col_to"))
+        sp = (
+            spans.withColumn(
+                "end_idx",
+                (F.col("begin_idx") + F.col("n_tokens") - 1).cast("int"))
+            .join(b, ["doc_id", "begin_idx"])
+            .join(e, ["doc_id", "end_idx"])
+            .select("doc_id", F.struct(
+                "ne_type",
+                F.lit(0).alias("line_from"), "col_from",
+                F.lit(0).alias("line_to"), "col_to").alias("s"))
+        )
+        agg = sp.groupBy("doc_id").agg(F.collect_list("s").alias("spans"))
+        empty = F.array().cast(
+            "array<struct<ne_type:string,line_from:int,col_from:int,"
+            "line_to:int,col_to:int>>")
+        d = _docs(spark, sf).select(
+            "doc_id", _norm(F.col("text")).alias("norm"))
+        return (
+            d.join(agg, "doc_id", "left")
+            .withColumn("muc7", add_markup(
+                F.col("norm"), F.coalesce(F.col("spans"), empty)))
+            .select("doc_id", "muc7")
+        )
+
     # ---------------- KG pipeline queries (no DuckDB view: rows-only)
 
     def _kg(spark):
@@ -430,6 +491,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res, gm, gt, gl = _kg(spark)
         return span_eval(gm, res.mentions)
 
+    def kg_top_sentences(spark, sf):
+        # bootstrap sentence selection (operators/bootstrap.py;
+        # BootstrapTools.pm:549, 644-690)
+        from tildener_spark.operators.bootstrap import (
+            top_sentences_per_type)
+        from tildener_spark.operators.tokenize import explode_tokens
+        res, *_ = _kg(spark)
+        return top_sentences_per_type(explode_tokens(res.tagged), k=5)
+
+    def kg_gazetteer_candidates(spark, sf):
+        # gazetteer growth harvest (BootstrapTools.pm:757-775); the
+        # 'existing' side is just the initialisms so content entries
+        # surface as candidates
+        from tildener_spark.datagen import gazetteer_df
+        from tildener_spark.operators.bootstrap import (
+            gazetteer_candidates)
+        res, *_ = _kg(spark)
+        existing = gazetteer_df(spark).filter(
+            F.col("ne_type") == "ORG_INIT")
+        return gazetteer_candidates(res.mentions, existing)
+
+    def kg_bootstrap(spark, sf):
+        # two self-training iterations with the positive-iteration
+        # gate (plans/bootstrap.py; BootstrapNEModel.pl:206-357)
+        from tildener_spark.config import EngineConfig
+        from tildener_spark.datagen import (
+            corpus_df, gazetteer_df, split_gold)
+        from tildener_spark.operators.classify import make_tag_pages_udf
+        from tildener_spark.operators.tokenize import explode_tokens
+        from tildener_spark.plans.bootstrap import bootstrap_loop
+        corpus = corpus_df(spark, 40)
+        pages, *_ = split_gold(corpus)
+        urls = sorted(r["url"] for r in pages.select("url").collect())
+        dev = pages.filter(F.col("url").isin(urls[:10]))
+        unl = pages.filter(F.col("url").isin(urls[10:]))
+        full = gazetteer_df(spark)
+        rows = [(r["ne_type"], r["surface"]) for r in full.collect()]
+        gold_tokens = explode_tokens(dev.select(
+            "url", make_tag_pages_udf(rows, EngineConfig())(
+                F.col("text")).alias("tokens")))
+        crippled = full.filter(
+            ~((F.col("ne_type") == "PERS") & (F.crc32("surface") % 2 == 0)))
+        res = bootstrap_loop(
+            spark, unl, dev, gold_tokens, crippled,
+            iterations=2, docs_per_iteration=20, metric="F",
+            cfg=EngineConfig(gazetteer_min_prob=0.90))
+        return spark.createDataFrame(
+            [(h["iteration"], h["accepted"], h["gazetteer_size"],
+              float(h["metrics"]["F"] or 0.0),
+              int(h.get("new_gazetteer_entries", 0)))
+             for h in res.history],
+            "iteration int, accepted boolean, gazetteer_size int, "
+            "f1 double, new_entries int")
+
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_top_customers_per_nation": q02_top_customers_per_nation,
@@ -451,12 +566,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_embedding_topk": q18_embedding_topk,
         "q19_embedding_neardup": q19_embedding_neardup,
         "q20_events_hourly": q20_events_hourly,
+        "q22_tag_writeback": q22_tag_writeback,
+        "q23_muc7_markup": q23_muc7_markup,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_links": kg_links,
         "kg_entities": kg_entities,
         "kg_triple_parity": kg_triple_parity,
         "kg_span_eval": kg_token_eval,
+        "kg_top_sentences": kg_top_sentences,
+        "kg_gazetteer_candidates": kg_gazetteer_candidates,
+        "kg_bootstrap": kg_bootstrap,
     }
 
 
@@ -793,5 +913,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) as sum_value
             from events
             group by 1, 2
+        """,
+        "q22_tag_writeback": f"""
+            with toks as ({_DOC_TOKENS_SQL}),
+            spans as ({_DOC_SPANS_SQL})
+            select t.doc_id, t.tok_idx, t.token,
+                   case when s.ne_type is null then 'O'
+                        when t.tok_idx = s.begin_idx
+                            then 'B-' || s.ne_type
+                        else 'I-' || s.ne_type end as ne_tag
+            from toks t left join spans s
+              on t.doc_id = s.doc_id
+             and t.tok_idx between s.begin_idx
+                               and s.begin_idx + s.n_tokens - 1
+        """,
+        "q23_muc7_markup": f"""
+            with toks as ({_DOC_TOKENS_SQL}),
+            spans as ({_DOC_SPANS_SQL}),
+            tagged as (
+                select t.doc_id, t.tok_idx,
+                    coalesce(case when t.tok_idx = s.begin_idx
+                        then '<ENAMEX TYPE="' || s.ne_type || '">'
+                        end, '')
+                    || t.token ||
+                    coalesce(case
+                        when t.tok_idx = s.begin_idx + s.n_tokens - 1
+                        then '</ENAMEX>' end, '') as tok
+                from toks t left join spans s
+                  on t.doc_id = s.doc_id
+                 and t.tok_idx between s.begin_idx
+                                   and s.begin_idx + s.n_tokens - 1
+            )
+            select doc_id, string_agg(tok, ' ' order by tok_idx) as muc7
+            from tagged group by doc_id
         """,
     }

@@ -39,10 +39,11 @@ def connected_components(edges: DataFrame, cfg: EngineConfig | None = None,
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        # checkpoint FIRST: labels and every iteration derive from the
-        # materialized edge set, never from the (possibly expensive)
-        # upstream lineage
-        .localCheckpoint()
+        # materialize FIRST: labels and every iteration derive from
+        # the cached edge set, never from the (possibly expensive)
+        # upstream lineage; persist + the isEmpty action below does
+        # the materialization without localCheckpoint's extra write
+        .persist()
     )
     if sym.isEmpty():
         # fast path: no edges (e.g. a hub graph with no alias chains)

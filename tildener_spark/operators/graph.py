@@ -42,24 +42,44 @@ def _hub_node(ne_type, surface):
 
 def build_entity_graph(mentions: DataFrame,
                        cfg: EngineConfig | None = None,
-                       initialisms: frozenset[str] | set[str] = frozenset()) -> dict:
-    """mentions -> {links, edges, components, entities, mapping}."""
+                       initialisms: frozenset[str] | set[str] = frozenset(),
+                       links: DataFrame | None = None,
+                       surfaces: DataFrame | None = None,
+                       hub_pairs: DataFrame | None = None) -> dict:
+    """mentions -> {links, edges, components, entities, mapping}.
+
+    ``links`` / ``surfaces`` / ``hub_pairs`` may be precomputed by the
+    fused per-document pass (operators/document.py): ``surfaces``
+    carries (url, ne_type, surface, doc_canonical) — the alias
+    resolution that is otherwise a distinct + left join here — and
+    ``hub_pairs`` the per-doc alias-chain hub edges.  With them the
+    whole pre-CC graph stage is narrow projections; without, the
+    DataFrame-join path runs (the oracle-parity variant)."""
     cfg = cfg or EngineConfig()
     # links is consumed by resolved, alias_edges and hub_pairs (x2);
-    # it contains window functions + a pandas UDF — materialize once
-    links = alias_links(mentions, cfg, initialisms).persist()
+    # the join path contains window functions + a pandas UDF —
+    # materialize once (the fused path's links are a narrow projection
+    # of the already-persisted docs table, cheap to recompute)
+    if links is None:
+        links = alias_links(mentions, cfg, initialisms).persist()
 
-    groups = mentions.select("url", "ne_type", "surface").distinct()
-    # doc-canonical surface: alias -> antecedent, others -> self
-    resolved = (
-        groups.join(
-            links.select("url", "ne_type",
-                         F.col("alias").alias("surface"),
-                         F.col("canonical")),
-            ["url", "ne_type", "surface"], "left")
-        .withColumn("doc_canonical", F.coalesce("canonical", "surface"))
-        .drop("canonical")
-    )
+    if surfaces is not None:
+        # fused fast path: distinct + alias resolution happened
+        # per-document inside the Arrow pass — zero shuffles here
+        resolved = surfaces.select(
+            "url", "ne_type", "surface", "doc_canonical")
+    else:
+        groups = mentions.select("url", "ne_type", "surface").distinct()
+        # doc-canonical surface: alias -> antecedent, others -> self
+        resolved = (
+            groups.join(
+                links.select("url", "ne_type",
+                             F.col("alias").alias("surface"),
+                             F.col("canonical")),
+                ["url", "ne_type", "surface"], "left")
+            .withColumn("doc_canonical", F.coalesce("canonical", "surface"))
+            .drop("canonical")
+        )
     # ---- star contraction before CC (the 10^12-scale move) --------
     # Every mention node has exactly one hub edge (its doc-canonical
     # surface), so the mention->hub stars are contracted *first* with
@@ -84,58 +104,120 @@ def build_entity_graph(mentions: DataFrame,
     mention_hub = resolved.select(
         "url", "ne_type", "surface",
         _hub_node(F.col("ne_type"), F.col("doc_canonical")).alias("hub"),
-    ).persist()  # reused by hub_pairs (x2), components, mapping
-    # hub-hub edges: an alias mention and its antecedent may resolve
-    # to different hubs only through a chain (A aliases B aliases C)
-    hub_pairs = (
-        links
-        .join(mention_hub.withColumnRenamed("surface", "alias")
-              .withColumnRenamed("hub", "hub_a"),
-              ["url", "ne_type", "alias"])
-        .join(mention_hub.withColumnRenamed("surface", "canonical")
-              .withColumnRenamed("hub", "hub_c"),
-              ["url", "ne_type", "canonical"])
-        .filter(F.col("hub_a") != F.col("hub_c"))
-        .select(F.col("hub_a").alias("src"), F.col("hub_c").alias("dst"))
-        .distinct()
     )
-    hub_cc = connected_components(hub_pairs, cfg)
-    # hub -> component (hubs outside any alias chain are their own)
-    hub_component = (
-        mention_hub.select(F.col("hub")).distinct()
-        .join(hub_cc.withColumnRenamed("node", "hub"), "hub", "left")
-        .withColumn("component", F.coalesce("component", "hub"))
-    )
-    components = (
-        mention_hub
-        .join(hub_component, "hub")
-        .select(
-            _mention_node(F.col("url"), F.col("ne_type"),
-                          F.col("surface")).alias("node"),
-            "component")
-        .union(hub_component.select(F.col("hub").alias("node"),
-                                    "component"))
-    )
-
-    # canonical entity per component = smallest hub node id
-    reps = (
-        hub_component
-        .groupBy("component")
-        .agg(F.min("hub").alias("rep"))
-        .withColumn("parts", F.split(F.substring("rep", 3, 1 << 20), SEP))
-        .select(
-            "component",
-            F.col("parts")[0].alias("ne_type"),
-            F.col("parts")[1].alias("canonical"),
+    if surfaces is None:
+        # reused by hub_pairs (x2), components, mapping; the fused
+        # variant is a narrow projection of the cached docs table —
+        # caching it again would only duplicate memory
+        mention_hub = mention_hub.persist()
+    if hub_pairs is None:
+        # hub-hub edges: an alias mention and its antecedent may
+        # resolve to different hubs only through a chain (A aliases B
+        # aliases C)
+        hub_pairs = (
+            links
+            .join(mention_hub.withColumnRenamed("surface", "alias")
+                  .withColumnRenamed("hub", "hub_a"),
+                  ["url", "ne_type", "alias"])
+            .join(mention_hub.withColumnRenamed("surface", "canonical")
+                  .withColumnRenamed("hub", "hub_c"),
+                  ["url", "ne_type", "canonical"])
+            .filter(F.col("hub_a") != F.col("hub_c"))
+            .select(F.col("hub_a").alias("src"), F.col("hub_c").alias("dst"))
+            .distinct()
         )
-    )
-    # mention node -> canonical surface mapping
-    mapping = (
-        mention_hub
-        .join(hub_component, "hub")
-        .join(reps.withColumnRenamed("ne_type", "_t"), "component")
-        .select("url", "ne_type", "surface", "canonical", "component")
-    )
+    else:
+        hub_pairs = hub_pairs.select("src", "dst").distinct()
+    hub_cc = connected_components(hub_pairs, cfg)
+
+    if surfaces is not None:
+        # ---- fused fast path: broadcast-correction canonicalization.
+        # The component representative is the lexicographically
+        # smallest hub = "g:<type>␟<canonical>", so component id ==
+        # hub-of-canonical, and the ONLY global state needed is the
+        # tiny table of alias-chain hubs whose component rep differs
+        # from themselves.  That table is broadcast (it is bounded by
+        # the number of chained alias pairs, not by corpus size; if a
+        # pathological corpus made it large, AQE would still execute
+        # the same join hash-partitioned by dropping the hint).
+        corr = (
+            hub_cc.filter(F.col("node") != F.col("component"))
+            .withColumn(
+                "parts",
+                F.split(F.substring("component", 3, 1 << 20), SEP))
+            .select(
+                F.col("node").alias("hub"),
+                F.col("parts")[1].alias("corr_canonical"))
+        )
+        mapping = (
+            mention_hub
+            .join(F.broadcast(corr), ["hub"], "left")
+            .select(
+                "url", "ne_type", "surface",
+                F.coalesce(
+                    "corr_canonical",
+                    F.split(F.substring("hub", 3, 1 << 20), SEP)[1])
+                .alias("canonical"))
+            .withColumn(
+                "component",
+                _hub_node(F.col("ne_type"), F.col("canonical")))
+        )
+        components = (
+            mapping.select(
+                _mention_node(F.col("url"), F.col("ne_type"),
+                              F.col("surface")).alias("node"),
+                "component")
+            .union(
+                mention_hub.select(F.col("hub").alias("node")).distinct()
+                .join(F.broadcast(corr), F.col("node") == F.col("hub"),
+                      "left")
+                .select(
+                    "node",
+                    F.coalesce(
+                        _hub_node(
+                            F.split(F.substring("node", 3, 1 << 20),
+                                    SEP)[0],
+                            F.col("corr_canonical")),
+                        F.col("node")).alias("component")))
+        )
+    else:
+        # hub -> component (hubs outside any alias chain are their own)
+        hub_component = (
+            mention_hub.select(F.col("hub")).distinct()
+            .join(hub_cc.withColumnRenamed("node", "hub"), "hub", "left")
+            .withColumn("component", F.coalesce("component", "hub"))
+        )
+        components = (
+            mention_hub
+            .join(hub_component, "hub")
+            .select(
+                _mention_node(F.col("url"), F.col("ne_type"),
+                              F.col("surface")).alias("node"),
+                "component")
+            .union(hub_component.select(F.col("hub").alias("node"),
+                                        "component"))
+        )
+
+        # canonical entity per component = smallest hub node id
+        reps = (
+            hub_component
+            .groupBy("component")
+            .agg(F.min("hub").alias("rep"))
+            .withColumn("parts",
+                        F.split(F.substring("rep", 3, 1 << 20), SEP))
+            .select(
+                "component",
+                F.col("parts")[0].alias("ne_type"),
+                F.col("parts")[1].alias("canonical"),
+            )
+        )
+        # mention node -> canonical surface mapping
+        mapping = (
+            mention_hub
+            .join(hub_component, "hub")
+            .join(reps.withColumnRenamed("ne_type", "_t"), "component")
+            .select("url", "ne_type", "surface", "canonical", "component")
+        )
     entities = (
         mapping.groupBy("component", "ne_type", "canonical")
         .agg(
@@ -149,6 +231,7 @@ def build_entity_graph(mentions: DataFrame,
         "components": components,
         "entities": entities,
         "mapping": mapping,
+        "corrections": corr if surfaces is not None else None,
     }
 
 
@@ -167,6 +250,36 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
         .withColumn("subj_canonical", F.coalesce("subj_canonical", "subj"))
         .withColumn("obj_canonical", F.coalesce("obj_canonical", "obj"))
     )
+
+
+def canonicalize_triples_fused(triples_dc: DataFrame,
+                               corrections: DataFrame) -> DataFrame:
+    """Fused-path canonicalization: the triples already carry their
+    within-doc canonicals (subj_dc/obj_dc from the Arrow pass), so the
+    global rewrite is two broadcast joins against the alias-chain
+    correction table — no mention-table shuffle.  Output columns match
+    :func:`canonicalize_triples` (internal _dc columns dropped)."""
+    s_corr = corrections.select(
+        F.col("hub").alias("_s_hub"),
+        F.col("corr_canonical").alias("_s_can"))
+    o_corr = corrections.select(
+        F.col("hub").alias("_o_hub"),
+        F.col("corr_canonical").alias("_o_can"))
+    t = (
+        triples_dc
+        .withColumn("_s_hub", _hub_node(F.col("subj_type"),
+                                        F.col("subj_dc")))
+        .withColumn("_o_hub", _hub_node(F.col("obj_type"),
+                                        F.col("obj_dc")))
+        .join(F.broadcast(s_corr), ["_s_hub"], "left")
+        .join(F.broadcast(o_corr), ["_o_hub"], "left")
+        .withColumn("subj_canonical",
+                    F.coalesce("_s_can", F.col("subj_dc")))
+        .withColumn("obj_canonical",
+                    F.coalesce("_o_can", F.col("obj_dc")))
+    )
+    return t.drop("_s_hub", "_o_hub", "_s_can", "_o_can",
+                  "subj_dc", "obj_dc")
 
 
 def materialize_graph(entities: DataFrame, canon_triples: DataFrame,

@@ -1,0 +1,135 @@
+"""Iterative self-training loop (BootstrapNEModel.pl:206-357).
+
+Driver-side Python loop; every iteration is a set of DataFrame jobs
+(SURVEY.md §3.3).  Where the reference retrains a CRF each iteration
+(NETrainAndEvaluate.pl:82), our classifier's learned state IS the
+gazetteer (classify.py decision list), so "training" = gazetteer
+growth — the same self-training feedback: high-confidence spans from
+unlabeled data become lookup entries that raise recall next round.
+
+Iteration anatomy (reference line refs):
+  1. tag a seeded random sample of unlabeled pages with the current
+     gazetteer (GetRandomFiles, NEUtilities.pm:798-841 ->
+     orderBy(rand(seed)).limit(n), BootstrapNEModel.pl:330-336);
+  2. evaluate on the dev gold (NETrainAndEvaluate.pl:101-106);
+  3. positive-iteration gate: accept iff the chosen metric(s) did not
+     DECREASE vs the last accepted iteration
+     (BootstrapNEModel.pl:254-258; metric is P, R, F, A or 'all');
+  4. on accept: merge the temp gazetteer into the persistent one
+     (:262-282) and keep the selected top sentences as accumulated
+     positive training data (:340-347);
+  5. harvest new gazetteer candidates at avg prob >=
+     gazetteer_min_prob=0.95 (:355).
+
+Each iteration checkpoints its gazetteer + metrics (per-stage
+checkpoint/lineage contract of the north rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tildener_spark.config import EngineConfig
+from tildener_spark.operators.bootstrap import (
+    gazetteer_candidates, merge_gazetteer, top_sentences_per_type,
+)
+from tildener_spark.operators.document import (
+    explode_docs, make_process_document_udf,
+)
+from tildener_spark.operators.evaluate import token_eval
+from tildener_spark.operators.tokenize import explode_tokens
+
+_METRIC_COLS = {"P": "precision", "R": "recall", "F": "f1", "A": "accuracy"}
+
+
+@dataclass
+class BootstrapResult:
+    gazetteer: DataFrame
+    history: list = field(default_factory=list)  # per-iteration dicts
+    sentences: DataFrame | None = None
+
+
+def _tag(spark, pages, gaz_rows, cfg):
+    inits = frozenset(t[1] for t in gaz_rows if t[0] == "ORG_INIT")
+    udf = make_process_document_udf(gaz_rows, cfg, inits)
+    return pages.select("url", "lang", udf(F.col("text")).alias("doc"))
+
+
+def _dev_metrics(docs, dev_gold_tokens) -> dict:
+    pred = explode_tokens(
+        docs.select("url", F.col("doc.tokens").alias("tokens")))
+    row = (
+        token_eval(dev_gold_tokens, pred)
+        .filter(F.col("label") == "TOTAL_TOKEN").collect()
+    )[0]
+    return {m: row[c] for m, c in _METRIC_COLS.items()}
+
+
+def bootstrap_loop(
+    spark: SparkSession,
+    unlabeled_pages: DataFrame,
+    dev_pages: DataFrame,
+    dev_gold_tokens: DataFrame,
+    gazetteer: DataFrame,
+    iterations: int = 3,
+    docs_per_iteration: int = 50,
+    sentences_per_type: int = 10,
+    metric: str = "F",
+    cfg: EngineConfig | None = None,
+    seed: int = 42,
+) -> BootstrapResult:
+    """Run the self-training loop; returns the grown gazetteer +
+    per-iteration audit history.
+
+    ``metric``: one of P/R/F/A or 'all' (all four must not decrease —
+    the four simultaneous comparisons of BootstrapNEModel.pl:254-258).
+    """
+    cfg = cfg or EngineConfig()
+    gaz = gazetteer.select("ne_type", "surface").persist()
+    history: list[dict] = []
+    best: dict | None = None
+    sentences = None
+
+    for it in range(iterations):
+        gaz_rows = [(r["ne_type"], r["surface"]) for r in gaz.collect()]
+        # 1. seeded random sample of unlabeled docs (deterministic)
+        sample = (
+            unlabeled_pages.orderBy(F.rand(seed + it))
+            .limit(docs_per_iteration)
+        )
+        tagged = _tag(spark, sample, gaz_rows, cfg).persist()
+
+        # 2. evaluate current model on dev
+        dev_tagged = _tag(spark, dev_pages, gaz_rows, cfg)
+        metrics = _dev_metrics(dev_tagged, dev_gold_tokens)
+
+        # 3. positive-iteration gate
+        keys = list(_METRIC_COLS) if metric == "all" else [metric]
+        accept = best is None or all(
+            (metrics[k] or 0) >= (best[k] or 0) for k in keys)
+
+        entry = {"iteration": it, "metrics": metrics, "accepted": accept,
+                 "gazetteer_size": len(gaz_rows)}
+        if accept:
+            best = metrics
+            # 4. harvest: top sentences + new gazetteer entries
+            tokens = explode_tokens(
+                tagged.select("url", F.col("doc.tokens").alias("tokens")))
+            top = top_sentences_per_type(tokens, sentences_per_type, cfg)
+            sentences = (top if sentences is None
+                         else sentences.unionByName(top).dropDuplicates(
+                             ["tok_type", "sent_text"]))
+            mentions = explode_docs(tagged, "mentions")
+            new_entries = gazetteer_candidates(mentions, gaz, cfg)
+            entry["new_gazetteer_entries"] = new_entries.count()
+            grown = merge_gazetteer(gaz, new_entries).persist()
+            grown.count()  # materialize before unpersisting the old one
+            gaz.unpersist()
+            gaz = grown
+        tagged.unpersist()
+        history.append(entry)
+
+    return BootstrapResult(gazetteer=gaz, history=history,
+                           sentences=sentences)

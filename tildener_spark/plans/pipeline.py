@@ -27,8 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from tildener_spark.config import EngineConfig
 from tildener_spark.functions.text import extract_text
 from tildener_spark.operators.classify import make_tag_pages_udf
+from tildener_spark.operators.document import (
+    explode_docs, make_process_document_udf,
+)
 from tildener_spark.operators.graph import (
-    build_entity_graph, canonicalize_triples, materialize_graph,
+    build_entity_graph, canonicalize_triples, canonicalize_triples_fused,
+    materialize_graph,
 )
 from tildener_spark.operators.spans import assemble_spans
 from tildener_spark.operators.tokenize import explode_tokens
@@ -55,12 +59,21 @@ def run_pipeline(
     gazetteer: DataFrame,
     cfg: EngineConfig | None = None,
     reextract_text: bool = False,
+    fused: bool = True,
 ) -> PipelineResult:
     """Run the full chain; lazily unless cfg.checkpoint_dir is set.
 
     ``reextract_text``: recompute text from html (the production path;
     off by default because the input table already carries text and
     the byte-identity test asserts both agree).
+
+    ``fused`` (default, the production path): all document-local
+    stages — tokenize/classify/refine, span assembly, triple
+    extraction, alias linking — run in ONE Arrow pass per page
+    (operators/document.py), so the job's only shuffles are over the
+    small cross-document tables.  ``fused=False`` runs the
+    DataFrame-operator path (spans.py / triples.py / linking.py), the
+    DuckDB-oracle parity variant; tests assert both paths agree.
     """
     cfg = cfg or EngineConfig()
     ckpt = cfg.checkpoint_dir
@@ -77,39 +90,83 @@ def run_pipeline(
         [(r["ne_type"], r["surface"]) for r in gazetteer.collect()]
         if hasattr(gazetteer, "collect") else list(gazetteer)
     )
-    tag_udf = make_tag_pages_udf(gaz_rows, cfg)
-    tagged = pages.select(
-        "url", "lang", tag_udf(F.col("text")).alias("tokens"))
-    if ckpt:
-        tagged = checkpoint_stage(spark, tagged, ckpt, "tagged")
+
+    links = surfaces = hub_pairs = None
+    if fused:
+        doc_udf = make_process_document_udf(gaz_rows, cfg, initialisms)
+        docs = pages.select(
+            "url", "lang", doc_udf(F.col("text")).alias("doc"))
+        if ckpt:
+            # one checkpoint covers all four document-local outputs;
+            # downstream stage tables are narrow re-projections of it
+            docs = checkpoint_stage(spark, docs, ckpt, "tagged")
+        else:
+            # cache the whole doc struct: Spark's in-memory cache
+            # stores nested types as opaque row bytes, so caching the
+            # full struct is as cheap to build as any subset and the
+            # narrow downstream projections read it directly (an A/B
+            # of full-struct vs mentions/triples/links-only caching
+            # measured the full struct faster on BOTH build and read)
+            docs = docs.persist()
+        tagged = docs.select(
+            "url", "lang", F.col("doc.tokens").alias("tokens"))
+        mentions = explode_docs(docs, "mentions")
+        triples_dc = explode_docs(docs, "triples")
+        links = explode_docs(docs, "links")
+        surfaces = explode_docs(docs, "surfaces")
+        hub_pairs = (
+            docs.select(F.explode("doc.hub_pairs").alias("x"))
+            .select("x.*"))
+        if ckpt:
+            mentions = checkpoint_stage(spark, mentions, ckpt, "mentions")
+            triples_dc = checkpoint_stage(spark, triples_dc, ckpt,
+                                          "triples")
+        # the exposed triples table matches the operator path's schema;
+        # the _dc annotations are internal to fused canonicalization
+        triples = triples_dc.drop("subj_dc", "obj_dc")
+        tokens = explode_tokens(tagged)
     else:
-        # the tagged table feeds three downstream branches (spans,
-        # triples' verb lookup, linking); without materialization each
-        # branch would re-run the whole UDF chain
-        tagged = tagged.persist()
+        tag_udf = make_tag_pages_udf(gaz_rows, cfg)
+        tagged = pages.select(
+            "url", "lang", tag_udf(F.col("text")).alias("tokens"))
+        if ckpt:
+            tagged = checkpoint_stage(spark, tagged, ckpt, "tagged")
+        else:
+            # the tagged table feeds three downstream branches (spans,
+            # triples' verb lookup, linking); without materialization
+            # each branch would re-run the whole UDF chain
+            tagged = tagged.persist()
 
-    tokens = explode_tokens(tagged)
-    mentions = assemble_spans(tokens)
-    if ckpt:
-        mentions = checkpoint_stage(spark, mentions, ckpt, "mentions")
-    else:
-        mentions = mentions.persist()
+        tokens = explode_tokens(tagged)
+        mentions = assemble_spans(tokens)
+        if ckpt:
+            mentions = checkpoint_stage(spark, mentions, ckpt, "mentions")
+        else:
+            mentions = mentions.persist()
 
-    triples = extract_triples(mentions, tokens)
-    if ckpt:
-        triples = checkpoint_stage(spark, triples, ckpt, "triples")
+        triples = extract_triples(mentions, tokens)
+        if ckpt:
+            triples = checkpoint_stage(spark, triples, ckpt, "triples")
 
-    graph = build_entity_graph(mentions, cfg, initialisms)
+    graph = build_entity_graph(mentions, cfg, initialisms, links=links,
+                               surfaces=surfaces, hub_pairs=hub_pairs)
     links, entities, mapping = (
         graph["links"], graph["entities"], graph["mapping"])
     if ckpt:
         links = checkpoint_stage(spark, links, ckpt, "links")
         entities = checkpoint_stage(spark, entities, ckpt, "entities")
         mapping = checkpoint_stage(spark, mapping, ckpt, "mapping")
-    else:
+    elif not fused:
         mapping = mapping.persist()  # joined twice (subj + obj sides)
 
-    canon = canonicalize_triples(triples, mapping)
+    if fused:
+        # triples already carry within-doc canonicals; the global
+        # rewrite is two broadcast joins against the tiny alias-chain
+        # correction table — no mention-table shuffle
+        canon = canonicalize_triples_fused(triples_dc,
+                                           graph["corrections"])
+    else:
+        canon = canonicalize_triples(triples, mapping)
     if ckpt:
         canon = checkpoint_stage(spark, canon, ckpt, "canonical_triples")
 

@@ -14,12 +14,10 @@ stream).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tildener_spark.config import EngineConfig
-from tildener_spark.operators.classify import with_ne_tags
-from tildener_spark.operators.refine import with_refinements
-from tildener_spark.operators.tokenize import with_tokens
+from tildener_spark.operators.document import make_process_document_udf
 from tildener_spark.datagen import CORPUS_SCHEMA
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -35,11 +33,18 @@ def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
 
 def tag_stream(pages: DataFrame, gazetteer_rows: list,
                cfg: EngineConfig | None = None) -> DataFrame:
-    """Stateless tagging chain — valid on a streaming DataFrame."""
+    """Stateless tagging chain — valid on a streaming DataFrame.
+
+    Uses the fused single-Arrow-pass UDF (operators/document.py), same
+    as the batch pipeline."""
     cfg = cfg or EngineConfig()
-    return with_refinements(
-        with_ne_tags(with_tokens(pages), gazetteer_rows), cfg
-    ).select("url", "lang", "tokens")
+    inits = frozenset(
+        t[1] for t in gazetteer_rows if t[0] == "ORG_INIT")
+    udf = make_process_document_udf(gazetteer_rows, cfg, inits)
+    return (
+        pages.select("url", "lang", udf(F.col("text")).alias("doc"))
+        .select("url", "lang", F.col("doc.tokens").alias("tokens"))
+    )
 
 
 def run_available_now(tagged: DataFrame, out_dir: str,
