@@ -75,6 +75,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
     flat = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    # NOTE: a per-shingle collect_list + higher-order-function pair
+    # generation was tried here and is SLOWER for high-df shingles
+    # (materializes up to max_df²/2 structs per group before the
+    # explode); the streaming equi-self-join below pipelines pairs
+    # through the hash aggregate without ever materializing them
     rare = (
         flat.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("s")))
