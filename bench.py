@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+# large enough that per-stage fixed latencies (~10 small jobs in the
+# cross-document linking + CC chain) amortize into steady-state
+# throughput
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
 
 BENCH_QUERIES = [
     "q01_pricing_summary",

@@ -55,6 +55,15 @@ class EngineConfig:
     shingle_size: int = 3
     link_min_score: float = 0.82       # Jaro-Winkler acceptance (LSH path)
     typo_min_score: float = 0.93       # JW bar for 1-token alias variants
+    # Cross-document surface merging: minhash-LSH blocking over the
+    # global (type, doc-canonical surface) vocabulary + Jaro-Winkler
+    # scoring; accepted pairs become hub-hub edges for CC.  High bar:
+    # merges typo/diacritic variants, not merely similar names.
+    cross_doc_linking: bool = True
+    cross_doc_min_score: float = 0.94
+    # surfaces shorter than this skip LSH (few shingles -> minhash
+    # collides on everything; exact-surface hub merging covers them)
+    cross_doc_min_len: int = 8
     cc_max_iterations: int = 20
     # Skew handling: salt fan-out for connected-components joins.
     salt_buckets: int = 16

@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from tildener_spark.config import EngineConfig
 from tildener_spark.operators.components import connected_components
-from tildener_spark.operators.linking import alias_links
+from tildener_spark.operators.linking import (
+    alias_links, jaro_winkler, lsh_candidate_pairs,
+)
 
 SEP = "␟"  # unit-separator; never appears in surfaces
 
@@ -128,6 +130,46 @@ def build_entity_graph(mentions: DataFrame,
         )
     else:
         hub_pairs = hub_pairs.select("src", "dst").distinct()
+
+    if cfg.cross_doc_linking:
+        # north-star cross-document linking: minhash-LSH blocking over
+        # the global (type, doc-canonical) surface vocabulary +
+        # Jaro-Winkler scoring; accepted near-duplicate surfaces
+        # (typos, diacritic variants) become extra hub-hub edges so CC
+        # merges them into one canonical entity.  The vocabulary is
+        # the distinct doc-canonical set — orders of magnitude smaller
+        # than the mention table — and the per-band bucket cap +
+        # AQE skew join guard the self-join (SURVEY.md §4.3.2).
+        vocab = (
+            resolved.select(
+                "ne_type", F.col("doc_canonical").alias("surface"))
+            .filter(F.length("surface") >= cfg.cross_doc_min_len)
+            .distinct()
+        )
+        cand = lsh_candidate_pairs(vocab, cfg)
+        # JVM-side prefilters BEFORE the (Python) Jaro-Winkler pass:
+        # at score >= 0.94 the lengths must be close and (in practice)
+        # the first character equal — cuts the candidate volume by
+        # orders of magnitude, which is what keeps this stage viable
+        # when band buckets collide (measured: unfiltered JW dominated
+        # the whole pipeline at low core counts)
+        cand = cand.filter(
+            (F.abs(F.length("a") - F.length("b"))
+             * F.lit(5) <= F.length("a"))
+            & (F.lower(F.substring("a", 1, 1))
+               == F.lower(F.substring("b", 1, 1)))
+        )
+        scored = (
+            cand.withColumn(
+                "score",
+                jaro_winkler(F.lower("a"), F.lower("b")))
+            .filter(F.col("score") >= cfg.cross_doc_min_score)
+        )
+        cross_edges = scored.select(
+            _hub_node(F.col("ne_type"), F.col("a")).alias("src"),
+            _hub_node(F.col("ne_type"), F.col("b")).alias("dst"),
+        )
+        hub_pairs = hub_pairs.unionByName(cross_edges)
     hub_cc = connected_components(hub_pairs, cfg)
 
     if surfaces is not None:

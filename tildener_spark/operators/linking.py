@@ -90,11 +90,12 @@ def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
 def with_minhash_bands(df: DataFrame, text_col: str,
                        cfg: EngineConfig | None = None,
                        out_col: str = "bands") -> DataFrame:
-    """Add array<string> LSH band keys over char-shingles of text_col.
+    """Add array<bigint> LSH band keys over char-shingles of text_col.
 
     All JVM built-ins: shingles via sequence+transform+substring,
-    hashes via md5(seed || shingle), band key = md5 of the
-    concatenated per-row minima.  No Python.
+    per-hash minima via seeded murmur3 ``F.hash`` (integer ops — an
+    earlier md5-string variant measured ~10x slower), band key =
+    hash of the row's minima + band id.  No Python.
     """
     cfg = cfg or EngineConfig()
     k = cfg.shingle_size
@@ -110,16 +111,15 @@ def with_minhash_bands(df: DataFrame, text_col: str,
 
     def _minhash(i: int):
         return F.array_min(
-            F.transform(F.col("_sh"),
-                        lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            F.transform(F.col("_sh"), lambda s: F.hash(s, F.lit(i)))
         )
 
     minhashes = [_minhash(i) for i in range(n_hash)]
     bands = F.array(*[
-        F.md5(F.concat_ws("|", *minhashes[b * cfg.minhash_rows:(b + 1) * cfg.minhash_rows],
-                          F.lit(str(b))))
+        F.hash(*minhashes[b * cfg.minhash_rows:(b + 1) * cfg.minhash_rows],
+               F.lit(b))
         for b in range(cfg.minhash_bands)
-    ])
+    ]).cast("array<bigint>")
     return df.withColumn(out_col, bands).drop("_sh")
 
 
