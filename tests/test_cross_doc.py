@@ -33,7 +33,7 @@ def test_thresholds_are_sane():
 
 
 def test_cross_doc_merges_typo_variants(spark):
-    cfg = EngineConfig()
+    cfg = EngineConfig(cross_doc_linking=True)
     g = build_entity_graph(_mentions(spark), cfg)
     ents = {r["canonical"]: r for r in g["entities"].collect()}
     # the two Janis variants collapse into ONE entity spanning 2 docs

@@ -59,7 +59,11 @@ class EngineConfig:
     # global (type, doc-canonical surface) vocabulary + Jaro-Winkler
     # scoring; accepted pairs become hub-hub edges for CC.  High bar:
     # merges typo/diacritic variants, not merely similar names.
-    cross_doc_linking: bool = True
+    # OPT-IN: measured ~20 CPU-minutes per 60k docs on the synthetic
+    # corpus even with the length/first-char prefilters — enable when
+    # the corpus actually contains near-duplicate surfaces worth the
+    # pass, or after tightening the banding (see BENCH/BASELINE.md).
+    cross_doc_linking: bool = False
     cross_doc_min_score: float = 0.94
     # surfaces shorter than this skip LSH (few shingles -> minhash
     # collides on everything; exact-surface hub merging covers them)
