@@ -141,6 +141,9 @@ def lsh_candidate_pairs(entities: DataFrame, cfg: EngineConfig | None = None,
             "bucket_n", F.count(F.lit(1)).over(Window.partitionBy(type_col, "band")))
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
+        # both sides of the self-join read this; without persist the
+        # minhash banding (the expensive interpreted part) runs twice
+        .persist()
     )
     a = small.alias("a")
     b = small.alias("b")

@@ -148,6 +148,14 @@ def run_pipeline(
         if ckpt:
             triples = checkpoint_stage(spark, triples, ckpt, "triples")
 
+    if fused and not ckpt and cfg.cross_doc_linking:
+        # materialize the docs cache with ONE scan before the graph
+        # stage: with cross-doc linking the first downstream action
+        # (CC's edge materialization) otherwise scans the cold cache
+        # three times concurrently (hub_pairs + both sides of the LSH
+        # self-join) and the per-document UDF runs ~3x in full —
+        # measured as a ~9x wall-time blowup at low core counts
+        docs.count()
     graph = build_entity_graph(mentions, cfg, initialisms, links=links,
                                surfaces=surfaces, hub_pairs=hub_pairs)
     links, entities, mapping = (
