@@ -323,8 +323,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q11_ngram_jaccard(spark, sf):
+        # n=3 (the operator default) + max_df=1000 (the documented
+        # blocking-skew guard, dedup.py) — BOTH mirrored into the
+        # DuckDB oracle.  Round 1 ran this as bigrams with the cap
+        # effectively off: on this corpus's ~30-word vocabulary every
+        # bigram is a head key (931 distinct bigrams across 5000 docs
+        # at sf0.1 -> 73M join rows, 50% of the whole bench); trigrams
+        # give the same 25 true near-dup pairs at sf0.01 from 26x less
+        # join volume, which is what the shingle width is FOR.
         return dedup.ngram_jaccard_pairs(
-            _docs(spark, sf), n=2, threshold=0.3, max_df=10**9)
+            _docs(spark, sf), n=3, threshold=0.3, max_df=1000)
 
     def q12_simhash(spark, sf):
         d = _docs(spark, sf)
@@ -368,6 +376,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q19_embedding_neardup(spark, sf):
         return similarity.embedding_near_duplicates(
             _emb(spark, sf), threshold=0.45)
+
+    def q21_lsh_recall(spark, sf):
+        # ANN recall gate surfaced as a query (rows-only): recall@5 of
+        # the LSH path vs the exact brute-force baseline at the benched
+        # operating point.  A banding regression turns this row's value
+        # red in pytest (tests/test_similarity.py) and visibly wrong
+        # here.
+        bf = similarity.brute_force_topk(_emb(spark, sf), k=5).select(
+            "vec_id", "neighbor_id")
+        ann = similarity.lsh_topk(
+            _emb(spark, sf), k=5, n_bits=4, n_tables=16).select(
+            "vec_id", "neighbor_id")
+        hit = bf.join(ann, ["vec_id", "neighbor_id"]).count()
+        total = bf.count()
+        return spark.createDataFrame(
+            [("recall_at_5", round(hit / max(total, 1), 4), total)],
+            "metric string, value double, denom bigint")
+
+    def q19b_embedding_neardup_lsh(spark, sf):
+        # bucketed sibling of q19 (rows-only; pytest asserts agreement
+        # with the exact path at >= 0.95 recall on planted near-dups)
+        return similarity.embedding_near_duplicates_lsh(
+            _emb(spark, sf), threshold=0.45, n_bits=4, n_tables=16)
 
     def q20_events_hourly(spark, sf):
         e = _tbl(spark, sf, "events")
@@ -565,7 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_fingerprint": q17_fingerprint,
         "q18_embedding_topk": q18_embedding_topk,
         "q19_embedding_neardup": q19_embedding_neardup,
+        "q19b_embedding_neardup_lsh": q19b_embedding_neardup_lsh,
         "q20_events_hourly": q20_events_hourly,
+        "q21_lsh_recall": q21_lsh_recall,
         "q22_tag_writeback": q22_tag_writeback,
         "q23_muc7_markup": q23_muc7_markup,
         "kg_mentions": kg_mentions,
@@ -749,11 +782,18 @@ def oracle_sql() -> dict[str, str]:
             sh as (
                 select doc_id,
                        list_distinct(list_transform(
-                           generate_series(1, greatest(1, len(t) - 1)),
-                           i -> t[i] || ' ' || t[i+1])) as s
+                           generate_series(1, greatest(1, len(t) - 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                           as s
                 from toks
             ),
-            fl as (select doc_id, len(s) as n, unnest(s) as g from sh),
+            fl0 as (select doc_id, len(s) as n, unnest(s) as g from sh),
+            -- document-frequency cap, mirroring ngram_jaccard_pairs'
+            -- max_df=1000 skew guard exactly
+            fl as (
+                select * from fl0
+                qualify count(*) over (partition by g) <= 1000
+            ),
             pairs as (
                 select a.doc_id as doc_a, b.doc_id as doc_b,
                        a.n as na, b.n as nb, count(*) as c

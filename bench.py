@@ -25,9 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # large enough that per-stage fixed latencies (~10 small jobs in the
-# cross-document linking + CC chain) amortize into steady-state
-# throughput
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+# cross-document linking + CC chain, ~3-4 s total regardless of corpus
+# size) amortize into steady-state throughput; round 1 used 12000 and
+# its kg number was ~50% fixed latency
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "48000"))
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -43,6 +44,7 @@ def main() -> None:
     from tildener_spark import get_spark
     from tildener_spark.config import EngineConfig
     from tildener_spark.datagen import gazetteer_df, pages_df
+    from tildener_spark.operators import similarity
     from tildener_spark.operators.similarity import lsh_topk
     from tildener_spark.plans.pipeline import run_pipeline
     import __spark_entry__ as entry_mod
@@ -60,11 +62,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
 
-    # ANN scale path over the embeddings table
+    # ANN scale path over the embeddings table — same (n_bits,
+    # n_tables) operating point as the recall@5 >= 0.8 gate in
+    # tests/test_similarity.py, so the benched config is the gated one
     t0 = time.perf_counter()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    lsh_topk(emb, k=5, n_bits=6).count()
+    lsh_topk(emb, k=5, n_bits=4, n_tables=16).count()
     timings["q21_lsh_topk"] = round(time.perf_counter() - t0, 3)
+
+    # LSH-bucketed embedding near-dup (scale sibling of the exact q19)
+    t0 = time.perf_counter()
+    similarity.embedding_near_duplicates_lsh(emb, threshold=0.45,
+                                             n_bits=4, n_tables=16).count()
+    timings["q19b_neardup_lsh"] = round(time.perf_counter() - t0, 3)
 
     # KG pipeline throughput over a pre-materialized pages table
     work = tempfile.mkdtemp(prefix="tildener_bench_")

@@ -113,3 +113,47 @@ def test_bootstrap_loop_grows_gazetteer_and_gates(spark):
     assert final_size > crippled.count()  # gazetteer grew
     for h in res.history:
         assert set(h["metrics"]) == {"P", "R", "F", "A"}
+
+
+def test_top_files_per_tag_selection(spark):
+    from tildener_spark.operators.bootstrap import top_files_per_tag
+    rows = []
+    # u_good: high-prob PERS-rich doc; u_mid: mid; u_poor: low prob,
+    # and only u_good/u_mid have >= 2 PERS tokens
+    for url, p, n_pers in (("u_good", 0.99, 3), ("u_mid", 0.8, 2),
+                           ("u_poor", 0.3, 1)):
+        for i in range(n_pers):
+            rows.append((url, i, 0, f"P{i}", "X", "B-PERS", p))
+        rows.append((url, 9, 0, ".", "p", "O", p))
+    toks = spark.createDataFrame(rows, (
+        "url string, tok_id int, sent_id int, token string,"
+        "morpho string, ne_tag string, ne_prob double"))
+    sel = top_files_per_tag(toks, files_per_tag=2, min_tag_count=2)
+    pers = {r["url"]: r["rank"] for r in sel.filter(
+        F.col("ne_tag") == "B-PERS").collect()}
+    # u_poor excluded (min_tag_count); order by rating desc
+    assert pers == {"u_good": 1, "u_mid": 2}
+    # rating = mean of per-tag means (BootstrapTools.pm:92-104)
+    r = {x["url"]: x["rating"] for x in sel.collect()}
+    assert abs(r["u_good"] - 0.99) < 1e-9
+
+
+def test_bootstrap_loop_records_file_selection(spark):
+    corpus = corpus_df(spark, 20).cache()
+    pages, *_ = split_gold(corpus)
+    urls = sorted(r["url"] for r in pages.select("url").collect())
+    dev_pages = pages.filter(F.col("url").isin(urls[:5]))
+    unlabeled = pages.filter(F.col("url").isin(urls[5:]))
+    from tildener_spark.operators.classify import make_tag_pages_udf
+    from tildener_spark.operators.tokenize import explode_tokens
+    full_gaz = gazetteer_df(spark)
+    rows = [(r["ne_type"], r["surface"]) for r in full_gaz.collect()]
+    gold_tokens = explode_tokens(
+        dev_pages.select("url", make_tag_pages_udf(rows, EngineConfig())(
+            F.col("text")).alias("tokens")))
+    res = bootstrap_loop(
+        spark, unlabeled, dev_pages, gold_tokens, full_gaz,
+        iterations=1, docs_per_iteration=10, files_per_tag=3)
+    h = res.history[0]
+    # the selection step ran and is bounded by the candidate sample
+    assert 0 < h["selected_files"] <= 10

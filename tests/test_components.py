@@ -46,3 +46,35 @@ def test_salting_config_does_not_change_result(spark):
     r1 = comp_sets(connected_components(e, EngineConfig(salt_buckets=1)).collect())
     r2 = comp_sets(connected_components(e, EngineConfig(salt_buckets=64)).collect())
     assert r1 == r2
+
+
+def test_distributed_path_matches_driver_path(spark):
+    # force the iterated-join path and compare against the driver
+    # union-find fast path on the same graph
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y"),
+                       ("y", "z"), ("z", "x"), ("q", "q")])
+    driver = sorted(map(tuple, connected_components(
+        e, EngineConfig(cc_driver_threshold=10**6)).collect()))
+    dist = sorted(map(tuple, connected_components(
+        e, EngineConfig(cc_driver_threshold=0)).collect()))
+    assert driver == dist
+
+
+def test_non_convergence_raises(spark):
+    # a path graph longer than the iteration cap cannot finish
+    # propagating the min label; strict mode must raise instead of
+    # silently returning partial labels (VERDICT r01)
+    import pytest
+    from tildener_spark.operators.components import CCNotConverged
+    nodes = [f"n{i:02d}" for i in range(10)]
+    e = _edges(spark, list(zip(nodes, nodes[1:])))
+    cfg = EngineConfig(cc_max_iterations=2, cc_driver_threshold=0)
+    with pytest.raises(CCNotConverged):
+        connected_components(e, cfg)
+    # non-strict: warns and returns the partial labels
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(e, cfg, strict=False)
+        assert out.count() == len(nodes)
+        assert any("did not converge" in str(x.message) for x in w)

@@ -31,13 +31,13 @@ def test_pipeline_checkpoint_and_resume(spark, tmp_path):
             F.sum("rows").alias("total")).collect()
     }
     assert by_stage["mentions"] == n_mentions
-    assert by_stage["triples"] == n_triples
+    assert by_stage["triples_dc"] == n_triples
     assert set(by_stage) >= {
-        "tagged", "mentions", "triples", "links", "entities",
+        "docs", "mentions", "triples_dc", "links", "entities",
         "mapping", "canonical_triples"}
 
     # simulate a crash after 'mentions': drop later stages, resume
-    for stage in ("triples", "links", "entities", "mapping",
+    for stage in ("triples_dc", "links", "entities", "mapping",
                   "canonical_triples"):
         shutil.rmtree(os.path.join(ckpt, stage))
     res2 = run_pipeline(spark, pages, gaz, cfg)

@@ -190,3 +190,22 @@ def test_unknown_letters_skipped():
     cfg = EngineConfig(refinements="Q Z R_0.7")
     t = mk([("Zibens", "B-PERS", 0.55)])
     assert tags(refine_doc_py(t, cfg)) == ["O"]
+
+
+def test_A_gap_rule_follows_empty_line_mode():
+    # mode 2: a SINGLE blank line was removed upstream, so a gap of
+    # exactly one line is invisible to A; a 2-blank paragraph gap
+    # still splits (NEPreprocess.pm:23-72 x NEUtilities.pm:136-260)
+    cfg2 = EngineConfig(empty_line_mode=2)
+    t = mk([("Jānis", "B-PERS", 0.95), ("Bērziņš", "I-PERS", 0.95)])
+    t[1]["line_from"] = t[1]["line_to"] = 2  # one blank line between
+    refine_A(t, cfg2)
+    assert tags(t) == ["B-PERS", "I-PERS"]  # survives under mode 2
+    t[1]["line_from"] = t[1]["line_to"] = 3  # two blank lines
+    refine_A(t, cfg2)
+    assert tags(t) == ["B-PERS", "B-PERS"]
+    # mode 0: no blank lines survive anywhere -> A never splits
+    t = mk([("Jānis", "B-PERS", 0.95), ("Bērziņš", "I-PERS", 0.95)])
+    t[1]["line_from"] = t[1]["line_to"] = 9
+    refine_A(t, EngineConfig(empty_line_mode=0))
+    assert tags(t) == ["B-PERS", "I-PERS"]

@@ -45,3 +45,48 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     approx = lsh_topk(_emb(spark), k=4, n_bits=2, dim=4).collect()
     for r in approx:
         assert bf[(r["vec_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_lsh_topk_recall_gate(spark):
+    """Recall@5 vs brute force on the driver's embeddings table — a
+    silent banding regression becomes a red test (VERDICT r01 #4)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {(r["vec_id"], r["neighbor_id"])
+          for r in brute_force_topk(emb, k=5).collect()}
+    # (n_bits=4, n_tables=16) is the benched operating point — on
+    # these near-uniform synthetic embeddings (weak neighbors, cos ~
+    # 0.4) per-bit agreement is ~0.63, so recall ≈ 1-(1-0.63^4)^16 ≈
+    # 0.89; real clustered embeddings sit far higher.  Gate at 0.8.
+    ann = {(r["vec_id"], r["neighbor_id"])
+           for r in lsh_topk(emb, k=5, n_bits=4, n_tables=16).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.8, recall
+
+
+def test_near_duplicates_lsh_agrees_with_exact(spark):
+    """Bucketed near-dup variant vs the exact crossJoin baseline on a
+    corpus with planted near-duplicates (cos >= 0.95)."""
+    import random
+    rng = random.Random(13)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((vid, base)); vid += 1
+        if rng.random() < 0.4:  # planted near-duplicate
+            rows.append(
+                (vid, [x + rng.gauss(0, 0.05) for x in base]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from tildener_spark.operators.similarity import (
+        embedding_near_duplicates_lsh)
+    exact = {(r["doc_a"], r["doc_b"]): r["cos_sim"]
+             for r in embedding_near_duplicates(emb, 0.95).collect()}
+    approx = {(r["doc_a"], r["doc_b"]): r["cos_sim"]
+              for r in embedding_near_duplicates_lsh(emb, 0.95).collect()}
+    assert len(exact) >= 10          # the corpus really has near-dups
+    assert set(approx) <= set(exact)  # no false positives (verified)
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.95, recall
+    for k in approx:                  # scores are the same exact cosine
+        assert approx[k] == pytest.approx(exact[k], abs=1e-6)

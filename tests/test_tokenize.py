@@ -66,3 +66,31 @@ def test_empty_and_blank():
     assert toks("") == []
     assert toks(None) == []
     assert toks("\n\n") == []
+
+
+# -------------------------------------------- RemoveEmptyLines modes
+
+def test_remove_empty_lines_modes():
+    from tildener_spark.operators.tokenize import remove_empty_lines_py
+    text = "a\n\nb\n\n\nc\n\nd"
+    # mode 1: keep everything (NEPreprocess.pm option "1")
+    assert remove_empty_lines_py(text, 1) == text
+    # mode 2: only runs >= 2 consecutive empties survive
+    assert remove_empty_lines_py(text, 2) == "a\nb\n\n\nc\nd"
+    # any other mode: all empty lines dropped
+    assert remove_empty_lines_py(text, 0) == "a\nb\nc\nd"
+
+
+def test_remove_empty_lines_trailing_run_and_edge_cases():
+    from tildener_spark.operators.tokenize import remove_empty_lines_py
+    # trailing blank run follows the same rule (post-loop flush,
+    # NEPreprocess.pm:63-70)
+    assert remove_empty_lines_py("a\n\n\n", 2) == "a\n\n\n"
+    assert remove_empty_lines_py("a\n\n", 2) == "a\n\n"  # run of 2
+    assert remove_empty_lines_py("a\n", 2) == "a"        # single: dropped
+    assert remove_empty_lines_py("a\n", 1) == "a\n"
+    # whitespace-only lines are NOT empty ($line eq "" test)
+    assert remove_empty_lines_py("a\n \nb", 0) == "a\n \nb"
+    assert remove_empty_lines_py(None, 2) == ""
+    # BOM stripped per line like every reference read
+    assert remove_empty_lines_py("﻿a\nb", 0) == "a\nb"

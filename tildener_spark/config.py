@@ -40,8 +40,14 @@ class EngineConfig:
     # Refinement order string, parsed like NERefinements.pm:58-101.
     refinements: str = "L N S R_0.7 C T_0.90 A"
     # RemoveEmptyLines mode: 1 keep all, 2 keep runs>=2, else drop all
-    # (NEPreprocess.pm:18,49).
-    empty_line_mode: int = 2
+    # (NEPreprocess.pm:23-72).  Default 1: the flagship invocation
+    # (RUN-NEMuc7TagPlaintext.sh:8) passes a falsy 5th arg, so
+    # Tag.pm:290 calls RemoveEmptyLines with option 1.  Consumed by
+    # operators.tokenize.remove_empty_lines_py (the literal text
+    # transform) and by refinement A's paragraph-gap rule
+    # (operators/refine.py): surviving blank runs are what count as
+    # paragraph breaks.
+    empty_line_mode: int = 1
     # Bootstrap thresholds (BASELINE.md).
     gazetteer_min_prob: float = 0.95   # BootstrapNEModel.pl:355
     gazetteer_max_tokens: int = 10     # BootstrapTools.pm:764
@@ -53,22 +59,26 @@ class EngineConfig:
     minhash_rows: int = 4
     minhash_bands: int = 8             # 32 hashes total
     shingle_size: int = 3
-    link_min_score: float = 0.82       # Jaro-Winkler acceptance (LSH path)
     typo_min_score: float = 0.93       # JW bar for 1-token alias variants
     # Cross-document surface merging: minhash-LSH blocking over the
     # global (type, doc-canonical surface) vocabulary + Jaro-Winkler
     # scoring; accepted pairs become hub-hub edges for CC.  High bar:
     # merges typo/diacritic variants, not merely similar names.
-    # OPT-IN: measured ~20 CPU-minutes per 60k docs on the synthetic
-    # corpus even with the length/first-char prefilters — enable when
-    # the corpus actually contains near-duplicate surfaces worth the
-    # pass, or after tightening the banding (see BENCH/BASELINE.md).
-    cross_doc_linking: bool = False
+    # Default ON (the north-star stage): banding is an Arrow-batched
+    # numpy UDF and scoring a numpy-vectorized Jaro-Winkler, so the
+    # stage costs a small fraction of the pipeline (BENCH/BASELINE.md;
+    # round 1's interpreted variant was the reason this was opt-in).
+    cross_doc_linking: bool = True
     cross_doc_min_score: float = 0.94
     # surfaces shorter than this skip LSH (few shingles -> minhash
     # collides on everything; exact-surface hub merging covers them)
     cross_doc_min_len: int = 8
     cc_max_iterations: int = 20
+    # Connected components runs driver-side union-find when the edge
+    # set is below this (the broadcast-join size-adaptivity pattern);
+    # the iterated self-join path handles anything larger.  1M edges
+    # ≈ tens of MB on the driver.
+    cc_driver_threshold: int = 1_000_000
     # Skew handling: salt fan-out for connected-components joins.
     salt_buckets: int = 16
     # Deterministic seed for anything sampled.

@@ -123,6 +123,44 @@ def top_sentences_per_type(tokens: DataFrame, k: int = 10,
     )
 
 
+def top_files_per_tag(tokens: DataFrame, files_per_tag: int = 5,
+                      min_tag_count: int = 1) -> DataFrame:
+    """GetTopNECandidateFileNames (BootstrapTools.pm:25-143) as two
+    hash aggregates + a window rank.
+
+    Per file: per-tag token count and mean probability over EVERY tag
+    value including ``O`` (the reference's %tags hash is keyed by the
+    raw column-8 value, :71-80); file rating = mean of the per-tag
+    means (:92-104).  Then, per tag seen anywhere in the corpus, files
+    are ranked by rating desc and the best ``files_per_tag`` with at
+    least ``min_tag_count`` tokens of that tag are selected
+    (:115-143; min count default 1, :36-43).  Returns one row per
+    (ne_tag, selected url) with rating/tag_count/rank; callers take
+    ``select("url").distinct()`` for the reference's unique-file-set
+    return value.
+
+    Ties broken by url asc (the Perl sorts a hash — arbitrary order;
+    documented determinism, SURVEY.md §4.3.4)."""
+    per_tag = (
+        tokens.groupBy("url", "ne_tag")
+        .agg(F.count(F.lit(1)).alias("tag_count"),
+             F.avg("ne_prob").alias("tag_avg"))
+    )
+    rating = per_tag.groupBy("url").agg(
+        F.avg("tag_avg").alias("rating"))
+    cand = (
+        per_tag.filter(F.col("tag_count") >= min_tag_count)
+        .join(rating, "url")
+    )
+    w = Window.partitionBy("ne_tag").orderBy(
+        F.desc("rating"), F.asc("url"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= files_per_tag)
+        .select("ne_tag", "url", "rating", "tag_count", "rank")
+    )
+
+
 def gazetteer_candidates(mentions: DataFrame, existing: DataFrame,
                          cfg: EngineConfig | None = None) -> DataFrame:
     """New gazetteer entries from high-confidence spans.

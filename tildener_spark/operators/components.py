@@ -21,42 +21,113 @@ Scale notes (SURVEY.md §4.3.2/3):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 from tildener_spark.config import EngineConfig
 
 
+class CCNotConverged(RuntimeError):
+    """Connected components hit cc_max_iterations with labels still
+    changing — the returned partition would be partially propagated."""
+
+
 def connected_components(edges: DataFrame, cfg: EngineConfig | None = None,
-                         src: str = "src", dst: str = "dst") -> DataFrame:
+                         src: str = "src", dst: str = "dst",
+                         strict: bool = True) -> DataFrame:
     """edges(src,dst) -> (node, component) with component = min node id.
 
     Deterministic: component representative is the lexicographically
     smallest node id in the component.
+
+    If ``cc_max_iterations`` is exhausted before convergence the
+    result is only partially propagated: ``strict=True`` (default)
+    raises :class:`CCNotConverged`; ``strict=False`` warns and returns
+    the partial labels (VERDICT.md r01 'What's wrong' #4 — silent
+    non-convergence was a correctness trap).
     """
     cfg = cfg or EngineConfig()
+    # Materialize the one-directional edge set FIRST: the symmetric
+    # union below scans its input twice (once per direction), and
+    # without this cache the possibly-expensive upstream lineage (the
+    # LSH + Jaro-Winkler chain when called from the cross-doc stage)
+    # would run twice.  count() (not isEmpty) fills the WHOLE cache in
+    # one job — take(1) caches only the scanned partition.
+    one_dir = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .persist()
+    )
+    n_edges = one_dir.count()
+    out_schema = one_dir.select(
+        F.col("a").alias("node"), F.col("b").alias("component")).schema
+    if n_edges == 0:
+        # fast path: no edges (e.g. a hub graph with no alias chains)
+        # — skip the iteration machinery entirely
+        out = one_dir.sparkSession.createDataFrame([], out_schema)
+        one_dir.unpersist()
+        return out
+    if n_edges <= cfg.cc_driver_threshold:
+        # size-adaptive driver path (the broadcast-join pattern): on a
+        # sub-threshold edge set, the iterated-join machinery is pure
+        # fixed job latency — union-find on the collected edges gives
+        # the IDENTICAL min-label partition in O(E α(E)) driver time.
+        # The hub graph is bounded by the number of *linked surface
+        # pairs*, not corpus size, so this is the common case even at
+        # large corpus scale; the distributed loop below remains the
+        # path for genuinely huge graphs.
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        # collect(), not toLocalIterator(): the iterator launches one
+        # sequential job PER PARTITION (measured ~11 s for a 6-node
+        # graph); a single collect of <= cc_driver_threshold edges is
+        # bounded at ~100 MB driver memory by construction
+        for r in one_dir.collect():
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            cur = comp_min.get(root)
+            if cur is None or node < cur:
+                comp_min[root] = node
+        rows = [(node, comp_min[find(node)]) for node in sorted(parent)]
+        out = one_dir.sparkSession.createDataFrame(rows, out_schema)
+        one_dir.unpersist()
+        return out
     # duplicate edges are harmless under min-aggregation; skipping the
     # distinct() saves a full shuffle of the edge table
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        # materialize FIRST: labels and every iteration derive from
-        # the cached edge set, never from the (possibly expensive)
-        # upstream lineage; persist + the isEmpty action below does
-        # the materialization without localCheckpoint's extra write
+        one_dir
+        .union(one_dir.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .persist()
     )
-    if sym.isEmpty():
-        # fast path: no edges (e.g. a hub graph with no alias chains)
-        # — skip the iteration machinery entirely
-        return sym.select(
-            F.col("a").alias("node"), F.col("b").alias("component"))
+    sym.count()
+    one_dir.unpersist()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        # eager=False: the checkpoint happens with the next action
+        # instead of launching its own job — the CC loop is dominated
+        # by fixed per-job latency on small hub graphs, and this
+        # halves the job count per iteration
+        .localCheckpoint(eager=False)
     )
 
+    n_changed = 0
     for _i in range(cfg.cc_max_iterations):
         # candidate label for b = label(a) over every edge (a,b)
         cand = (
@@ -85,10 +156,21 @@ def connected_components(edges: DataFrame, cfg: EngineConfig | None = None,
                     F.col("old"), F.coalesce("prop", F.col("old")))
                  ).cast("long").alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
         labels = new_labels.select("node", "component")
         if n_changed == 0:
             break
+    # labels are localCheckpointed (materialized), so the cached edge
+    # set can be released before returning
+    sym.unpersist()
+    if n_changed != 0:
+        msg = (
+            f"connected_components did not converge within "
+            f"{cfg.cc_max_iterations} iterations "
+            f"({n_changed} labels still changing)")
+        if strict:
+            raise CCNotConverged(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels

@@ -196,7 +196,12 @@ def doc_links_py(mentions: list[dict], initialisms: frozenset[str],
     per-alias majority)."""
     occs = []
     for m in mentions:
-        toks = [t for t in m["surface"].split(" ") if t not in initialisms]
+        # dedup while preserving order: the DataFrame path's
+        # array_except dedups, so repeated tokens in a surface must
+        # not skew the len(toks) ordering filter here (row-level
+        # parity contract, ADVICE r01)
+        toks = list(dict.fromkeys(
+            t for t in m["surface"].split(" ") if t not in initialisms))
         if toks:
             occs.append({
                 "ne_type": m["ne_type"], "surface": m["surface"],

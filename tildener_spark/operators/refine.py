@@ -292,13 +292,22 @@ def refine_A(tokens: list[dict], cfg: EngineConfig) -> None:
 
     We keep original line numbers through tokenization, so the
     "re-insert blank lines" bookkeeping reduces to: a span whose
-    consecutive tokens jump more than one line crosses a paragraph
-    break. prob > 0.8 => relabel the continuation I- -> B- (split);
-    else continuation -> O (threshold at NEUtilities.pm:202)."""
+    consecutive tokens jump a line gap that a blank run SURVIVING
+    RemoveEmptyLines would occupy crosses a paragraph break.  Which
+    runs survive depends on cfg.empty_line_mode (NEPreprocess.pm:
+    23-72): mode 1 keeps every blank line (gap > 1 = break), mode 2
+    keeps only runs >= 2 blanks (gap > 2 = break — a single blank
+    line was removed upstream and is invisible to A), any other mode
+    removes all blanks (no break ever).  prob > 0.8 => relabel the
+    continuation I- -> B- (split); else continuation -> O (threshold
+    at NEUtilities.pm:202)."""
+    if cfg.empty_line_mode not in (1, 2):
+        return
+    min_gap = 1 if cfg.empty_line_mode == 1 else 2
     for (i, j, t) in _spans(tokens):
         prob = _avg_prob(tokens, i, j)
         for k in range(i + 1, j + 1):
-            if tokens[k]["line_from"] - tokens[k - 1]["line_to"] > 1:
+            if tokens[k]["line_from"] - tokens[k - 1]["line_to"] > min_gap:
                 if prob > cfg.paragraph_break_prob:
                     tokens[k]["ne_tag"] = f"B-{t}"
                 else:

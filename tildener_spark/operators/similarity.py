@@ -74,12 +74,23 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     ``cosine`` stays on the brute-force/oracle path where bit-exact
     cross-engine comparison matters."""
     import numpy as np
-    A = np.stack(a.to_numpy())
-    B = np.stack(b.to_numpy())
-    dots = np.einsum("ij,ij->i", A, B)
-    norms = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out = np.where(norms > 0, dots / norms, 0.0)
+
+    # null / ragged vectors must not fail the whole stage: score the
+    # valid equal-length majority in one stack, give the rest NaN
+    # (matching the null-propagation of the builtin-expression cosine
+    # this replaces on the ANN path — ADVICE r01)
+    lens = np.array([len(v) if v is not None else -1 for v in a])
+    lens_b = np.array([len(v) if v is not None else -1 for v in b])
+    dim = max(int(lens.max(initial=-1)), 0)
+    valid = (lens == dim) & (lens_b == dim) & (dim > 0)
+    out = np.full(len(a), np.nan)
+    if valid.any():
+        A = np.stack(a.to_numpy()[valid])
+        B = np.stack(b.to_numpy()[valid])
+        dots = np.einsum("ij,ij->i", A, B)
+        norms = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[valid] = np.where(norms > 0, dots / norms, 0.0)
     return pd.Series(out, index=a.index)
 
 
@@ -112,27 +123,18 @@ def hyperplane_signature(vec_col, n_bits: int = 8, dim: int = 64,
     return sig
 
 
-def lsh_topk(emb: DataFrame, k: int = 5, n_bits: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64, seed: int = 42,
-             n_tables: int = 8) -> DataFrame:
-    """Approximate top-k: exact cosine within hyperplane buckets,
-    unioned over ``n_tables`` independent hash tables.
+def make_table_buckets_udf(dim: int = 64, n_bits: int = 8,
+                           n_tables: int = 8, seed: int = 42):
+    """Arrow-batched multi-table hyperplane bucketing UDF.
 
-    The bucket join replaces the n² cross join with sum of per-bucket
-    squares — the ANN scale path.  A single sign-LSH table has low
-    top-k recall (a p_bit^n_bits survival per pair; measured 6% at
-    n_bits=6 on the synthetic embeddings), so candidates are unioned
-    across L tables — recall 1-(1-p)^L — and deduped before ranking.
-    Raise n_bits ↓ bucket size / join fan-out; raise n_tables ↑
-    recall at linear candidate-generation cost."""
+    All n_tables sign signatures in one matrix multiply: W is
+    (dim, n_tables*n_bits) of ±1 from the md5 parity rule of
+    hyperplane_signature (bit h of table t uses seed + 7919*t).
+    Shared by lsh_topk and embedding_near_duplicates_lsh."""
     import hashlib
 
     import numpy as np
 
-    # all n_tables signatures in one Arrow-batched matrix multiply:
-    # W is (dim, n_tables*n_bits) of ±1 from the same md5 parity rule
-    # as hyperplane_signature (bit h of table t uses seed + 7919*t)
     W = np.empty((dim, n_tables * n_bits))
     for t in range(n_tables):
         s = seed + 7919 * t
@@ -146,36 +148,50 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_bits: int = 8,
 
     @F.pandas_udf("array<bigint>")
     def table_buckets(v: pd.Series) -> pd.Series:
+        import numpy as np
         V = np.stack(v.to_numpy())
         bits = (V @ W >= 0).astype(np.int64).reshape(
             len(V), n_tables, n_bits)
         sigs = (bits * powers).sum(axis=2)
         return pd.Series(list(sigs), index=v.index)
 
+    return table_buckets
+
+
+def _lsh_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
+                         dim: int, seed: int, n_bits: int,
+                         n_tables: int, ordered: bool) -> DataFrame:
+    """Distinct candidate id-pairs from multi-table bucket self-joins.
+
+    ``ordered=True`` keeps only vec_id < neighbor_id (near-dup shape);
+    False keeps both directions (top-k shape).  Dedup happens BEFORE
+    scoring — the same pair surfaces from several tables and the
+    cosine is the expensive part."""
     e = emb.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        table_buckets(F.col(vec_col).cast("array<double>")).alias("bks"),
-    ).select(
-        "vec_id", "v",
-        F.posexplode("bks").alias("t", "bucket"))
+        make_table_buckets_udf(dim, n_bits, n_tables, seed)(
+            F.col(vec_col).cast("array<double>")).alias("bks"),
+    ).select("vec_id", F.posexplode("bks").alias("t", "bucket"))
     a, b = e.alias("a"), e.alias("b")
-    # dedup candidate id-pairs BEFORE scoring: the same pair surfaces
-    # from several tables, and the cosine (an interpreted higher-order
-    # aggregate over dim elements) is the expensive part — score each
-    # distinct pair once, vectors re-joined from the base table
-    cand = (
+    cond = (F.col("a.vec_id") < F.col("b.vec_id")) if ordered \
+        else (F.col("a.vec_id") != F.col("b.vec_id"))
+    return (
         a.join(b, ["t", "bucket"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(cond)
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbor_id"))
         .distinct()
     )
+
+
+def _score_pairs(emb: DataFrame, cand: DataFrame,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """Re-join vectors onto distinct id-pairs and cosine-score them."""
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"))
-    pairs = (
+    return (
         cand
         .join(base.withColumnRenamed("v", "va"), "vec_id")
         .join(base.select(F.col("vec_id").alias("neighbor_id"),
@@ -185,11 +201,60 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_bits: int = 8,
             F.round(cosine_batch(F.col("va"), F.col("vb")), 6)
             .alias("cos_sim"))
     )
+
+
+def lsh_topk(emb: DataFrame, k: int = 5, n_bits: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, seed: int = 42,
+             n_tables: int = 8) -> DataFrame:
+    """Approximate top-k: exact cosine within hyperplane buckets,
+    unioned over ``n_tables`` independent hash tables.
+
+    The bucket join replaces the n² cross join with sum of per-bucket
+    squares — the ANN scale path.  A single sign-LSH table has low
+    top-k recall (a p_bit^n_bits survival per pair; measured 6% at
+    n_bits=6 on the synthetic embeddings), so candidates are unioned
+    across L tables — recall 1-(1-p)^L — and deduped before ranking.
+    Raise n_bits ↓ bucket size / join fan-out; raise n_tables ↑
+    recall at linear candidate-generation cost.  Recall@k vs
+    brute_force_topk is gated in tests/test_similarity.py and exposed
+    as the q21_lsh_recall query."""
+    cand = _lsh_candidate_pairs(
+        emb, id_col, vec_col, dim, seed, n_bits, n_tables, ordered=False)
+    pairs = _score_pairs(emb, cand, id_col, vec_col)
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates_lsh(emb: DataFrame, threshold: float = 0.95,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  dim: int = 64, seed: int = 42,
+                                  n_bits: int = 6,
+                                  n_tables: int = 12) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (a < b, cos >= threshold)
+    — the scale path for :func:`embedding_near_duplicates`.
+
+    Candidate pairs from multi-table hyperplane buckets, exact cosine
+    verify at the threshold.  At high thresholds the sign-agreement
+    probability per bit is 1 - arccos(cos)/π (≈0.90 at cos 0.95), so
+    pair survival per table is ≈0.9^n_bits and recall across L tables
+    is 1-(1-0.9^n_bits)^L ≈ 0.9998 at the defaults — the residual
+    miss probability is the documented approximation.  Output schema
+    matches the exact operator: (doc_a, doc_b, cos_sim)."""
+    cand = _lsh_candidate_pairs(
+        emb, id_col, vec_col, dim, seed, n_bits, n_tables, ordered=True)
+    return (
+        _score_pairs(emb, cand, id_col, vec_col)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("vec_id").alias("doc_a"),
+            F.col("neighbor_id").alias("doc_b"),
+            "cos_sim")
     )
 
 

@@ -110,6 +110,41 @@ def _pos_lemma(token: str) -> tuple[str, str]:
     return "NN", low
 
 
+def remove_empty_lines_py(text: str | None, mode: int = 1) -> str:
+    """RemoveEmptyLines (NEPreprocess.pm:23-72), text -> text.
+
+    mode 1: keep all empty lines; mode 2: keep only empty lines in
+    runs of >= 2 consecutive empties; any other mode: drop all empty
+    lines.  "Empty" means exactly '' after CR strip — whitespace-only
+    lines are NOT empty, matching the reference's ``$line eq ""``
+    test (NEPreprocess.pm:44).  Trailing blank runs follow the same
+    rule (the reference's post-loop flush, NEPreprocess.pm:63-70)."""
+    if text is None:
+        return ""
+    out: list[str] = []
+    empty_run = 0
+    for line in text.split("\n"):
+        line = line.lstrip("﻿").rstrip("\r")
+        if line == "":
+            empty_run += 1
+            continue
+        if mode == 1 or (mode == 2 and empty_run > 1):
+            out.extend([""] * empty_run)
+        empty_run = 0
+        out.append(line)
+    if mode == 1 or (mode == 2 and empty_run > 1):
+        out.extend([""] * empty_run)
+    return "\n".join(out)
+
+
+def make_remove_empty_lines_udf(mode: int = 1):
+    """Vectorized text-level form of RemoveEmptyLines."""
+    @F.pandas_udf(T.StringType())
+    def remove_empty_lines(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: remove_empty_lines_py(t, mode))
+    return remove_empty_lines
+
+
 def tokenize_text_py(text: str | None) -> list[dict]:
     """Pure-Python single-document tokenizer (FindTokenPos semantics)."""
     if not text:

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tildener_spark.config import EngineConfig
 from tildener_spark.operators.bootstrap import (
-    gazetteer_candidates, merge_gazetteer, top_sentences_per_type,
+    gazetteer_candidates, merge_gazetteer, top_files_per_tag,
+    top_sentences_per_type,
 )
 from tildener_spark.operators.document import (
     explode_docs, make_process_document_udf,
@@ -76,6 +77,8 @@ def bootstrap_loop(
     iterations: int = 3,
     docs_per_iteration: int = 50,
     sentences_per_type: int = 10,
+    files_per_tag: int = 10,
+    min_tag_count: int = 1,
     metric: str = "F",
     cfg: EngineConfig | None = None,
     seed: int = 42,
@@ -114,22 +117,45 @@ def bootstrap_loop(
                  "gazetteer_size": len(gaz_rows)}
         if accept:
             best = metrics
-            # 4. harvest: top sentences + new gazetteer entries
-            tokens = explode_tokens(
+            # 4a. rate the tagged candidates and keep only the best
+            # files per NE tag (GetTopNECandidateFileNames,
+            # BootstrapTools.pm:25-143) — harvesting from every random
+            # doc was round 1's shortcut; the reference-shaped
+            # selection concentrates the sentence/gazetteer harvest on
+            # high-confidence documents
+            all_tokens = explode_tokens(
                 tagged.select("url", F.col("doc.tokens").alias("tokens")))
+            selected = (
+                top_files_per_tag(all_tokens, files_per_tag,
+                                  min_tag_count)
+                .select("url").distinct().persist()
+            )
+            entry["selected_files"] = selected.count()
+            # 4b. harvest from the selected files only
+            tokens = all_tokens.join(selected, "url", "left_semi")
             top = top_sentences_per_type(tokens, sentences_per_type, cfg)
             sentences = (top if sentences is None
                          else sentences.unionByName(top).dropDuplicates(
                              ["tok_type", "sent_text"]))
-            mentions = explode_docs(tagged, "mentions")
+            mentions = explode_docs(tagged, "mentions").join(
+                selected, "url", "left_semi")
             new_entries = gazetteer_candidates(mentions, gaz, cfg)
             entry["new_gazetteer_entries"] = new_entries.count()
             grown = merge_gazetteer(gaz, new_entries).persist()
             grown.count()  # materialize before unpersisting the old one
             gaz.unpersist()
             gaz = grown
+            selected.unpersist()
         tagged.unpersist()
         history.append(entry)
+        if not accept:
+            # rejection is terminal for this model: the gazetteer (the
+            # learned state) did not change, so every further
+            # iteration would recompute identical dev metrics and be
+            # deterministically rejected again (unlike the reference,
+            # where CRF retraining on a fresh sample changes the model
+            # each round, BootstrapNEModel.pl:254-258) — ADVICE r01
+            break
 
     return BootstrapResult(gazetteer=gaz, history=history,
                            sentences=sentences)

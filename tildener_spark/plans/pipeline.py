@@ -98,8 +98,11 @@ def run_pipeline(
             "url", "lang", doc_udf(F.col("text")).alias("doc"))
         if ckpt:
             # one checkpoint covers all four document-local outputs;
-            # downstream stage tables are narrow re-projections of it
-            docs = checkpoint_stage(spark, docs, ckpt, "tagged")
+            # downstream stage tables are narrow re-projections of it.
+            # Stage name is distinct from the operator path's 'tagged'
+            # (incompatible schema: doc struct vs tokens column) so a
+            # resume never reads the wrong path's table (ADVICE r01).
+            docs = checkpoint_stage(spark, docs, ckpt, "docs")
         else:
             # cache the whole doc struct: Spark's in-memory cache
             # stores nested types as opaque row bytes, so caching the
@@ -119,8 +122,10 @@ def run_pipeline(
             .select("x.*"))
         if ckpt:
             mentions = checkpoint_stage(spark, mentions, ckpt, "mentions")
+            # 'triples_dc', not 'triples': carries subj_dc/obj_dc,
+            # which the operator path's triples table does not
             triples_dc = checkpoint_stage(spark, triples_dc, ckpt,
-                                          "triples")
+                                          "triples_dc")
         # the exposed triples table matches the operator path's schema;
         # the _dc annotations are internal to fused canonicalization
         triples = triples_dc.drop("subj_dc", "obj_dc")
@@ -148,13 +153,15 @@ def run_pipeline(
         if ckpt:
             triples = checkpoint_stage(spark, triples, ckpt, "triples")
 
-    if fused and not ckpt and cfg.cross_doc_linking:
+    if fused and not ckpt:
         # materialize the docs cache with ONE scan before the graph
-        # stage: with cross-doc linking the first downstream action
-        # (CC's edge materialization) otherwise scans the cold cache
-        # three times concurrently (hub_pairs + both sides of the LSH
-        # self-join) and the per-document UDF runs ~3x in full —
-        # measured as a ~9x wall-time blowup at low core counts
+        # stage: the first downstream action otherwise scans the cold
+        # cache concurrently from several branches (hub_pairs, the CC
+        # edge union, both sides of the LSH self-join) and the
+        # per-document UDF runs 2-3x in full — measured as a ~9x
+        # wall-time blowup at low core counts in round 1, and a 2x
+        # blowup at 48k docs even without cross-doc linking (stages
+        # within one job run concurrently when independent)
         docs.count()
     graph = build_entity_graph(mentions, cfg, initialisms, links=links,
                                surfaces=surfaces, hub_pairs=hub_pairs)
