@@ -340,6 +340,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             dedup.simhash_bits(F.col("text"), bits=16).alias("simhash"))
 
+    def q12b_simhash_pairs(spark, sf):
+        # simhash near-dup pairs: byte-banded equi-join + bit_count
+        # hamming verify (rows-only; the signature itself is
+        # oracle-checked by q12)
+        return dedup.simhash_duplicates(
+            _docs(spark, sf), max_hamming=3)
+
+    def q13b_minhash_lsh_pairs(spark, sf):
+        # banded minhash candidate pairs over char shingles
+        # (rows-only; numpy-banding determinism is pytest-gated and
+        # the per-seed minima are oracle-checked by q13)
+        return dedup.minhash_lsh_pairs(_docs(spark, sf))
+
     def q13_minhash(spark, sf):
         d = _docs(spark, sf)
         low = _norm(F.col("text"))
@@ -386,7 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bf = similarity.brute_force_topk(_emb(spark, sf), k=5).select(
             "vec_id", "neighbor_id")
         ann = similarity.lsh_topk(
-            _emb(spark, sf), k=5, n_bits=4, n_tables=16).select(
+            _emb(spark, sf), k=5, n_bits=5, n_tables=24).select(
             "vec_id", "neighbor_id")
         hit = bf.join(ann, ["vec_id", "neighbor_id"]).count()
         total = bf.count()
@@ -407,6 +420,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "event_type")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
+        )
+
+    def q24_region_brand_revenue(spark, sf):
+        # TPC-H Q5/Q9-shaped star join: fact lineitem against FOUR
+        # broadcast dims (supplier -> nation -> region, part), with a
+        # pushed-down dim filter.  Covers the region/supplier/part
+        # tables; the plan is one shuffle (the final groupBy) — every
+        # dim join is a broadcast hash join.
+        li = _tbl(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") >= "1995-01-01")
+        su = _tbl(spark, sf, "supplier")
+        na = _tbl(spark, sf, "nation")
+        re_ = _tbl(spark, sf, "region")
+        pa = _tbl(spark, sf, "part").filter(F.col("p_size") <= 20)
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        j = (
+            li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+            .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+            .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+            .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        )
+        return (
+            j.groupBy("r_name", "p_brand")
+            .agg(
+                F.sum(
+                    (dec("l_extendedprice")
+                     * (F.lit(1).cast("decimal(18,2)")
+                        - dec("l_discount"))).cast("decimal(38,4)")
+                ).cast("double").alias("revenue"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                F.countDistinct("s_suppkey").cast("bigint")
+                .alias("n_suppliers"),
+            )
         )
 
     def q22_tag_writeback(spark, sf):
@@ -589,7 +635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_prefix_dedup": q10_prefix_dedup,
         "q11_ngram_jaccard": q11_ngram_jaccard,
         "q12_simhash": q12_simhash,
+        "q12b_simhash_pairs": q12b_simhash_pairs,
         "q13_minhash": q13_minhash,
+        "q13b_minhash_lsh_pairs": q13b_minhash_lsh_pairs,
         "q14_lang_id": q14_lang_id,
         "q15_quality": q15_quality,
         "q16_token_counts": q16_token_counts,
@@ -601,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_lsh_recall": q21_lsh_recall,
         "q22_tag_writeback": q22_tag_writeback,
         "q23_muc7_markup": q23_muc7_markup,
+        "q24_region_brand_revenue": q24_region_brand_revenue,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_links": kg_links,
@@ -953,6 +1002,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) as sum_value
             from events
             group by 1, 2
+        """,
+        "q24_region_brand_revenue": """
+            select r.r_name, p.p_brand,
+                   cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+                       * (cast(1 as decimal(18,2))
+                          - cast(l.l_discount as decimal(18,2)))
+                       as decimal(38,4))) as double) as revenue,
+                   cast(count(*) as bigint) as n_lines,
+                   cast(count(distinct s.s_suppkey) as bigint)
+                       as n_suppliers
+            from lineitem l
+            join supplier s on l.l_suppkey = s.s_suppkey
+            join nation n on s.s_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+            join part p on l.l_partkey = p.p_partkey
+            where l.l_shipdate >= timestamp '1995-01-01 00:00:00'
+              and p.p_size <= 20
+            group by r.r_name, p.p_brand
         """,
         "q22_tag_writeback": f"""
             with toks as ({_DOC_TOKENS_SQL}),

@@ -126,12 +126,23 @@ def main() -> None:
             f"| {results[CORES_MAX]['sec']} | {thr_m:,.0f} |\n")
     md = f"""# BENCH — measured baseline (scaling evidence)
 
-KG pipeline (pages scan → fused extract/tokenize/classify/refine/
-spans/triples/links Arrow pass → cross-document linking → connected
-components → canonical triples), same pre-materialized
+KG pipeline with the north-star cross-document linking stage
+DEFAULT ON (pages scan → fused extract/tokenize/classify/refine/
+spans/triples/links Arrow pass → cross-document minhash-LSH +
+Jaro-Winkler linking → connected components → canonical triples),
+same pre-materialized
 {N_DOCS}-page parquet input, run at N={CORES_N} and 4N={CORES_4N}
 cores (the sandbox stand-in for N vs 4N executors per task
 instructions: no real cluster exists here).
+
+Round 2 made the linking stage affordable enough to default on:
+numpy-batched minhash banding + tensor-batched Jaro-Winkler
+(operators/linking.py), size-adaptive driver union-find in connected
+components with a one-directional edge cache (operators/components.py),
+and one-scan materialization of the docs cache before the graph stage
+(plans/pipeline.py).  The stage's residual cost is a few seconds of
+fixed job latency plus one extra scan of the docs cache for the
+surface vocabulary — both amortize with corpus size.
 
 | config | wall sec | docs/hour |
 |---|---|---|
@@ -165,6 +176,16 @@ by JVM startup (~1s/doc ≈ 3.6k docs/hour optimistic).  This engine's
 measured {thr_4n:,.0f} docs/hour on local[{CORES_4N}] is produced by
 one JVM, Arrow-batched Python workers, and a fused shuffle-free
 document-local stage (operators/document.py).
+
+## Measurement discipline
+
+This 32-vCPU box is a shared VM: single-trial wall times vary up to
+±30% (occasionally 2×).  Every number above is best-of-
+{os.environ.get('SPARK_GRAFT_TRIALS', '3')} on an otherwise-idle
+machine; bench.py measures the KG stage FIRST in a clean session
+(measuring it after the query set inflates it 2-4× from heap/cache
+pollution) with a 24g driver heap (an 8g heap GC-thrashes at 48k
+docs: 52.9 s vs ~11 s for the same run).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

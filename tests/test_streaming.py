@@ -27,3 +27,54 @@ def test_available_now_drain(spark, tmp_path):
     run_available_now(tag_stream(stream2, world_gazetteer()),
                       out_dir, ck_dir)
     assert spark.read.parquet(out_dir).count() == 8
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a content hash is
+    emitted exactly once over the life of the query."""
+    import pyspark.sql.functions as F
+    from tildener_spark.streaming.dedup import (
+        dedup_stream, run_dedup_available_now)
+    from tildener_spark.streaming.incremental import stream_pages
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    corpus = corpus_df(spark, 6)
+    pages, *_ = split_gold(corpus)
+    pages = pages.orderBy("url").cache()
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    all_rows = pages.select(*cols).collect()
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, pages.select(*cols).schema) \
+            .write.mode(mode).parquet(in_dir)
+
+    # batch 1: 4 docs plus one exact-duplicate text under another url
+    b1 = all_rows[:4]
+    dup = b1[0].asDict()
+    dup["url"] = dup["url"] + "#copy"
+    write(b1 + [type(b1[0])(**dup)], "overwrite")
+
+    run_dedup_available_now(
+        dedup_stream(stream_pages(spark, in_dir)), out_dir, ck_dir)
+    out1 = spark.read.parquet(out_dir)
+    assert out1.count() == 4  # 5 rows in, 1 duplicate swallowed
+    assert out1.select("text_hash").distinct().count() == 4
+    # representative is the min url of the duplicate pair
+    assert out1.filter(F.col("url").endswith("#copy")).count() == 0
+
+    # batch 2: re-send one old doc + two genuinely new docs
+    old = b1[1].asDict()
+    old["url"] = old["url"] + "#resend"
+    write([type(b1[0])(**old)] + all_rows[4:6], "append")
+
+    run_dedup_available_now(
+        dedup_stream(stream_pages(spark, in_dir)), out_dir, ck_dir)
+    out2 = spark.read.parquet(out_dir)
+    # only the two new hashes were appended; the resent hash stayed
+    # swallowed by the cross-batch state
+    assert out2.count() == 6
+    assert out2.select("text_hash").distinct().count() == 6
+    assert out2.filter(F.col("url").endswith("#resend")).count() == 0

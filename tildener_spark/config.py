@@ -85,6 +85,11 @@ class EngineConfig:
     seed: int = 42
     # Where stage checkpoints go (per-stage parquet + _lineage rows).
     checkpoint_dir: str | None = None
+    # >1: the expensive per-document UDF stage checkpoints as this
+    # many independently-committed slices keyed by hash(url), so a
+    # killed run resumes computing ONLY the missing slices
+    # (plans/lineage.py; SURVEY.md §4.3.5).  1 = whole-stage commit.
+    checkpoint_slices: int = 1
     extra: dict = field(default_factory=dict)
 
     def refinement_steps(self) -> list[tuple[str, float | None]]:

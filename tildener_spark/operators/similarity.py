@@ -94,42 +94,15 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out, index=a.index)
 
 
-def hyperplane_signature(vec_col, n_bits: int = 8, dim: int = 64,
-                         seed: int = 42):
-    """Deterministic random-hyperplane sign signature (bigint).
-
-    Hyperplane h's weight for dimension d = ±1 from the parity of a
-    hex digit of md5(seed|h|d) — reproducible, no stored model.
-    bit h = sign(w_h · v) >= 0.
-
-    The weights are baked driver-side into array literals and the dot
-    product is one zip_with+aggregate per bit: the earlier explicit
-    n_bits×dim sum expression produced a multi-hundred-node codegen
-    tree whose compilation dominated small-query wall time."""
-    import hashlib
-
-    def w(h: int, d: int) -> float:
-        digit = hashlib.md5(f"{seed}|{h}|{d}".encode()).hexdigest()[0]
-        return 1.0 if digit in "13579bdf" else -1.0
-
-    sig = F.lit(0).cast("long")
-    for h in range(n_bits):
-        weights = F.array(*[F.lit(w(h, d)) for d in range(dim)])
-        dot = F.aggregate(
-            F.zip_with(weights, vec_col, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-        sig = sig + bit.cast("long") * F.lit(1 << h)
-    return sig
-
-
 def make_table_buckets_udf(dim: int = 64, n_bits: int = 8,
                            n_tables: int = 8, seed: int = 42):
     """Arrow-batched multi-table hyperplane bucketing UDF.
 
     All n_tables sign signatures in one matrix multiply: W is
-    (dim, n_tables*n_bits) of ±1 from the md5 parity rule of
-    hyperplane_signature (bit h of table t uses seed + 7919*t).
+    (dim, n_tables*n_bits) of ±1 deterministic pseudo-random
+    hyperplane weights — weight(h, d) = parity of the first hex digit
+    of md5(seed'|h|d), with seed' = seed + 7919*table — reproducible,
+    no stored model; bit h of a signature = sign(w_h · v) >= 0.
     Shared by lsh_topk and embedding_near_duplicates_lsh."""
     import hashlib
 
@@ -261,7 +234,10 @@ def embedding_near_duplicates_lsh(emb: DataFrame, threshold: float = 0.95,
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs (a < b, cos >= threshold)."""
+    """Embedding-cosine near-dup pairs (a < b, cos >= threshold).
+
+    EXACT baseline (O(n²) cross join) — kept as the oracle/test
+    reference; use :func:`embedding_near_duplicates_lsh` at scale."""
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -43,17 +43,57 @@ def checkpoint_stage(
     stage: str,
     partition_cols: list[str] | None = None,
     force: bool = False,
+    slices: int | None = None,
+    slice_key: str | None = None,
 ) -> DataFrame:
     """Write ``df`` as the ``stage`` table (if absent) and read it back.
 
     Returns the checkpointed DataFrame; records per-partition lineage.
-    If the stage table already exists (resume), the computation is
-    skipped entirely — the anti-join-completed-partitions semantics of
-    SURVEY.md §4.3.5 degenerate to whole-stage skip because stage
-    writes are atomic (parquet _SUCCESS).
+
+    Two resume granularities:
+      * default — whole-stage: a table with a ``_SUCCESS`` marker is
+        skipped and re-read (stage writes are atomic);
+      * ``slices``/``slice_key`` — per-slice (SURVEY.md §4.3.5): the
+        stage is written as ``slices`` independently-committed subdirs
+        keyed by ``pmod(xxhash64(slice_key), slices)``, each with its
+        own ``_SUCCESS`` and lineage rows.  Resume recomputes ONLY the
+        slices whose markers are missing (the anti-join-completed-
+        partitions semantics of the north rule); the deterministic
+        slice filter references only the input key column, so Catalyst
+        pushes it below the per-document UDF and the skipped slices'
+        compute is never run.  Use for the expensive UDF stage; the
+        N-times input-scan overhead is bounded because downstream
+        stages read the previous stage's checkpoint, not raw lineage.
     """
     path = os.path.join(checkpoint_dir, stage)
     lineage_path = os.path.join(checkpoint_dir, "_lineage", stage)
+    if slices and slices > 1:
+        if not slice_key:
+            raise ValueError("slice_key required when slices > 1")
+        done_marker = os.path.join(path, "_SUCCESS")
+        if not force and os.path.exists(done_marker):
+            return spark.read.parquet(os.path.join(path, "slice_*"))
+        slice_of = F.pmod(F.xxhash64(F.col(slice_key)), F.lit(slices))
+        for k in range(slices):
+            sdir = os.path.join(path, f"slice_{k}")
+            if not force and _exists(spark, sdir):
+                continue  # committed slice: skip (resume)
+            part = df.filter(slice_of == k)
+            part.write.mode("overwrite").parquet(sdir)
+            out_k = spark.read.parquet(sdir)
+            lineage = (
+                out_k.groupBy(
+                    F.spark_partition_id().alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .withColumn("stage", F.lit(f"{stage}/slice_{k}"))
+                .withColumn("finished_at", F.lit(time.time()))
+                .select("stage", "partition_id", "rows", "finished_at")
+            )
+            lineage.write.mode("overwrite").parquet(
+                os.path.join(lineage_path, f"slice_{k}"))
+        # stage-level marker LAST: all slices committed
+        open(done_marker, "w").close()
+        return spark.read.parquet(os.path.join(path, "slice_*"))
     if force or not _exists(spark, path):
         writer = df.write.mode("overwrite")
         if partition_cols:
@@ -80,7 +120,10 @@ def stage_counters(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     ] if os.path.isdir(root) else []
     if not stages:
         return spark.createDataFrame([], LINEAGE_SCHEMA)
-    df = spark.read.parquet(stages[0])
+    # recursiveFileLookup: sliced stages keep lineage under
+    # _lineage/<stage>/slice_<k>/
+    read = spark.read.option("recursiveFileLookup", "true")
+    df = read.parquet(stages[0])
     for p in stages[1:]:
-        df = df.unionByName(spark.read.parquet(p))
+        df = df.unionByName(read.parquet(p))
     return df

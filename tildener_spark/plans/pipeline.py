@@ -102,7 +102,11 @@ def run_pipeline(
             # Stage name is distinct from the operator path's 'tagged'
             # (incompatible schema: doc struct vs tokens column) so a
             # resume never reads the wrong path's table (ADVICE r01).
-            docs = checkpoint_stage(spark, docs, ckpt, "docs")
+            # checkpoint_slices > 1 commits the stage as independent
+            # url-hash slices so a kill resumes per-slice.
+            docs = checkpoint_stage(
+                spark, docs, ckpt, "docs",
+                slices=cfg.checkpoint_slices, slice_key="url")
         else:
             # cache the whole doc struct: Spark's in-memory cache
             # stores nested types as opaque row bytes, so caching the
