@@ -293,17 +293,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(F.col("token") == "table", F.lit("OP"))
             .otherwise(F.lit("O")))
         j = t.select(gold.alias("g"), pred.alias("p"))
-        rel = (j.filter(F.col("g") != "O").groupBy(F.col("g").alias("label"))
-               .agg(F.count(F.lit(1)).cast("bigint").alias("relevant")))
-        ret = (j.filter(F.col("p") != "O").groupBy(F.col("p").alias("label"))
-               .agg(F.count(F.lit(1)).cast("bigint").alias("retrieved")))
-        rr = (j.filter((F.col("g") == F.col("p")) & (F.col("g") != "O"))
-              .groupBy(F.col("g").alias("label"))
-              .agg(F.count(F.lit(1)).cast("bigint").alias("rr")))
-        out = (
-            rel.join(ret, "label", "full").join(rr, "label", "full")
-            .na.fill(0, ["relevant", "retrieved", "rr"])
-        )
+        # one pass to the (gold, pred) confusion matrix (bounded by
+        # the label space), tallies derived from it — the previous
+        # three separate token-table aggregations + full-outer
+        # sort-merge joins were 3 full passes (round-2 plan audit).
+        # Division/rounding stays in Spark expressions so the DuckDB
+        # hash comparison is unaffected.
+        cm = {(r["g"], r["p"]): r["n"]
+              for r in j.groupBy("g", "p")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+        labels = sorted({g for g, _ in cm if g != "O"}
+                        | {p for _, p in cm if p != "O"})
+        rows = [(lab,
+                 sum(n for (g, _p), n in cm.items() if g == lab),
+                 sum(n for (_g, p), n in cm.items() if p == lab),
+                 cm.get((lab, lab), 0)) for lab in labels]
+        out = spark.createDataFrame(
+            rows, "label string, relevant bigint, retrieved bigint, "
+                  "rr bigint")
         return out.select(
             "label", "relevant", "retrieved", "rr",
             F.round(F.col("rr") / F.col("retrieved"), 4).alias("precision"),
@@ -454,6 +461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("n_suppliers"),
             )
         )
+
+    def q25_keywords(spark, sf):
+        # per-doc TF-IDF top-5 keywords; integer tally output so the
+        # hash comparison is float-free (the score orders, ints ship)
+        return textstats.top_keywords(_docs(spark, sf), k=5)
 
     def q22_tag_writeback(spark, sf):
         # WriteNEtagsInTokens as a positional join
@@ -650,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_tag_writeback": q22_tag_writeback,
         "q23_muc7_markup": q23_muc7_markup,
         "q24_region_brand_revenue": q24_region_brand_revenue,
+        "q25_keywords": q25_keywords,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_links": kg_links,
@@ -1002,6 +1015,34 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) as sum_value
             from events
             group by 1, 2
+        """,
+        "q25_keywords": f"""
+            with toks as (
+                select doc_id, unnest({_TOKS_SQL}) as token
+                from documents
+            ),
+            tf as (
+                select doc_id, token, cast(count(*) as bigint) as tf
+                from toks where token <> '' group by doc_id, token
+            ),
+            dfreq as (
+                select token, cast(count(*) as bigint) as df
+                from tf group by token
+            ),
+            n as (select cast(count(*) as double) as n_docs
+                  from documents),
+            scored as (
+                select tf.doc_id, tf.token, tf.tf, dfreq.df,
+                       tf.tf * ln((select n_docs from n) / dfreq.df)
+                           as score
+                from tf join dfreq on tf.token = dfreq.token
+            )
+            select doc_id, token, tf, df, cast(rank as int) as rank
+            from (
+                select *, row_number() over (partition by doc_id
+                    order by score desc, token asc) as rank
+                from scored
+            ) where rank <= 5
         """,
         "q24_region_brand_revenue": """
             select r.r_name, p.p_brand,

@@ -1,0 +1,92 @@
+"""Physical-plan audit over every __spark_entry__.queries() entry.
+
+For each query, prints the scan/exchange/join shape that matters at
+100 TB: pushed filters, read schemas (column pruning), broadcast vs
+shuffle joins, number of exchanges, whole-stage-codegen coverage, and
+any row-at-a-time Python (BatchEvalPython — should NEVER appear; all
+Python must be ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas).
+
+Usage: python scripts/audit_plans.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SKIP_PREFIX = ("kg_",)  # pipeline queries audited via their own runs
+
+
+def audit(name: str, plan: str) -> dict:
+    return {
+        "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)",
+                                    plan)),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "arrow_py": plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas"),
+        "slow_py": plan.count("BatchEvalPython"),
+        "wsc_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "pushed": sorted(set(re.findall(
+            r"PushedFilters: \[([^\]]*)\]", plan)) - {""}),
+        "read_schemas": sorted(set(re.findall(
+            r"ReadSchema: struct<([^>]*)>", plan))),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from tildener_spark import get_spark
+    import __spark_entry__ as M
+
+    spark = get_spark(app_name="plan-audit", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    problems = []
+    for name, fn in M.queries().items():
+        if name.startswith(SKIP_PREFIX) or (only and name not in only):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as e:  # driver-side collect queries etc.
+            print(f"{name:32s} (driver-side: {type(e).__name__})")
+            continue
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        a = audit(name, plan)
+        flags = []
+        if a["slow_py"]:
+            flags.append("ROW-PYTHON!")
+        if a["cartesian"] or a["bnlj"]:
+            flags.append("CROSS-JOIN" + (
+                " (exact-baseline ok)" if name in (
+                    "q18_embedding_topk", "q19_embedding_neardup")
+                else "!"))
+        if a["smj"] and not a["bhj"]:
+            flags.append("no-broadcast")
+        line = (f"{name:32s} exch={a['exchanges']:2d} "
+                f"bhj={a['bhj']} smj={a['smj']} shj={a['shj']} "
+                f"arrowPy={a['arrow_py']} wsc={a['wsc_spans']:2d} "
+                f"{' '.join(flags)}")
+        print(line)
+        for s in a["read_schemas"]:
+            cols = s.count(":")
+            print(f"    scan cols={cols}: {s[:100]}")
+        for p in a["pushed"][:3]:
+            print(f"    pushed: {p[:100]}")
+        if any("!" in f for f in flags):
+            problems.append(name)
+    print("\nproblems:", problems or "none")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

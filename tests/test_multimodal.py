@@ -36,3 +36,38 @@ def test_frame_sample_plan(spark):
     for ts in per_asset.values():
         assert sorted(ts) == ts or sorted(ts) == sorted(ts)
         assert all(t % 500 == 0 for t in ts)
+
+
+def test_resize_images_geometry_and_determinism(spark):
+    from tildener_spark.operators.multimodal import (
+        resize_images, synthetic_media)
+    media = synthetic_media(spark, 30)
+    out = {r["asset_id"]: r for r in resize_images(media, 128).collect()}
+    assert len(out) == 10  # only the image rows
+    for r in out.values():
+        assert max(r["new_width"], r["new_height"]) <= 128
+        # aspect preserved within rounding
+        if r["orig_width"] and r["new_width"] != r["orig_width"]:
+            ar0 = r["orig_width"] / r["orig_height"]
+            ar1 = r["new_width"] / r["new_height"]
+            assert abs(ar0 - ar1) / ar0 < 0.1
+        assert len(r["payload"]) == 32  # deterministic fake digest
+    out2 = {r["asset_id"]: r for r in resize_images(media, 128).collect()}
+    assert all(bytes(out[k]["payload"]) == bytes(out2[k]["payload"])
+               for k in out)
+
+
+def test_audio_windows_plan(spark):
+    from tildener_spark.operators.multimodal import (
+        audio_windows_plan, synthetic_media)
+    media = synthetic_media(spark, 30)
+    rows = audio_windows_plan(media, window_ms=2000, hop_ms=1000).collect()
+    assert rows
+    by_asset = {}
+    for r in rows:
+        assert r["win_end"] - r["win_start"] == 2000
+        by_asset.setdefault(r["asset_id"], []).append(r["win_start"])
+    for starts in by_asset.values():
+        starts = sorted(starts)
+        assert starts[0] == 0
+        assert all(b - a == 1000 for a, b in zip(starts, starts[1:]))

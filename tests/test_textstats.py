@@ -43,3 +43,27 @@ def test_fingerprint_equal_for_equal_docs(spark):
             for r in fingerprints(d).collect()}
     assert rows[0] == rows[1]
     assert rows[0] != rows[2]
+
+
+def test_top_keywords_tfidf(spark):
+    from tildener_spark.operators.textstats import top_keywords
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common common"),
+         (2, "cherry common banana common"),
+         (3, "durian common durian")],
+        "doc_id long, text string")
+    out = top_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["token"], r["tf"], r["df"]))
+    # 'common' appears in every doc -> idf ln(3/3)=0 -> never the
+    # TOP keyword despite the highest tf (it can still fill the tail
+    # of a top-k when a doc has fewer than k distinct tokens)
+    for doc, kws in by_doc.items():
+        assert sorted(kws)[0][1] != "common", (doc, kws)
+    # doc 1: apple (tf=2, df=1) ranks above banana (tf=1, df=2)
+    assert sorted(by_doc[1])[0][1] == "apple"
+    assert sorted(by_doc[3])[0][1] == "durian"
+    # df is corpus-wide
+    assert {t: d for _, t, _, d in by_doc[1]}["banana"] == 2

@@ -54,42 +54,40 @@ def token_eval(gold: DataFrame, pred: DataFrame) -> DataFrame:
         .join(pred.select("url", "tok_id", F.col("ne_tag").alias("p")),
               ["url", "tok_id"])
     )
-    j = j.cache()
-    total = j.count()
-    # one groupBy per tally (no label×token cross product — at 10^12
-    # tokens that matters); nn derived arithmetically:
-    # nn = total - relevant - retrieved + rr
-    rel = (j.filter(F.col("g") != "O")
-           .groupBy(F.col("g").alias("label"))
-           .agg(F.count(F.lit(1)).alias("relevant")))
-    ret = (j.filter(F.col("p") != "O")
-           .groupBy(F.col("p").alias("label"))
-           .agg(F.count(F.lit(1)).alias("retrieved")))
-    rr = (j.filter((F.col("g") == F.col("p")) & (F.col("g") != "O"))
-          .groupBy(F.col("g").alias("label"))
-          .agg(F.count(F.lit(1)).alias("rr")))
-    per_label = (
-        rel.join(ret, "label", "full").join(rr, "label", "full")
-        .na.fill(0, ["relevant", "retrieved", "rr"])
-        .withColumn("total", F.lit(total))
-        .withColumn(
-            "nn",
-            F.col("total") - F.col("relevant") - F.col("retrieved")
-            + F.col("rr"))
-    )
-    tot = (
-        j.agg(
-            F.sum((F.col("g") != "O").cast("long")).alias("relevant"),
-            F.sum((F.col("p") != "O").cast("long")).alias("retrieved"),
-            F.sum(((F.col("g") != "O") & (F.col("g") == F.col("p")))
-                  .cast("long")).alias("rr"),
-            F.sum(((F.col("g") == "O") & (F.col("p") == "O"))
-                  .cast("long")).alias("nn"),
-        )
-        .withColumn("label", F.lit("TOTAL_TOKEN"))
-        .withColumn("total", F.lit(total))
-    )
-    return _prf(per_label.unionByName(tot))
+    # ONE pass over the token join: aggregate to the (gold, pred)
+    # confusion matrix — bounded by the label space (15x15, config
+    # BIO_LABELS), so collecting it is a constant-size driver step,
+    # not a data-dependent collect.  Every tally (per-label relevant/
+    # retrieved/rr, TOTAL_TOKEN, nn = total - rel - ret + rr) derives
+    # from it arithmetically.  The previous shape cached the join and
+    # scanned it 5x (rel, ret, rr, totals, count) with full-outer
+    # sort-merge joins over the tallies — at 10^12 tokens that is 5
+    # full passes instead of one (round-2 plan audit finding).
+    cm = {(r["g"], r["p"]): r["n"]
+          for r in j.groupBy("g", "p")
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(cm.values())
+    labels = sorted({g for g, _ in cm if g != "O"}
+                    | {p for _, p in cm if p != "O"})
+    rows = []
+    for lab in labels:
+        rel = sum(n for (g, _p), n in cm.items() if g == lab)
+        ret = sum(n for (_g, p), n in cm.items() if p == lab)
+        rr = cm.get((lab, lab), 0)
+        rows.append((lab, rel, ret, rr, total - rel - ret + rr, total))
+    rows.append((
+        "TOTAL_TOKEN",
+        sum(n for (g, _p), n in cm.items() if g != "O"),
+        sum(n for (_g, p), n in cm.items() if p != "O"),
+        sum(n for (g, p), n in cm.items() if g == p and g != "O"),
+        cm.get(("O", "O"), 0),
+        total,
+    ))
+    tallies = gold.sparkSession.createDataFrame(
+        rows,
+        "label string, relevant long, retrieved long, rr long, "
+        "nn long, total long")
+    return _prf(tallies)
 
 
 def span_eval(gold_spans: DataFrame, pred_spans: DataFrame) -> DataFrame:

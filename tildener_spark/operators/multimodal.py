@@ -116,6 +116,80 @@ def synthetic_media(spark: SparkSession, n: int = 64,
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("orig_width", T.IntegerType()),
+    T.StructField("orig_height", T.IntegerType()),
+    T.StructField("new_width", T.IntegerType()),
+    T.StructField("new_height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def resize_images(media: DataFrame, max_side: int = 256,
+                  fake_decode: bool = True) -> DataFrame:
+    """mapInPandas image resize plumbing.
+
+    Geometry (aspect-preserving clamp of the longer side to
+    ``max_side``) is computed for real from the metadata columns; the
+    pixel work is the stubbed decode (``fake_decode=True`` emits a
+    deterministic payload: sha256 of the input keyed by the target
+    geometry, so tests are stable and re-runs idempotent).  The batch
+    shape — one Arrow batch of many blobs per invocation, codec state
+    loadable once per worker — is the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "orig_width",
+                                   "orig_height", "new_width",
+                                   "new_height", "payload")}
+            for _, row in pdf.iterrows():
+                w = int(row["width"] or 0)
+                h = int(row["height"] or 0)
+                if max(w, h) > max_side and max(w, h) > 0:
+                    scale = max_side / max(w, h)
+                    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                else:
+                    nw, nh = w, h
+                raw = bytes(row["payload"] or b"")
+                if not fake_decode:
+                    decode_image(raw)  # raises NotImplementedError
+                fake = hashlib.sha256(
+                    raw + f"|{nw}x{nh}".encode()).digest()
+                out["asset_id"].append(row["asset_id"])
+                out["orig_width"].append(w)
+                out["orig_height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["payload"].append(fake)
+            yield pd.DataFrame(out)
+
+    return media.filter(media.media_type == "image") \
+        .mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def audio_windows_plan(media: DataFrame, window_ms: int = 2000,
+                       hop_ms: int = 1000) -> DataFrame:
+    """Audio windowing *plan*: one row per (asset, window start/end).
+
+    Same contract as frame_sample_plan — the explode shape is real
+    Spark (sequence + explode, whole-stage codegen); the per-window
+    sample decode is the stubbed part."""
+    from pyspark.sql import functions as F
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .withColumn(
+            "win_start",
+            F.explode(F.sequence(
+                F.lit(0),
+                F.greatest(F.lit(0), F.col("duration_ms") - window_ms),
+                F.lit(hop_ms))))
+        .select(
+            "asset_id", "win_start",
+            (F.col("win_start") + window_ms).alias("win_end"))
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame_ts).
 

@@ -8,7 +8,7 @@ with an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from tildener_spark.operators.dedup import normalized_text, word_shingles
 
@@ -124,4 +124,41 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.array_min(hashes).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
+    )
+
+
+def top_keywords(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-k tokens).
+
+    tf = token count in the doc, df = number of docs containing the
+    token, score = tf * ln(N/df); output carries only the INTEGER
+    tally columns (doc_id, token, tf, df, rank) so the DuckDB oracle
+    hash cannot wobble on float formatting — the float score exists
+    only transiently as the rank ordering key (ties broken by token
+    asc, documented determinism).
+
+    Scale shape: one hash aggregate to (doc, token) tf, one to token
+    df; the df table is vocabulary-sized and broadcast back onto the
+    tf table, so the only data-sized shuffle is the tf groupBy (which
+    co-partitions with the final per-doc window by doc_id)."""
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                    r"\s+", " ")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "rank")
     )

@@ -120,9 +120,23 @@ def run_pipeline(
         mentions = explode_docs(docs, "mentions")
         triples_dc = explode_docs(docs, "triples")
         links = explode_docs(docs, "links")
-        surfaces = explode_docs(docs, "surfaces")
+        # surfaces + hub_pairs feed the whole graph stage (vocab
+        # distinct, hub edges, mention->hub mapping) — carve them out
+        # of the big docs cache ONCE into a tiny cached projection so
+        # the graph stage's several consumers deserialize small rows
+        # instead of re-scanning full doc structs (tokens/mentions/
+        # triples dominate the row bytes)
+        graph_in = docs.select(
+            "url",
+            F.col("doc.surfaces").alias("surfaces"),
+            F.col("doc.hub_pairs").alias("hub_pairs"))
+        if not ckpt:
+            graph_in = graph_in.persist()
+        surfaces = (
+            graph_in.select("url", F.explode("surfaces").alias("x"))
+            .select("url", "x.*"))
         hub_pairs = (
-            docs.select(F.explode("doc.hub_pairs").alias("x"))
+            graph_in.select(F.explode("hub_pairs").alias("x"))
             .select("x.*"))
         if ckpt:
             mentions = checkpoint_stage(spark, mentions, ckpt, "mentions")
@@ -189,10 +203,16 @@ def run_pipeline(
     if ckpt:
         canon = checkpoint_stage(spark, canon, ckpt, "canonical_triples")
 
+    extra = {}
+    if fused and not ckpt:
+        # persisted handles a long-lived caller can release once the
+        # result DataFrames are consumed (unpersisting earlier would
+        # force recompute from the docs cache — harmless but wasteful)
+        extra["caches"] = [docs, graph_in]
     return PipelineResult(
         tagged=tagged, tokens=tokens, mentions=mentions, triples=triples,
         links=links, entities=entities, mapping=mapping,
-        canonical_triples=canon,
+        canonical_triples=canon, extra=extra,
     )
 
 
