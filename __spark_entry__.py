@@ -414,6 +414,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("recall_at_5", round(hit / max(total, 1), 4), total)],
             "metric string, value double, denom bigint")
 
+    def q21b_ivf_topk(spark, sf):
+        # IVF coarse-quantizer ANN sibling of q21 (rows-only; the
+        # recall >= 0.9 gate on clustered embeddings is
+        # tests/test_similarity.py::test_ivf_topk_recall_on_clusters)
+        return similarity.ivf_topk(
+            _emb(spark, sf), k=5, n_cells=16, n_probe=4).select(
+            "vec_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("int").alias("rank"))
+
     def q19b_embedding_neardup_lsh(spark, sf):
         # bucketed sibling of q19 (rows-only; pytest asserts agreement
         # with the exact path at >= 0.95 recall on planted near-dups)
@@ -659,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19b_embedding_neardup_lsh": q19b_embedding_neardup_lsh,
         "q20_events_hourly": q20_events_hourly,
         "q21_lsh_recall": q21_lsh_recall,
+        "q21b_ivf_topk": q21b_ivf_topk,
         "q22_tag_writeback": q22_tag_writeback,
         "q23_muc7_markup": q23_muc7_markup,
         "q24_region_brand_revenue": q24_region_brand_revenue,

@@ -77,7 +77,7 @@ def main() -> None:
         run_pipeline(spark, warm, gaz, EngineConfig()) \
             .canonical_triples.count()
         kg_sec = None
-        for _trial in range(int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))):
+        for _trial in range(int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             res = run_pipeline(spark, pages, gaz, EngineConfig())

@@ -91,3 +91,41 @@ def test_near_duplicates_lsh_agrees_with_exact(spark):
     assert recall >= 0.95, recall
     for k in approx:                  # scores are the same exact cosine
         assert approx[k] == pytest.approx(exact[k], abs=1e-6)
+
+
+def _clustered_emb(spark, n_clusters=12, per_cluster=8, dim=64, seed=7):
+    import random
+    rng = random.Random(seed)
+    rows, vid = [], 0
+    for _ in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(per_cluster):
+            rows.append((vid, [c + rng.gauss(0, 0.15) for c in center]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_topk_recall_on_clusters(spark):
+    """IVF with deterministic centroids: on clustered embeddings (the
+    workload IVF exists for) recall@5 vs brute force >= 0.9, and every
+    emitted score equals the exact cosine."""
+    from tildener_spark.operators.similarity import ivf_topk
+    emb = _clustered_emb(spark)
+    bf = {(r["vec_id"], r["neighbor_id"]): r["cos_sim"]
+          for r in brute_force_topk(emb, k=5).collect()}
+    ivf = {(r["vec_id"], r["neighbor_id"]): r["cos_sim"]
+           for r in ivf_topk(emb, k=5, n_cells=16, n_probe=4).collect()}
+    recall = len(set(bf) & set(ivf)) / len(bf)
+    assert recall >= 0.9, recall
+    for pair, sim in ivf.items():
+        if pair in bf:
+            assert sim == pytest.approx(bf[pair], abs=1e-6)
+
+
+def test_ivf_deterministic(spark):
+    from tildener_spark.operators.similarity import ivf_topk
+    emb = _clustered_emb(spark, n_clusters=4, per_cluster=5)
+    r1 = sorted(map(tuple, ivf_topk(emb, k=3).collect()))
+    r2 = sorted(map(tuple, ivf_topk(emb, k=3).collect()))
+    assert r1 == r2

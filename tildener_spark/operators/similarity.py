@@ -231,6 +231,73 @@ def embedding_near_duplicates_lsh(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+def ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int = 64,
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    sibling of the hyperplane :func:`lsh_topk`.
+
+    Cells are deterministic pseudo-random unit centroids (md5-parity
+    ±1 vectors, normalized — no trained model, fully reproducible).
+    Every vector is ASSIGNED to its best cell (one posting list per
+    cell, the classic IVF layout); every query PROBES its n_probe
+    best cells and scores only those postings — candidate volume is
+    ~n_probe/n_cells of the corpus instead of n².  On clustered
+    embeddings (the case IVF exists for) recall approaches 1 because
+    a query's neighbors share its cells; the pytest gate plants
+    clusters and asserts recall >= 0.9.
+
+    Scale shape: the probe->postings equi-join on cell id is a plain
+    hash join; a hot cell is AQE-skew-split, and the per-cell posting
+    lists are the partition layout a 1000-executor run would bucket
+    by.  Output schema matches lsh_topk: (vec_id, neighbor_id,
+    cos_sim, rank)."""
+    import hashlib
+
+    import numpy as np
+
+    C = np.empty((n_cells, dim))
+    for c in range(n_cells):
+        for d in range(dim):
+            digit = hashlib.md5(
+                f"ivf|{seed}|{c}|{d}".encode()).hexdigest()[0]
+            C[c, d] = 1.0 if digit in "13579bdf" else -1.0
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def top_cells(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        scores = V @ C.T  # (n, n_cells)
+        order = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order), index=v.index)
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        top_cells(F.col(vec_col).cast("array<double>")).alias("cells"),
+    )
+    assign = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cells")[0].alias("cell"))
+    probe = e.select(
+        "vec_id", F.explode("cells").alias("cell"))
+    # each neighbor lives in exactly one posting list and probe cells
+    # are distinct per query, so candidate pairs are already unique —
+    # no distinct() shuffle needed (unlike the multi-table LSH union)
+    cand = (
+        probe.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+    )
+    pairs = _score_pairs(emb, cand, id_col, vec_col)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
