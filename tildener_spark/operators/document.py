@@ -314,15 +314,21 @@ def process_document_py(text: str | None, gaz: dict,
 
 def make_process_document_udf(gazetteer_rows, cfg: EngineConfig | None = None,
                               initialisms=frozenset()):
-    """text -> struct(tokens, mentions, triples, links), one Arrow pass."""
+    """text -> struct(tokens, mentions, triples, links), one Arrow pass.
+
+    The gazetteer index ships as a real Spark broadcast (one copy per
+    executor) via :func:`classify.ship_broadcast`."""
+    from tildener_spark.operators.classify import ship_broadcast
+
     cfg = cfg or EngineConfig()
-    gaz = build_gazetteer_index(gazetteer_rows)
+    get_gaz = ship_broadcast(build_gazetteer_index(gazetteer_rows))
     inits = frozenset(initialisms)
 
     @F.pandas_udf(DOC_STRUCT)
     def process_document(text: pd.Series) -> pd.DataFrame:
         # struct return type => a DataFrame whose columns are the
         # struct fields
+        gaz = get_gaz()
         docs = [process_document_py(t, gaz, inits, cfg) for t in text]
         return pd.DataFrame(
             {k: [d[k] for d in docs]

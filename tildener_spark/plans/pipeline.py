@@ -204,11 +204,15 @@ def run_pipeline(
         canon = checkpoint_stage(spark, canon, ckpt, "canonical_triples")
 
     extra = {}
-    if fused and not ckpt:
+    if not ckpt:
         # persisted handles a long-lived caller can release once the
         # result DataFrames are consumed (unpersisting earlier would
         # force recompute from the docs cache — harmless but wasteful)
-        extra["caches"] = [docs, graph_in]
+        if fused:
+            extra["caches"] = [docs, graph_in]
+        else:
+            extra["caches"] = [tagged, mentions, mapping,
+                               graph["links"]]
     return PipelineResult(
         tagged=tagged, tokens=tokens, mentions=mentions, triples=triples,
         links=links, entities=entities, mapping=mapping,
