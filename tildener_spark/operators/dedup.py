@@ -85,6 +85,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             "df", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .filter(F.col("df") <= max_df)
         .drop("df")
+        # both sides of the self-join read this; without
+        # materialization the shingle construction + window run twice
+        # (no cross-branch CSE in Spark).  Lazy localCheckpoint
+        # materializes once on first action and is ContextCleaner-
+        # freed on GC — unlike persist() there is no handle to leak.
+        .localCheckpoint(eager=False)
     )
     a, b = rare.alias("a"), rare.alias("b")
     common = (
@@ -125,6 +131,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             "bn", F.count(F.lit(1)).over(
                 Window.partitionBy("band_idx", "band")))
         .filter(F.col("bn") <= max_bucket)
+        # one banding pass instead of two (self-join sides); GC-freed,
+        # see ngram_jaccard_pairs
+        .localCheckpoint(eager=False)
     )
     a, b = small.alias("a"), small.alias("b")
     return (
