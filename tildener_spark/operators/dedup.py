@@ -186,7 +186,9 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
             F.shiftright("sig", 8 * i).bitwiseAND(F.lit(255))
             for i in range(4)
         ])).alias("band_idx", "band"),
-    )
+        # the 32-bit signature expression is heavy — compute it once,
+        # not once per self-join side (see ngram_jaccard_pairs)
+    ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(
         F.col("a.sig").bitwiseXOR(F.col("b.sig")))

@@ -144,7 +144,8 @@ def _lsh_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
         F.col(id_col).alias("vec_id"),
         make_table_buckets_udf(dim, n_bits, n_tables, seed)(
             F.col(vec_col).cast("array<double>")).alias("bks"),
-    ).select("vec_id", F.posexplode("bks").alias("t", "bucket"))
+    ).select("vec_id", F.posexplode("bks").alias("t", "bucket")) \
+        .localCheckpoint(eager=False)  # bucket UDF once, not per side
     a, b = e.alias("a"), e.alias("b")
     cond = (F.col("a.vec_id") < F.col("b.vec_id")) if ordered \
         else (F.col("a.vec_id") != F.col("b.vec_id"))
@@ -275,7 +276,8 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 16,
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         top_cells(F.col(vec_col).cast("array<double>")).alias("cells"),
-    )
+        # assignment + probe branches both read this: one UDF pass
+    ).localCheckpoint(eager=False)
     assign = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cells")[0].alias("cell"))
