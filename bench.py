@@ -76,14 +76,23 @@ def main() -> None:
         warm = pages.limit(500).repartition(CPUS)
         run_pipeline(spark, warm, gaz, EngineConfig()) \
             .canonical_triples.count()
-        kg_sec = None
-        for _trial in range(int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))):
+        # convergent best-of-N: the shared-VM host shows occasional
+        # 5-8x neighbor-load episodes (measured 9.7s vs 88.6s for the
+        # SAME code+input in one day) — keep trialing until the two
+        # fastest agree within 20%, capped at max_trials
+        times: list[float] = []
+        max_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
+        while len(times) < max_trials:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             res = run_pipeline(spark, pages, gaz, EngineConfig())
             res.canonical_triples.count()
-            sec = time.perf_counter() - t0
-            kg_sec = sec if kg_sec is None else min(kg_sec, sec)
+            times.append(time.perf_counter() - t0)
+            if (len(times) >= 2
+                    and sorted(times)[1] <= min(times) * 1.2):
+                break
+        kg_sec = min(times)
+        kg_trials = len(times)
         timings["kg_pipeline"] = round(kg_sec, 3)
         spark.catalog.clearCache()
     finally:
@@ -119,6 +128,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_hour": docs_per_hour,
         "kg_docs": N_DOCS,
+        "kg_trials": kg_trials,
         "cpus": CPUS,
     }))
     spark.stop()
