@@ -110,3 +110,29 @@ def test_sliced_checkpoint_kill_and_resume(spark, tmp_path):
     # the lost slice was recomputed and the stage recommitted
     assert os.path.exists(os.path.join(docs_dir, "slice_2", "_SUCCESS"))
     assert os.path.exists(os.path.join(docs_dir, "_SUCCESS"))
+
+
+def test_checkpoint_slice_layout_mismatch_fails_fast(spark, tmp_path):
+    """ADVICE r02: resuming a checkpoint with a different slice layout
+    must fail with an explicit error, not silently mis-read data."""
+    import pytest
+    from tildener_spark.plans.lineage import checkpoint_stage
+    ckpt = str(tmp_path / "ck")
+    df = spark.range(100).withColumn("k", F.col("id").cast("string"))
+
+    checkpoint_stage(spark, df, ckpt, "st", slices=4, slice_key="k")
+    # sliced -> non-sliced resume
+    with pytest.raises(ValueError, match="slices=4"):
+        checkpoint_stage(spark, df, ckpt, "st")
+    # sliced -> differently-sliced resume
+    with pytest.raises(ValueError, match="slices=4"):
+        checkpoint_stage(spark, df, ckpt, "st", slices=8, slice_key="k")
+    # same layout resumes fine
+    out = checkpoint_stage(spark, df, ckpt, "st", slices=4, slice_key="k")
+    assert out.count() == 100
+    # force recomputes under the new layout
+    out2 = checkpoint_stage(spark, df, ckpt, "st", force=True)
+    assert out2.count() == 100
+    # non-sliced -> sliced resume now fails
+    with pytest.raises(ValueError, match="slices=0"):
+        checkpoint_stage(spark, df, ckpt, "st", slices=4, slice_key="k")

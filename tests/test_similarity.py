@@ -129,3 +129,52 @@ def test_ivf_deterministic(spark):
     r1 = sorted(map(tuple, ivf_topk(emb, k=3).collect()))
     r2 = sorted(map(tuple, ivf_topk(emb, k=3).collect()))
     assert r1 == r2
+
+
+def test_cosine_batch_invalid_vectors_are_null_not_nan(spark):
+    """ADVICE r02: a null/ragged vector must not outrank real matches
+    (NaN sorts FIRST under desc and passes >= filters).  Invalid rows
+    become real nulls and are dropped before ranking/thresholding."""
+    from tildener_spark.operators.similarity import (
+        embedding_near_duplicates_lsh, lsh_topk)
+    import random
+    rng = random.Random(5)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [
+        (0, base),
+        (1, [x + rng.gauss(0, 0.01) for x in base]),   # near-dup of 0
+        (2, None),                                     # null vector
+        (3, base[:17]),                                # ragged vector
+        (4, [rng.gauss(0, 1) for _ in range(64)]),     # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nd = embedding_near_duplicates_lsh(emb, 0.95, n_bits=1).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in nd}
+    assert got == {(0, 1)}  # no NaN pair sneaked past the threshold
+    topk = lsh_topk(emb, k=4, n_bits=1).collect()
+    for r in topk:
+        assert r["cos_sim"] is not None
+        assert r["neighbor_id"] not in (2, 3)
+        assert r["vec_id"] not in (2, 3)
+
+
+def test_cosine_batch_per_length_group_scoring(spark):
+    """ADVICE r02: one over-long corrupt vector must not invalidate
+    its whole Arrow batch, and consistent pairs of a non-modal dim
+    still get scored (validity is per-row: lens equal and > 0)."""
+    import pandas as pd
+    from tildener_spark.operators.similarity import cosine_batch
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], [1.0, 0.0]),           # dim 2 -> 1.0
+            (1, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),  # dim 3 -> 0.0
+            (2, [1.0] * 99, [1.0] * 99),            # over-long -> 1.0
+            (3, [1.0, 2.0], [1.0]),                 # ragged -> null
+        ],
+        "id long, a array<double>, b array<double>")
+    out = {r["id"]: r["c"] for r in df.select(
+        "id", cosine_batch("a", "b").alias("c")).collect()}
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(0.0)
+    assert out[2] == pytest.approx(1.0)
+    assert out[3] is None

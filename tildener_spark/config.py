@@ -76,9 +76,13 @@ class EngineConfig:
     cc_max_iterations: int = 20
     # Connected components runs driver-side union-find when the edge
     # set is below this (the broadcast-join size-adaptivity pattern);
-    # the iterated self-join path handles anything larger.  1M edges
-    # ≈ tens of MB on the driver.
-    cc_driver_threshold: int = 1_000_000
+    # the iterated self-join path handles anything larger.  Sized for
+    # the Arrow-lean collect in components.py: 500k edges of two
+    # ~40-char ids ≈ 40 MB of string bytes + ~50 B/str Python object
+    # overhead ≈ 140 MB peak, comfortably inside a default 1 GB
+    # driver (ADVICE r02 flagged the old 1M-edge default as
+    # optimistic under Row-object overhead).
+    cc_driver_threshold: int = 500_000
     # Skew handling: salt fan-out for connected-components joins.
     salt_buckets: int = 16
     # Deterministic seed for anything sampled.

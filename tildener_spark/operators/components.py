@@ -26,6 +26,7 @@ import warnings
 from pyspark.sql import DataFrame, functions as F
 
 from tildener_spark.config import EngineConfig
+from tildener_spark.materialize import materialize_once, release
 
 
 class CCNotConverged(RuntimeError):
@@ -86,17 +87,22 @@ def connected_components(edges: DataFrame, cfg: EngineConfig | None = None,
                 parent[x], x = root, parent[x]
             return root
 
-        # collect(), not toLocalIterator(): the iterator launches one
-        # sequential job PER PARTITION (measured ~11 s for a 6-node
-        # graph); a single collect of <= cc_driver_threshold edges is
-        # bounded at ~100 MB driver memory by construction
-        for r in one_dir.collect():
-            a, b = r[0], r[1]
+        # toArrow(), not collect(): PySpark Row objects cost hundreds
+        # of bytes each for two short strings; the Arrow table holds
+        # the raw string bytes, and to_pylist() yields plain str pairs
+        # — ~50 bytes/str of Python overhead instead of per-Row dicts
+        # (ADVICE r02: keeps the threshold's driver-memory bound
+        # honest).  toLocalIterator() stays out: one sequential job
+        # PER PARTITION (measured ~11 s for a 6-row table).
+        tbl = one_dir.toArrow()
+        for a, b in zip(tbl.column(0).to_pylist(),
+                        tbl.column(1).to_pylist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[ra] = rb
+        del tbl
         comp_min: dict = {}
         for node in parent:
             root = find(node)
@@ -120,12 +126,14 @@ def connected_components(edges: DataFrame, cfg: EngineConfig | None = None,
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        # eager=False: the checkpoint happens with the next action
-        # instead of launching its own job — the CC loop is dominated
-        # by fixed per-job latency on small hub graphs, and this
-        # halves the job count per iteration
-        .localCheckpoint(eager=False)
     )
+    # lazy materialization (happens with the next action instead of
+    # launching its own job — the CC loop is dominated by fixed
+    # per-job latency on small hub graphs); mode-aware: persist on a
+    # cluster so executor loss recomputes instead of failing the job
+    # (ADVICE r02, tildener_spark/materialize.py)
+    labels = materialize_once(labels)
+    prev_mat = labels  # the materialized handle release() must target
 
     n_changed = 0
     for _i in range(cfg.cc_max_iterations):
@@ -156,9 +164,14 @@ def connected_components(edges: DataFrame, cfg: EngineConfig | None = None,
                     F.col("old"), F.coalesce("prop", F.col("old")))
                  ).cast("long").alias("changed"),
             )
-            .localCheckpoint(eager=False)
         )
+        new_labels = materialize_once(new_labels)
         n_changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        # the agg above materialized new_labels, so the previous
+        # iteration's cached labels are consumed — free them (no-op in
+        # local mode where materialize_once used localCheckpoint)
+        release(prev_mat)
+        prev_mat = new_labels
         labels = new_labels.select("node", "component")
         if n_changed == 0:
             break

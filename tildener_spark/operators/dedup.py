@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from tildener_spark.config import EngineConfig
+from tildener_spark.materialize import materialize_once
 from tildener_spark.operators.linking import with_minhash_bands
 
 
@@ -87,11 +88,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .drop("df")
         # both sides of the self-join read this; without
         # materialization the shingle construction + window run twice
-        # (no cross-branch CSE in Spark).  Lazy localCheckpoint
-        # materializes once on first action and is ContextCleaner-
-        # freed on GC — unlike persist() there is no handle to leak.
-        .localCheckpoint(eager=False)
+        # (no cross-branch CSE in Spark).  Mode-aware: lazy
+        # localCheckpoint in local mode (no handle to leak), persist
+        # on a cluster so executor loss recomputes instead of failing
+        # the job (ADVICE r02; tildener_spark/materialize.py).
     )
+    rare = materialize_once(rare)
     a, b = rare.alias("a"), rare.alias("b")
     common = (
         a.join(b, "s")
@@ -131,10 +133,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             "bn", F.count(F.lit(1)).over(
                 Window.partitionBy("band_idx", "band")))
         .filter(F.col("bn") <= max_bucket)
-        # one banding pass instead of two (self-join sides); GC-freed,
-        # see ngram_jaccard_pairs
-        .localCheckpoint(eager=False)
+        # one banding pass instead of two (self-join sides); see
+        # ngram_jaccard_pairs for the mode-aware materialization note
     )
+    small = materialize_once(small)
     a, b = small.alias("a"), small.alias("b")
     return (
         a.join(b, ["band_idx", "band"])
@@ -188,7 +190,8 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
         ])).alias("band_idx", "band"),
         # the 32-bit signature expression is heavy — compute it once,
         # not once per self-join side (see ngram_jaccard_pairs)
-    ).localCheckpoint(eager=False)
+    )
+    bands = materialize_once(bands)
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(
         F.col("a.sig").bitwiseXOR(F.col("b.sig")))

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import DoubleType
 
+from tildener_spark.materialize import materialize_once
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -75,23 +77,39 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     cross-engine comparison matters."""
     import numpy as np
 
-    # null / ragged vectors must not fail the whole stage: score the
-    # valid equal-length majority in one stack, give the rest NaN
-    # (matching the null-propagation of the builtin-expression cosine
-    # this replaces on the ANN path — ADVICE r01)
+    # null / ragged vectors must not fail the whole stage NOR sneak
+    # into the ranking: invalid rows become REAL NULLS (NaN would sort
+    # first under desc() and pass >= threshold filters — ADVICE r02),
+    # and validity is per-row (lens equal and > 0), scored per length
+    # group, so one corrupt over-long vector can't invalidate the rest
+    # of its Arrow batch.
     lens = np.array([len(v) if v is not None else -1 for v in a])
     lens_b = np.array([len(v) if v is not None else -1 for v in b])
-    dim = max(int(lens.max(initial=-1)), 0)
-    valid = (lens == dim) & (lens_b == dim) & (dim > 0)
-    out = np.full(len(a), np.nan)
-    if valid.any():
-        A = np.stack(a.to_numpy()[valid])
-        B = np.stack(b.to_numpy()[valid])
+    valid = (lens == lens_b) & (lens > 0)
+    a_np, b_np = a.to_numpy(), b.to_numpy()
+    groups = np.unique(lens[valid])
+    if valid.all() and len(groups) == 1:
+        # fast path (the overwhelmingly common batch: every row valid,
+        # one dim) — plain float64 out, no masked-array construction
+        A = np.stack(a_np)
+        B = np.stack(b_np)
         dots = np.einsum("ij,ij->i", A, B)
         norms = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
-            out[valid] = np.where(norms > 0, dots / norms, 0.0)
-    return pd.Series(out, index=a.index)
+            out = np.where(norms > 0, dots / norms, 0.0)
+        return pd.Series(out, index=a.index)
+    out = np.full(len(a), np.nan)
+    for L in groups:
+        m = valid & (lens == L)
+        A = np.stack(a_np[m])
+        B = np.stack(b_np[m])
+        dots = np.einsum("ij,ij->i", A, B)
+        norms = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[m] = np.where(norms > 0, dots / norms, 0.0)
+    # pd.array maps the NaN holes (the invalid rows — valid positions
+    # can't produce NaN) to real <NA>, so Arrow emits true nulls
+    return pd.Series(pd.array(out, dtype="Float64"), index=a.index)
 
 
 def make_table_buckets_udf(dim: int = 64, n_bits: int = 8,
@@ -122,11 +140,22 @@ def make_table_buckets_udf(dim: int = 64, n_bits: int = 8,
     @F.pandas_udf("array<bigint>")
     def table_buckets(v: pd.Series) -> pd.Series:
         import numpy as np
-        V = np.stack(v.to_numpy())
-        bits = (V @ W >= 0).astype(np.int64).reshape(
-            len(V), n_tables, n_bits)
-        sigs = (bits * powers).sum(axis=2)
-        return pd.Series(list(sigs), index=v.index)
+        # null / wrong-dim vectors get a null signature array —
+        # posexplode drops them, so they produce no candidates instead
+        # of crashing the stage (ADVICE r02)
+        v_np = v.to_numpy()
+        valid = np.array(
+            [x is not None and len(x) == dim for x in v_np])
+        out = np.full(len(v_np), None, dtype=object)
+        if valid.any():
+            V = np.stack(v_np[valid])
+            bits = (V @ W >= 0).astype(np.int64).reshape(
+                -1, n_tables, n_bits)
+            sigs = (bits * powers).sum(axis=2)
+            tmp = np.empty(len(sigs), dtype=object)
+            tmp[:] = list(sigs)
+            out[valid] = tmp
+        return pd.Series(out, index=v.index)
 
     return table_buckets
 
@@ -144,8 +173,9 @@ def _lsh_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
         F.col(id_col).alias("vec_id"),
         make_table_buckets_udf(dim, n_bits, n_tables, seed)(
             F.col(vec_col).cast("array<double>")).alias("bks"),
-    ).select("vec_id", F.posexplode("bks").alias("t", "bucket")) \
-        .localCheckpoint(eager=False)  # bucket UDF once, not per side
+    ).select("vec_id", F.posexplode("bks").alias("t", "bucket"))
+    # bucket UDF once, not per side (mode-aware: see materialize.py)
+    e = materialize_once(e)
     a, b = e.alias("a"), e.alias("b")
     cond = (F.col("a.vec_id") < F.col("b.vec_id")) if ordered \
         else (F.col("a.vec_id") != F.col("b.vec_id"))
@@ -174,6 +204,9 @@ def _score_pairs(emb: DataFrame, cand: DataFrame,
             "vec_id", "neighbor_id",
             F.round(cosine_batch(F.col("va"), F.col("vb")), 6)
             .alias("cos_sim"))
+        # invalid vectors scored null by cosine_batch; drop them here
+        # so no ranking/threshold consumer ever sees them (ADVICE r02)
+        .filter(F.col("cos_sim").isNotNull())
     )
 
 
@@ -268,16 +301,29 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 16,
 
     @F.pandas_udf("array<int>")
     def top_cells(v: pd.Series) -> pd.Series:
-        V = np.stack(v.to_numpy())
-        scores = V @ C.T  # (n, n_cells)
-        order = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order), index=v.index)
+        # null cell list for null / wrong-dim vectors (see
+        # make_table_buckets_udf) — explode drops them from both the
+        # posting lists and the probe set
+        v_np = v.to_numpy()
+        valid = np.array(
+            [x is not None and len(x) == dim for x in v_np])
+        out = np.full(len(v_np), None, dtype=object)
+        if valid.any():
+            V = np.stack(v_np[valid])
+            scores = V @ C.T  # (n_valid, n_cells)
+            order = np.argsort(
+                -scores, axis=1)[:, :n_probe].astype(np.int32)
+            tmp = np.empty(len(order), dtype=object)
+            tmp[:] = list(order)
+            out[valid] = tmp
+        return pd.Series(out, index=v.index)
 
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         top_cells(F.col(vec_col).cast("array<double>")).alias("cells"),
         # assignment + probe branches both read this: one UDF pass
-    ).localCheckpoint(eager=False)
+    )
+    e = materialize_once(e)
     assign = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cells")[0].alias("cell"))

@@ -36,6 +36,42 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _write_layout(path: str, slices: int | None) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_LAYOUT"), "w") as f:
+        f.write(f"slices={int(slices or 0)}\n")
+
+
+def _check_layout(path: str, slices: int | None) -> None:
+    """Fail fast if the on-disk slice layout differs from the request.
+
+    A sliced stage resumed non-sliced (or vice versa, or with a
+    different slice count) would silently mis-read or mis-skip data:
+    slice membership is keyed by pmod(xxhash64, slices), so ANY layout
+    change invalidates partially-committed slices (ADVICE r02)."""
+    want = int(slices or 0)
+    marker = os.path.join(path, "_LAYOUT")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = int(f.read().strip().split("=", 1)[1])
+        if have != want:
+            raise ValueError(
+                f"checkpoint stage {path!r} was written with "
+                f"slices={have} but resume requested slices={want}; "
+                f"pass force=True to recompute or restore the original "
+                f"checkpoint_slices")
+    elif os.path.isdir(path):
+        # pre-marker checkpoint dir: infer sliced-ness from subdirs
+        have_sliced = any(
+            d.startswith("slice_") for d in os.listdir(path))
+        if have_sliced != (want > 1):
+            raise ValueError(
+                f"checkpoint stage {path!r} slice layout "
+                f"({'sliced' if have_sliced else 'unsliced'}) does not "
+                f"match requested slices={want}; pass force=True to "
+                f"recompute")
+
+
 def checkpoint_stage(
     spark: SparkSession,
     df: DataFrame,
@@ -67,12 +103,20 @@ def checkpoint_stage(
     """
     path = os.path.join(checkpoint_dir, stage)
     lineage_path = os.path.join(checkpoint_dir, "_lineage", stage)
+    if force and os.path.isdir(path):
+        # explicit recompute: clear the old layout (possibly a
+        # different slice count whose stale slice_* dirs would
+        # otherwise survive the per-slice overwrite and be globbed in)
+        import shutil
+        shutil.rmtree(path)
     if slices and slices > 1:
         if not slice_key:
             raise ValueError("slice_key required when slices > 1")
+        _check_layout(path, slices)
         done_marker = os.path.join(path, "_SUCCESS")
         if not force and os.path.exists(done_marker):
             return spark.read.parquet(os.path.join(path, "slice_*"))
+        _write_layout(path, slices)
         slice_of = F.pmod(F.xxhash64(F.col(slice_key)), F.lit(slices))
         for k in range(slices):
             sdir = os.path.join(path, f"slice_{k}")
@@ -94,11 +138,13 @@ def checkpoint_stage(
         # stage-level marker LAST: all slices committed
         open(done_marker, "w").close()
         return spark.read.parquet(os.path.join(path, "slice_*"))
+    _check_layout(path, None)
     if force or not _exists(spark, path):
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
+        _write_layout(path, None)
         out = spark.read.parquet(path)
         lineage = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
