@@ -13,6 +13,7 @@ query, ``kg_triple_parity``).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -56,6 +57,112 @@ def _lex_type_sql(tok: str) -> str:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_U64 = "18446744073709551616::HUGEINT"  # 2^64 — the uint64 wrap modulus
+
+# Parquet cache for the classifier-dependent kg pipeline outputs; the
+# SQL-expressible downstream stages and their DuckDB oracles both read
+# these files (the kg corpus is fixed-size and sf-independent).
+_KG_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".kg_oracle_cache")
+
+
+def _kg_source_stamp() -> str:
+    import glob
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tildener_spark")
+    files = glob.glob(os.path.join(root, "**", "*.py"), recursive=True)
+    return str(max(os.path.getmtime(f) for f in files))
+
+
+def _minhash_bands_cte() -> str:
+    """DuckDB mirror of the PRODUCTION minhash banding
+    (linking.make_minhash_bands_udf): CTE chain ending in
+    ``mh_bands(doc_id, band_idx, band_key)``.
+
+    Every uint64 natural-overflow step of the numpy path is replayed
+    in HUGEINT arithmetic with an explicit ``% 2^64``: codepoint
+    windows -> polynomial base hash (FNV powers) -> distinct ->
+    32 affine hashes -> per-band minima -> FNV fold + band tag ->
+    signed-int64 reinterpretation.  All products fit HUGEINT
+    natively: codepoint(<2^21) * power(<2^64) < 2^85, base(<2^64) *
+    mult(<2^61) < 2^125, acc(<2^64) * FNV(<2^41) < 2^105 — all below
+    the signed-128 max of 2^127-1.  The affine constants come from
+    the same seeded generator as production; the ARITHMETIC is what
+    this mirror independently re-derives."""
+    import numpy as np
+
+    from tildener_spark.config import EngineConfig
+
+    cfg = EngineConfig()
+    k, n_bands, n_rows = cfg.shingle_size, cfg.minhash_bands, cfg.minhash_rows
+    n_hash = n_bands * n_rows
+    rng = np.random.default_rng(cfg.seed)
+    mult = (rng.integers(1, 1 << 61, size=n_hash, dtype=np.uint64)
+            | np.uint64(1)).tolist()
+    add = rng.integers(0, 1 << 61, size=n_hash, dtype=np.uint64).tolist()
+    fnv = 1099511628211
+    powers = [pow(fnv, k - 1 - i, 1 << 64) for i in range(k)]
+
+    hash_rows = ", ".join(
+        f"({h // n_rows}, {h % n_rows}, {mult[h]}::HUGEINT, "
+        f"{add[h]}::HUGEINT)"
+        for h in range(n_hash))
+    win_terms = " + ".join(
+        f"(cp[i+{j}] * {powers[j]}::HUGEINT)" for j in range(k))
+    short_terms = " + ".join(
+        f"(case when n > {i} then cp[{i + 1}] * {powers[i]}::HUGEINT "
+        f"else 0::HUGEINT end)"
+        for i in range(k))
+    fold = "0::HUGEINT"
+    for r in range(n_rows):
+        fold = (f"(({fold}) * {fnv} % {_U64} "
+                f"+ max(case when row_idx={r} then mn end)) % {_U64}")
+    fold = f"(({fold}) * {fnv} % {_U64} + band_idx) % {_U64}"
+
+    return f"""
+        mh_t as (
+            select doc_id, lower(coalesce(text, '')) as s from documents
+        ),
+        mh_cps as (
+            select doc_id,
+                   list_transform(generate_series(1, length(s)),
+                       i -> cast(unicode(substr(s, cast(i as int), 1))
+                                 as hugeint)) as cp,
+                   length(s) as n
+            from mh_t
+        ),
+        mh_bases as (
+            select doc_id,
+                   case when n >= {k} then
+                       list_distinct(list_transform(
+                           generate_series(1, n - {k - 1}),
+                           i -> ({win_terms}) % {_U64}))
+                   else [({short_terms}) % {_U64}]
+                   end as bs
+            from mh_cps
+        ),
+        mh_base_rows as (select doc_id, unnest(bs) as base from mh_bases),
+        mh_hashes(band_idx, row_idx, m, a) as (values {hash_rows}),
+        mh_mins as (
+            select doc_id, band_idx, row_idx,
+                   min((base * m + a) % {_U64}) as mn
+            from mh_base_rows cross join mh_hashes
+            group by 1, 2, 3
+        ),
+        mh_folded as (
+            select doc_id, cast(band_idx as int) as band_idx,
+                   {fold} as key_u
+            from mh_mins group by doc_id, band_idx
+        ),
+        mh_bands as (
+            select doc_id, band_idx,
+                   cast(case when key_u >= 9223372036854775808::HUGEINT
+                             then key_u - {_U64}
+                             else key_u end as bigint) as band_key
+            from mh_folded
+        )"""
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,6 +467,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the per-seed minima are oracle-checked by q13)
         return dedup.minhash_lsh_pairs(_docs(spark, sf))
 
+    def q13c_minhash_production(spark, sf):
+        # the PRODUCTION numpy minhash banding (linking.py
+        # make_minhash_bands_udf — polynomial base hash + 32 affine
+        # hashes + per-band FNV fold, uint64 natural overflow), bit-
+        # exactly mirrored in DuckDB HUGEINT mod-2^64 arithmetic in
+        # oracle_sql().  This is the cross-implementation check the
+        # r2 verdict asked for: the oracle-green q13 validates a
+        # DIFFERENT (md5) minhash; this row pins the banding the
+        # default-on cross-doc linking stage and minhash_lsh_pairs
+        # actually ship.
+        from tildener_spark.operators.linking import with_minhash_bands
+        d = with_minhash_bands(_docs(spark, sf), "text")
+        return d.select(
+            "doc_id",
+            F.posexplode("bands").alias("band_idx", "band_key"))
+
     def q13_minhash(spark, sf):
         d = _docs(spark, sf)
         low = _norm(F.col("text"))
@@ -584,31 +707,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ("links", round(lp, 4), round(lr, 4))],
             "task string, precision double, recall double")
 
+    def _kg_materialized(spark):
+        """Classifier-dependent pipeline outputs, materialized once to
+        parquet so the SQL-expressible downstream stages (span eval,
+        sentence selection, gazetteer harvest) get exact DuckDB
+        mirrors via read_parquet over the same files (r2 verdict #2).
+        The classifier itself stays rows-only — it has no SQL form —
+        but everything after it is plain relational transforms of the
+        tagged-token / mention tables, checkable like q05-q09.
+
+        Cache invalidation: the marker stores the newest source-file
+        mtime; any engine edit regenerates (the run is a few seconds
+        at the fixed 120-page corpus)."""
+        import os
+        stamp = _kg_source_stamp()
+        marker = os.path.join(_KG_CACHE, "_STAMP")
+        if not (os.path.exists(marker)
+                and open(marker).read() == stamp):
+            from tildener_spark.datagen import gazetteer_df
+            from tildener_spark.operators.tokenize import explode_tokens
+            res, gm, gt, gl = _kg(spark)
+            explode_tokens(res.tagged).write.mode("overwrite").parquet(
+                f"{_KG_CACHE}/tagged_tokens.parquet")
+            res.mentions.write.mode("overwrite").parquet(
+                f"{_KG_CACHE}/mentions.parquet")
+            gm.write.mode("overwrite").parquet(
+                f"{_KG_CACHE}/gold_mentions.parquet")
+            gazetteer_df(spark).filter(
+                F.col("ne_type") == "ORG_INIT").select(
+                "ne_type", "surface").write.mode("overwrite").parquet(
+                f"{_KG_CACHE}/gaz_existing.parquet")
+            with open(marker, "w") as f:
+                f.write(stamp)
+        return {
+            name: spark.read.parquet(f"{_KG_CACHE}/{name}.parquet")
+            for name in ("tagged_tokens", "mentions", "gold_mentions",
+                         "gaz_existing")
+        }
+
     def kg_token_eval(spark, sf):
         from tildener_spark.operators.evaluate import span_eval
-        res, gm, gt, gl = _kg(spark)
-        return span_eval(gm, res.mentions)
+        m = _kg_materialized(spark)
+        return span_eval(m["gold_mentions"], m["mentions"])
 
     def kg_top_sentences(spark, sf):
         # bootstrap sentence selection (operators/bootstrap.py;
-        # BootstrapTools.pm:549, 644-690)
+        # BootstrapTools.pm:549, 644-690).  Probabilities rounded at
+        # the query surface (like kg_mentions) so the DuckDB mirror
+        # hashes identically; ranking happens at full precision inside
+        # the operator.
         from tildener_spark.operators.bootstrap import (
             top_sentences_per_type)
-        from tildener_spark.operators.tokenize import explode_tokens
-        res, *_ = _kg(spark)
-        return top_sentences_per_type(explode_tokens(res.tagged), k=5)
+        m = _kg_materialized(spark)
+        return top_sentences_per_type(m["tagged_tokens"], k=5).select(
+            "tok_type", "rank", "url", "sent_id", "sent_text",
+            F.round("type_prob", 6).alias("type_prob"),
+            F.round("min_other_prob", 6).alias("min_other_prob"))
 
     def kg_gazetteer_candidates(spark, sf):
         # gazetteer growth harvest (BootstrapTools.pm:757-775); the
         # 'existing' side is just the initialisms so content entries
         # surface as candidates
-        from tildener_spark.datagen import gazetteer_df
         from tildener_spark.operators.bootstrap import (
             gazetteer_candidates)
-        res, *_ = _kg(spark)
-        existing = gazetteer_df(spark).filter(
-            F.col("ne_type") == "ORG_INIT")
-        return gazetteer_candidates(res.mentions, existing)
+        m = _kg_materialized(spark)
+        return gazetteer_candidates(m["mentions"], m["gaz_existing"])
 
     def kg_bootstrap(spark, sf):
         # two self-training iterations with the positive-iteration
@@ -659,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12b_simhash_pairs": q12b_simhash_pairs,
         "q13_minhash": q13_minhash,
         "q13b_minhash_lsh_pairs": q13b_minhash_lsh_pairs,
+        "q13c_minhash_production": q13c_minhash_production,
         "q14_lang_id": q14_lang_id,
         "q15_quality": q15_quality,
         "q16_token_counts": q16_token_counts,
@@ -713,6 +877,14 @@ def oracle_sql() -> dict[str, str]:
         f"('1','3','5','7','9','b','d','f'))) > len(hs) "
         f"then {1 << j} else 0 end)"
         for j in range(16)
+    )
+    # 32-bit variant: simhash_duplicates runs simhash_bits at the
+    # operator default bits=32 (q12 itself checks the 16-bit form)
+    simhash32_sql = " + ".join(
+        f"(case when 2*len(list_filter(hs, h -> substr(h,{j + 1},1) in "
+        f"('1','3','5','7','9','b','d','f'))) > len(hs) "
+        f"then {1 << j}::bigint else 0::bigint end)"
+        for j in range(32)
     )
 
     mh_cols = ", ".join(
@@ -899,6 +1071,49 @@ def oracle_sql() -> dict[str, str]:
                 from t
             )
             select doc_id, {mh_cols} from sh
+        """,
+        "q12b_simhash_pairs": f"""
+            with hs_t as (
+                select doc_id,
+                       list_transform(list_distinct({_TOKS_SQL}),
+                                      t -> md5(t)) as hs
+                from documents
+            ),
+            sigs as (
+                select doc_id, cast({simhash32_sql} as bigint) as sig
+                from hs_t
+            ),
+            bands as (
+                select doc_id, sig, band_idx,
+                       (sig >> (8 * band_idx)) & 255 as band
+                from sigs
+                cross join (select unnest([0, 1, 2, 3]) as band_idx)
+            )
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+                   cast(bit_count(xor(a.sig, b.sig)) as int) as hamming
+            from bands a
+            join bands b on a.band_idx = b.band_idx and a.band = b.band
+                        and a.doc_id < b.doc_id
+            where bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        "q13b_minhash_lsh_pairs": f"""
+            with {_minhash_bands_cte()},
+            capped as (
+                select doc_id, band_idx, band_key from (
+                    select *, count(*) over (
+                        partition by band_idx, band_key) as bn
+                    from mh_bands
+                ) where bn <= 100
+            )
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b
+            from capped a
+            join capped b on a.band_idx = b.band_idx
+                         and a.band_key = b.band_key
+                         and a.doc_id < b.doc_id
+        """,
+        "q13c_minhash_production": f"""
+            with {_minhash_bands_cte()}
+            select doc_id, band_idx, band_key from mh_bands
         """,
         "q14_lang_id": f"""
             with t as (
@@ -1104,5 +1319,169 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, string_agg(tok, ' ' order by tok_idx) as muc7
             from tagged group by doc_id
+        """,
+        # ---- kg downstream stages over the materialized classifier
+        # ---- output (read_parquet of the _KG_CACHE files the Spark
+        # ---- queries themselves read — r2 verdict #2)
+        "kg_span_eval": f"""
+            with g as (
+                select distinct url, line_from, col_from, line_to,
+                       col_to, ne_type
+                from read_parquet(
+                    '{_KG_CACHE}/gold_mentions.parquet/*.parquet')
+            ),
+            p as (
+                select distinct url, line_from, col_from, line_to,
+                       col_to, ne_type
+                from read_parquet(
+                    '{_KG_CACHE}/mentions.parquet/*.parquet')
+            ),
+            hit as (
+                select g.ne_type, cast(count(*) as bigint) as rr
+                from g join p using (url, line_from, col_from,
+                                     line_to, col_to, ne_type)
+                group by 1
+            ),
+            rel as (select ne_type, cast(count(*) as bigint) as relevant
+                    from g group by 1),
+            ret as (select ne_type, cast(count(*) as bigint) as retrieved
+                    from p group by 1),
+            per_type as (
+                select coalesce(rel.ne_type, ret.ne_type, hit.ne_type)
+                           as label,
+                       coalesce(relevant, 0) as relevant,
+                       coalesce(retrieved, 0) as retrieved,
+                       coalesce(rr, 0) as rr
+                from rel
+                full join ret on rel.ne_type = ret.ne_type
+                full join hit
+                  on coalesce(rel.ne_type, ret.ne_type) = hit.ne_type
+            ),
+            tallies as (
+                select label, relevant, retrieved, rr from per_type
+                union all
+                select 'TOTAL_NE', sum(relevant), sum(retrieved),
+                       sum(rr)
+                from per_type
+            )
+            select label,
+                   round(case when relevant > 0
+                         then rr * 100.0 / relevant end, 2) as recall,
+                   round(case when retrieved > 0
+                         then rr * 100.0 / retrieved end, 2)
+                       as precision,
+                   round(case when retrieved > 0 and relevant > 0
+                              and rr > 0
+                         then 2.0 * (rr * 1.0 / retrieved)
+                              * (rr * 1.0 / relevant)
+                              / (rr * 1.0 / retrieved
+                                 + rr * 1.0 / relevant) * 100
+                         end, 2) as f1,
+                   cast(relevant as bigint) as relevant,
+                   cast(retrieved as bigint) as retrieved,
+                   cast(rr as bigint) as rr
+            from tallies
+        """,
+        "kg_top_sentences": f"""
+            with base as (
+                select url, sent_id, tok_id, token, morpho, ne_tag,
+                       ne_prob,
+                       case when ne_tag = 'O' then null
+                            else regexp_replace(ne_tag, '^[BI]-', '')
+                       end as tok_type
+                from read_parquet(
+                    '{_KG_CACHE}/tagged_tokens.parquet/*.parquet')
+            ),
+            sent as (
+                select url, sent_id,
+                       cast(count(*) as bigint) as n_tokens,
+                       string_agg(token, ' ' order by tok_id)
+                           as sent_text,
+                       string_agg(morpho, ' ' order by tok_id)
+                           as fingerprint
+                from base group by url, sent_id
+            ),
+            per_type as (
+                select url, sent_id, tok_type,
+                       avg(ne_prob) as type_prob
+                from base where tok_type is not null
+                group by url, sent_id, tok_type
+            ),
+            other as (
+                select b.url, b.sent_id, st.tok_type,
+                       min(b.ne_prob) as min_other_prob
+                from base b
+                join (select distinct url, sent_id, tok_type
+                      from per_type) st
+                  on b.url = st.url and b.sent_id = st.sent_id
+                where b.ne_tag = 'O'
+                   or regexp_replace(b.ne_tag, '^[BI]-', '')
+                      <> st.tok_type
+                group by 1, 2, 3
+            ),
+            stats as (
+                select pt.url, pt.sent_id, pt.tok_type, pt.type_prob,
+                       coalesce(o.min_other_prob, 1.0)
+                           as min_other_prob,
+                       s.n_tokens, s.sent_text, s.fingerprint
+                from per_type pt
+                left join other o
+                  on pt.url = o.url and pt.sent_id = o.sent_id
+                 and pt.tok_type = o.tok_type
+                join sent s
+                  on pt.url = s.url and pt.sent_id = s.sent_id
+            ),
+            fp_count as (
+                select fingerprint, cast(count(*) as bigint) as fp_n
+                from (select distinct url, sent_id, fingerprint
+                      from stats)
+                group by fingerprint
+            ),
+            cand as (
+                select * from (
+                    select st.*, fc.fp_n,
+                           row_number() over (
+                               partition by st.tok_type, st.sent_text
+                               order by st.type_prob desc,
+                                        st.url asc, st.sent_id asc)
+                               as dup_rn
+                    from stats st join fp_count fc
+                      on st.fingerprint = fc.fingerprint
+                    where st.n_tokens > 3
+                      and st.min_other_prob > 0.8
+                      and fc.fp_n < 3
+                ) where dup_rn = 1
+            )
+            select tok_type, cast(rank as int) as rank, url, sent_id,
+                   sent_text,
+                   round(type_prob, 6) as type_prob,
+                   round(min_other_prob, 6) as min_other_prob
+            from (
+                select *, row_number() over (
+                    partition by tok_type
+                    order by type_prob desc, sent_text asc) as rank
+                from cand
+            ) where rank <= 5
+        """,
+        "kg_gazetteer_candidates": f"""
+            with cand as (
+                select ne_type, surface,
+                       cast(count(*) as bigint) as n_mentions,
+                       max(avg_prob) as max_prob
+                from read_parquet(
+                    '{_KG_CACHE}/mentions.parquet/*.parquet')
+                where ne_type in ('PERS', 'LOC', 'ORG')
+                  and n_tokens between 1 and 10
+                  and surface <> lower(surface)
+                  and avg_prob >= 0.95
+                group by ne_type, surface
+            )
+            select c.ne_type, c.surface, c.n_mentions, c.max_prob
+            from cand c
+            anti join (
+                select distinct ne_type, surface
+                from read_parquet(
+                    '{_KG_CACHE}/gaz_existing.parquet/*.parquet')
+            ) e on c.ne_type = e.ne_type and c.surface = e.surface
         """,
     }
