@@ -28,7 +28,7 @@ def test_spark_spans_match_python_walker(spark):
     for i in range(12):
         d = gen_doc(i)
         toks = classify_doc_py(tokenize_text_py(d["text"]), gidx)
-        for (a, b, t) in _spans(toks):
+        for (a, b, t) in _spans([tk["ne_tag"] for tk in toks]):
             want.add((d["url"], a, b, t))
     assert got == want
 

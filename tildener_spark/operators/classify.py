@@ -81,9 +81,15 @@ def _is_allcaps(tok: str) -> bool:
     return len(tok) > 1 and tok.isupper() and tok.isalpha()
 
 
-def classify_doc_py(tokens: list[dict], gaz: dict) -> list[dict]:
-    """Classify one document's token list; returns tagged token dicts."""
-    n = len(tokens)
+def _classify_core(words: list[str], lows: list[str],
+                   sent_start: list[bool], gaz: dict
+                   ) -> tuple[list[str], list[float]]:
+    """Decision-list classification over parallel arrays -> (tags, probs).
+
+    Single source of truth for both the dict path
+    (:func:`classify_doc_py`) and the columnar fused path
+    (:func:`classify_table`)."""
+    n = len(words)
     tags = ["O"] * n
     probs = [P_O] * n
 
@@ -93,13 +99,6 @@ def classify_doc_py(tokens: list[dict], gaz: dict) -> list[dict]:
         for k in range(i + 1, j + 1):
             tags[k] = f"I-{ne_type}"
             probs[k] = p
-
-    words = [t["token"] for t in tokens]
-    lows = [w.lower() for w in words]
-    sent_start = [
-        i == 0 or tokens[i]["sent_id"] != tokens[i - 1]["sent_id"]
-        for i in range(n)
-    ]
 
     i = 0
     while i < n:
@@ -177,10 +176,34 @@ def classify_doc_py(tokens: list[dict], gaz: dict) -> list[dict]:
             probs[i] = P_O_UNSURE
         i += 1
 
+    return tags, probs
+
+
+def _sent_starts(sent_ids) -> list[bool]:
+    return [
+        i == 0 or sent_ids[i] != sent_ids[i - 1]
+        for i in range(len(sent_ids))
+    ]
+
+
+def classify_doc_py(tokens: list[dict], gaz: dict) -> list[dict]:
+    """Classify one document's token list; returns tagged token dicts."""
+    words = [t["token"] for t in tokens]
+    tags, probs = _classify_core(
+        words, [w.lower() for w in words],
+        _sent_starts([t["sent_id"] for t in tokens]), gaz)
     return [
         {**tok, "ne_tag": tags[k], "ne_prob": probs[k]}
         for k, tok in enumerate(tokens)
     ]
+
+
+def classify_table(tt, gaz: dict) -> None:
+    """Columnar form: writes ne_tag/ne_prob onto a TokenTable in place."""
+    words = tt.token
+    tt.ne_tag, tt.ne_prob = _classify_core(
+        words, [w.lower() for w in words],
+        _sent_starts(tt.sent_id), gaz)
 
 
 def ship_broadcast(obj):
@@ -238,17 +261,22 @@ def make_tag_pages_udf(gazetteer_rows, cfg=None):
     stages are pure functions over one document.
     """
     from tildener_spark.config import EngineConfig
-    from tildener_spark.operators.refine import refine_doc_py
-    from tildener_spark.operators.tokenize import tokenize_text_py
+    from tildener_spark.operators.refine import refine_table
+    from tildener_spark.operators.tokenize import tokenize_table
 
     cfg = cfg or EngineConfig()
     get_gaz = ship_broadcast(build_gazetteer_index(gazetteer_rows))
 
+    def tag_one(text, gaz) -> list[tuple]:
+        tt = tokenize_table(text)
+        classify_table(tt, gaz)
+        refine_table(tt, cfg)
+        return tt.token_tuples()
+
     @F.pandas_udf(TAGGED_TYPE)
     def tag_pages(text: pd.Series) -> pd.Series:
         gaz = get_gaz()
-        return text.map(lambda t: refine_doc_py(
-            classify_doc_py(tokenize_text_py(t), gaz), cfg))
+        return text.map(lambda t: tag_one(t, gaz))
 
     return tag_pages
 

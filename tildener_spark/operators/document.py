@@ -21,18 +21,20 @@ synthetic corpus.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from tildener_spark.config import EngineConfig
 from tildener_spark.operators.classify import (
-    build_gazetteer_index, classify_doc_py,
+    build_gazetteer_index, classify_table,
 )
 from tildener_spark.operators.linking import jaro_winkler_py
-from tildener_spark.operators.refine import refine_doc_py
+from tildener_spark.operators.refine import refine_table
 from tildener_spark.operators.tokenize import (
-    TAGGED_TYPE, tokenize_text_py,
+    TAGGED_TYPE, TokenTable, tokenize_table,
 )
 
 # Field types match the DataFrame operators' output exactly (span_id
@@ -107,93 +109,106 @@ HUB_SEP = "␟"  # must match operators/graph.SEP
 
 # ------------------------------------------------------------ mentions
 
-def doc_mentions_py(tokens: list[dict]) -> list[dict]:
+class Mention(NamedTuple):
+    """Row of MENTION_STRUCT — a NamedTuple IS a tuple, so Arrow
+    serializes it directly (no per-mention dict, VERDICT r02 item 4)."""
+    span_id: int
+    sent_id: int
+    begin_tok: int
+    end_tok: int
+    line_from: int
+    col_from: int
+    line_to: int
+    col_to: int
+    surface: str
+    lemmas: str
+    ne_type: str
+    avg_prob: float
+    n_tokens: int
+
+
+def doc_mentions_py(tt: TokenTable) -> list[Mention]:
     """BIO span assembly, identical to operators/spans.assemble_spans.
 
     span_id = 1-based running count of B- tokens; a span is the B-
     token plus the maximal following run of I-<same type> tokens
     (GetFullNETagsFromTokens, NERefinements.pm:219-286)."""
-    out: list[dict] = []
-    n = len(tokens)
+    out: list[Mention] = []
+    tags = tt.ne_tag
+    probs = tt.ne_prob
+    n = len(tags)
     span_id = 0
     i = 0
     while i < n:
-        tag = tokens[i]["ne_tag"]
+        tag = tags[i]
         if not tag.startswith("B-"):
             i += 1
             continue
         span_id += 1
         t = tag[2:]
+        want = "I-" + t
         j = i
-        while j + 1 < n and tokens[j + 1]["ne_tag"] == f"I-{t}":
+        while j + 1 < n and tags[j + 1] == want:
             j += 1
-        span = tokens[i:j + 1]
-        out.append({
-            "span_id": span_id,
-            "sent_id": span[0]["sent_id"],
-            "begin_tok": span[0]["tok_id"],
-            "end_tok": span[-1]["tok_id"],
-            "line_from": span[0]["line_from"],
-            "col_from": span[0]["col_from"],
-            "line_to": span[-1]["line_to"],
-            "col_to": span[-1]["col_to"],
-            "surface": " ".join(tk["token"] for tk in span),
-            "lemmas": " ".join(tk["lemma"] for tk in span),
-            "ne_type": t,
-            "avg_prob": sum(tk["ne_prob"] for tk in span) / len(span),
-            "n_tokens": len(span),
-        })
+        seg = probs[i:j + 1]
+        out.append(Mention(
+            span_id, tt.sent_id[i], i, j,
+            tt.line_from[i], tt.col_from[i],
+            tt.line_to[j], tt.col_to[j],
+            " ".join(tt.token[i:j + 1]),
+            " ".join(tt.lemma[i:j + 1]),
+            t, sum(seg) / len(seg), j - i + 1,
+        ))
         i = j + 1
     return out
 
 
 # ------------------------------------------------------------- triples
 
-def doc_triples_py(mentions: list[dict], tokens: list[dict],
-                   link_map: dict | None = None) -> list[dict]:
+def doc_triples_py(mentions: list[Mention], tt: TokenTable,
+                   link_map: dict | None = None) -> list[tuple]:
     """Consecutive-mention-pair triples, identical to
     operators/triples.extract_triples (sentence window + first verb
     strictly between the pair).  ``link_map`` ((ne_type, alias) ->
-    canonical) annotates each end with its within-doc canonical."""
+    canonical) annotates each end with its within-doc canonical.
+    Rows are tuples in TRIPLE_STRUCT field order."""
     link_map = link_map or {}
-    verbs = [(tk["tok_id"], tk["sent_id"], tk["lemma"])
-             for tk in tokens if tk["pos"] == "VB"]
-    out: list[dict] = []
-    by_sent: dict[int, list[dict]] = {}
+    verbs = [(k, tt.sent_id[k], tt.lemma[k])
+             for k, pos in enumerate(tt.pos) if pos == "VB"]
+    out: list[tuple] = []
+    by_sent: dict[int, list[Mention]] = {}
     for m in mentions:
-        by_sent.setdefault(m["sent_id"], []).append(m)
+        by_sent.setdefault(m.sent_id, []).append(m)
     for sent_id, ms in by_sent.items():
-        ms = sorted(ms, key=lambda m: m["begin_tok"])
+        ms = sorted(ms, key=lambda m: m.begin_tok)
         for a, b in zip(ms, ms[1:]):
             verb = None
             for v_tok, v_sent, v_lemma in verbs:
-                if (v_sent == sent_id and a["end_tok"] < v_tok
-                        < b["begin_tok"]):
+                if v_sent == sent_id and a.end_tok < v_tok < b.begin_tok:
                     if verb is None or v_tok < verb[0]:
                         verb = (v_tok, v_lemma)
-            out.append({
-                "sent_id": sent_id,
-                "subj": a["surface"], "subj_type": a["ne_type"],
-                "pred": verb[1] if verb else "co_occurs",
-                "obj": b["surface"], "obj_type": b["ne_type"],
-                "prob": min(a["avg_prob"], b["avg_prob"]),
-                "kind": "pattern" if verb else "cooc",
-                "subj_dc": link_map.get(
-                    (a["ne_type"], a["surface"]), a["surface"]),
-                "obj_dc": link_map.get(
-                    (b["ne_type"], b["surface"]), b["surface"]),
-            })
+            out.append((
+                sent_id,
+                a.surface, a.ne_type,
+                verb[1] if verb else "co_occurs",
+                b.surface, b.ne_type,
+                min(a.avg_prob, b.avg_prob),
+                "pattern" if verb else "cooc",
+                link_map.get((a.ne_type, a.surface), a.surface),
+                link_map.get((b.ne_type, b.surface), b.surface),
+            ))
     return out
 
 
 # --------------------------------------------------------------- links
 
-def doc_links_py(mentions: list[dict], initialisms: frozenset[str],
-                 cfg: EngineConfig) -> list[dict]:
+def doc_links_py(mentions: list[Mention], initialisms: frozenset[str],
+                 cfg: EngineConfig) -> list[tuple]:
     """Within-document alias resolution, identical to
     operators/linking.alias_links (containment-first scoring, JW only
     for single-token typo variants, nearest-preceding tie-break,
-    per-alias majority)."""
+    per-alias majority).  Rows are (ne_type, alias, canonical, score)
+    tuples (LINK_STRUCT order)."""
     occs = []
     for m in mentions:
         # dedup while preserving order: the DataFrame path's
@@ -201,43 +216,39 @@ def doc_links_py(mentions: list[dict], initialisms: frozenset[str],
         # not skew the len(toks) ordering filter here (row-level
         # parity contract, ADVICE r01)
         toks = list(dict.fromkeys(
-            t for t in m["surface"].split(" ") if t not in initialisms))
+            t for t in m.surface.split(" ") if t not in initialisms))
         if toks:
-            occs.append({
-                "ne_type": m["ne_type"], "surface": m["surface"],
-                "begin_tok": m["begin_tok"], "toks": toks,
-                "tokset": set(toks),
-            })
+            # (ne_type, surface, begin_tok, toks, tokset)
+            occs.append((m.ne_type, m.surface, m.begin_tok,
+                         toks, set(toks)))
     if len(occs) < 2:
         return []
     best_rows: list[tuple] = []
-    for a in occs:
+    for a_type, a_surf, a_begin, a_toks, a_set in occs:
         best_key = None
         best = None
-        for c in occs:
-            if (a["ne_type"] != c["ne_type"]
-                    or a["surface"] == c["surface"]
-                    or len(a["toks"]) > len(c["toks"])
-                    or len(a["surface"]) >= len(c["surface"])
-                    or not (a["tokset"] & c["tokset"])):
+        for c_type, c_surf, c_begin, c_toks, c_set in occs:
+            if (a_type != c_type
+                    or a_surf == c_surf
+                    or len(a_toks) > len(c_toks)
+                    or len(a_surf) >= len(c_surf)
+                    or not (a_set & c_set)):
                 continue
-            contained = a["tokset"] <= c["tokset"]
-            if contained:
+            if a_set <= c_set:
                 score = 0.95
-            elif len(a["toks"]) == 1 and len(c["toks"]) == 1:
+            elif len(a_toks) == 1 and len(c_toks) == 1:
                 score = jaro_winkler_py(
-                    a["toks"][0].lower(), c["toks"][0].lower())
+                    a_toks[0].lower(), c_toks[0].lower())
                 if score < cfg.typo_min_score:
                     continue
             else:
                 continue
-            pref = (c["begin_tok"] - a["begin_tok"]
-                    if c["begin_tok"] < a["begin_tok"]
-                    else -(1 << 40) - c["begin_tok"])
-            key = (-score, -pref, c["surface"])
+            pref = (c_begin - a_begin if c_begin < a_begin
+                    else -(1 << 40) - c_begin)
+            key = (-score, -pref, c_surf)
             if best_key is None or key < best_key:
                 best_key = key
-                best = (a["ne_type"], a["surface"], c["surface"], score)
+                best = (a_type, a_surf, c_surf, score)
         if best is not None:
             best_rows.append(best)
     # per-(type, alias) majority over occurrences; tie -> max score,
@@ -251,35 +262,30 @@ def doc_links_py(mentions: list[dict], initialisms: frozenset[str],
         canonical, scores = min(
             cands.items(),
             key=lambda kv: (-len(kv[1]), -max(kv[1]), kv[0]))
-        out.append({
-            "ne_type": ne_type, "alias": alias,
-            "canonical": canonical, "score": max(scores),
-        })
+        out.append((ne_type, alias, canonical, max(scores)))
     return out
 
 
 # ------------------------------------------------- surfaces/hub pairs
 
-def doc_surfaces_py(mentions: list[dict],
-                    links: list[dict]) -> tuple[list[dict], list[dict]]:
+def doc_surfaces_py(mentions: list[Mention],
+                    links: list[tuple]) -> tuple[list[tuple], list[tuple]]:
     """Distinct (type, surface) of the doc with within-doc canonical
     (the graph stage's ``resolved`` left-join, operators/graph.py,
     computed doc-locally), plus the hub-hub edges from alias chains
     (alias -> canonical where the canonical itself aliases further).
     """
-    link_map = {(l["ne_type"], l["alias"]): l["canonical"] for l in links}
-    surfaces: list[dict] = []
+    link_map = {(ne_type, alias): canonical
+                for ne_type, alias, canonical, _score in links}
+    surfaces: list[tuple] = []
     seen: set[tuple] = set()
     for m in mentions:
-        key = (m["ne_type"], m["surface"])
+        key = (m.ne_type, m.surface)
         if key in seen:
             continue
         seen.add(key)
-        surfaces.append({
-            "ne_type": key[0], "surface": key[1],
-            "doc_canonical": link_map.get(key, key[1]),
-        })
-    pairs: list[dict] = []
+        surfaces.append((key[0], key[1], link_map.get(key, key[1])))
+    pairs: list[tuple] = []
     pseen: set[tuple] = set()
     for (ne_type, _alias), canonical in link_map.items():
         nxt = link_map.get((ne_type, canonical))
@@ -288,7 +294,7 @@ def doc_surfaces_py(mentions: list[dict],
             dst = f"g:{ne_type}{HUB_SEP}{nxt}"
             if (src, dst) not in pseen:
                 pseen.add((src, dst))
-                pairs.append({"src": src, "dst": dst})
+                pairs.append((src, dst))
     return surfaces, pairs
 
 
@@ -297,15 +303,21 @@ def doc_surfaces_py(mentions: list[dict],
 def process_document_py(text: str | None, gaz: dict,
                         initialisms: frozenset[str],
                         cfg: EngineConfig) -> dict:
-    tokens = refine_doc_py(classify_doc_py(tokenize_text_py(text), gaz), cfg)
-    mentions = doc_mentions_py(tokens)
+    """One document -> all six DOC_STRUCT fields, columnar throughout:
+    tokens live in a TokenTable (parallel lists) from tokenizer to
+    Arrow hand-off; rows cross into Arrow as tuples, never dicts."""
+    tt = tokenize_table(text)
+    classify_table(tt, gaz)
+    refine_table(tt, cfg)
+    mentions = doc_mentions_py(tt)
     links = doc_links_py(mentions, initialisms, cfg)
-    link_map = {(l["ne_type"], l["alias"]): l["canonical"] for l in links}
+    link_map = {(ne_type, alias): canonical
+                for ne_type, alias, canonical, _score in links}
     surfaces, hub_pairs = doc_surfaces_py(mentions, links)
     return {
-        "tokens": tokens,
+        "tokens": tt.token_tuples(),
         "mentions": mentions,
-        "triples": doc_triples_py(mentions, tokens, link_map),
+        "triples": doc_triples_py(mentions, tt, link_map),
         "links": links,
         "surfaces": surfaces,
         "hub_pairs": hub_pairs,

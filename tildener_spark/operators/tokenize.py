@@ -145,12 +145,93 @@ def make_remove_empty_lines_udf(mode: int = 1):
     return remove_empty_lines
 
 
-def tokenize_text_py(text: str | None) -> list[dict]:
-    """Pure-Python single-document tokenizer (FindTokenPos semantics)."""
+class TokenTable:
+    """Columnar per-document token store (parallel lists, tok_id = row
+    index).  The fused hot path (operators/document.py) runs on this
+    representation to avoid a Python dict per token — web text is
+    Zipfian, so the per-token analysis is also memoized by raw
+    whitespace token (``_analyze_raw``).  The dict-based functions
+    below remain the public API for the modular/oracle path and are
+    thin converters over the same cores, so semantics live in ONE
+    place (VERDICT r02 next-round item 4)."""
+
+    __slots__ = ("sent_id", "token", "pos", "lemma", "morpho",
+                 "line_from", "col_from", "line_to", "col_to",
+                 "ne_tag", "ne_prob")
+
+    def __init__(self):
+        self.sent_id: list[int] = []
+        self.token: list[str] = []
+        self.pos: list[str] = []
+        self.lemma: list[str] = []
+        self.morpho: list[str] = []
+        self.line_from: list[int] = []
+        self.col_from: list[int] = []
+        self.line_to: list[int] = []
+        self.col_to: list[int] = []
+        self.ne_tag: list[str] = []
+        self.ne_prob: list[float] = []
+
+    def __len__(self) -> int:
+        return len(self.token)
+
+    def token_tuples(self) -> list[tuple]:
+        """Rows as tuples in TAGGED_STRUCT field order (Arrow accepts
+        tuples for struct elements — no dict per token)."""
+        return list(zip(
+            range(len(self.token)), self.sent_id, self.token, self.pos,
+            self.lemma, self.morpho, self.line_from, self.col_from,
+            self.line_to, self.col_to, self.ne_tag, self.ne_prob,
+        ))
+
+    def token_dicts(self, tagged: bool = True) -> list[dict]:
+        cols = [range(len(self.token)), self.sent_id, self.token,
+                self.pos, self.lemma, self.morpho, self.line_from,
+                self.col_from, self.line_to, self.col_to]
+        names = ["tok_id", "sent_id", "token", "pos", "lemma", "morpho",
+                 "line_from", "col_from", "line_to", "col_to"]
+        if tagged:
+            cols += [self.ne_tag, self.ne_prob]
+            names += ["ne_tag", "ne_prob"]
+        return [dict(zip(names, row)) for row in zip(*cols)]
+
+
+# memoized per-raw-token analysis: raw whitespace token ->
+# ((tok, pos, lemma, morpho), ...).  Offsets are NOT cached (they
+# depend on the line); everything else depends only on the raw string.
+# Bounded: cleared wholesale past ~260k distinct raws per worker.
+_RAW_CACHE: dict[str, tuple] = {}
+_RAW_CACHE_MAX = 1 << 18
+
+
+def _analyze_raw(raw: str) -> tuple:
+    hit = _RAW_CACHE.get(raw)
+    if hit is None:
+        if len(_RAW_CACHE) >= _RAW_CACHE_MAX:
+            _RAW_CACHE.clear()
+        hit = tuple(
+            (tok, *_pos_lemma(tok), _shape(tok))
+            for tok in _split_token(raw)
+        )
+        _RAW_CACHE[raw] = hit
+    return hit
+
+
+def tokenize_table(text: str | None) -> TokenTable:
+    """Pure-Python single-document tokenizer (FindTokenPos semantics),
+    columnar output."""
+    tt = TokenTable()
     if not text:
-        return []
-    out: list[dict] = []
-    tok_id = 0
+        return tt
+    sent_ids = tt.sent_id
+    toks_out = tt.token
+    pos_out = tt.pos
+    lemma_out = tt.lemma
+    morpho_out = tt.morpho
+    lf_out = tt.line_from
+    cf_out = tt.col_from
+    lt_out = tt.line_to
+    ct_out = tt.col_to
     sent_id = 0
     sent_open = False  # tokens emitted in current sentence?
     prev_line = None
@@ -166,26 +247,33 @@ def tokenize_text_py(text: str | None) -> list[dict]:
         for raw in _WS.split(line):
             if not raw:
                 continue
-            for tok in _split_token(raw):
+            for tok, pos, lemma, morpho in _analyze_raw(raw):
                 # first-match cursor advance (NEPreprocess.pm:391-399)
                 start = line.find(tok, cursor)
                 if start < 0:  # defensive; cannot happen for our splitter
                     start = cursor
                 end = start + len(tok) - 1
                 cursor = end + 1
-                pos, lemma = _pos_lemma(tok)
-                out.append({
-                    "tok_id": tok_id, "sent_id": sent_id, "token": tok,
-                    "pos": pos, "lemma": lemma, "morpho": _shape(tok),
-                    "line_from": line_no, "col_from": start,
-                    "line_to": line_no, "col_to": end,
-                })
-                tok_id += 1
+                sent_ids.append(sent_id)
+                toks_out.append(tok)
+                pos_out.append(pos)
+                lemma_out.append(lemma)
+                morpho_out.append(morpho)
+                lf_out.append(line_no)
+                cf_out.append(start)
+                lt_out.append(line_no)
+                ct_out.append(end)
                 sent_open = True
                 if pos == "SENT":
                     sent_id += 1
                     sent_open = False
-    return out
+    return tt
+
+
+def tokenize_text_py(text: str | None) -> list[dict]:
+    """Pure-Python single-document tokenizer (FindTokenPos semantics),
+    dict rows — the modular/oracle-path form of :func:`tokenize_table`."""
+    return tokenize_table(text).token_dicts(tagged=False)
 
 
 @F.pandas_udf(TOKENS_TYPE)
