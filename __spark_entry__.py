@@ -165,6 +165,55 @@ def _minhash_bands_cte() -> str:
         )"""
 
 
+def _signlsh_cte(n_bits: int, n_tables: int,
+                 seed: int = 42, dim: int = 64) -> str:
+    """DuckDB mirror of the PRODUCTION hyperplane bucketing
+    (similarity.make_table_buckets_udf): CTE chain ending in
+    ``lsh_sig(vec_id, t, bucket)`` plus ``v(vec_id, emb)``.
+
+    The ±1 weights are re-derived IN SQL from the same md5-parity
+    rule (weight(t,h,d) = +1 iff the first hex digit of
+    md5('{{seed+7919t}}|h|d') is odd) — no constants are copied from
+    the Python side, so a drift in either implementation breaks the
+    hash comparison.  bit h of table t's signature = 1 iff
+    w_{{t,h}} · v >= 0; bucket = Σ bit·2^h, identical to the numpy
+    ``(V @ W >= 0) · powers`` reduction."""
+    return f"""
+        v as (
+            select vec_id, embedding::DOUBLE[] as emb
+            from embeddings
+            where embedding is not null and len(embedding) = {dim}
+        ),
+        lsh_w as (
+            select t, h,
+                   list_transform(range(0, {dim}), d ->
+                     case when substring(md5(
+                            cast({seed} + 7919*t as varchar) || '|' ||
+                            cast(h as varchar) || '|' ||
+                            cast(d as varchar)), 1, 1)
+                          in ('1','3','5','7','9','b','d','f')
+                          then 1.0::DOUBLE else -1.0::DOUBLE end) as wvec
+            from (select unnest(range({n_tables})) as t),
+                 (select unnest(range({n_bits})) as h)
+        ),
+        lsh_sig as (
+            select v.vec_id, lsh_w.t,
+                   sum(case when list_dot_product(v.emb, lsh_w.wvec) >= 0
+                            then (1::BIGINT << h) else 0 end) as bucket
+            from v cross join lsh_w
+            group by v.vec_id, lsh_w.t
+        )"""
+
+
+# round-6 cosine between two DOUBLE[] columns (same shape as the q18
+# oracle; _score_pairs rounds before thresholding/ranking, so the
+# mirror compares rounded values end to end)
+def _cos6_sql(a: str, b: str) -> str:
+    return (f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1233,6 +1282,109 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_dot_product(b.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]))), 6)
                   >= 0.45
+        """,
+        "q19b_embedding_neardup_lsh": f"""
+            with {_signlsh_cte(n_bits=4, n_tables=16)},
+            cand as (
+                select distinct a.vec_id as doc_a, b.vec_id as doc_b
+                from lsh_sig a
+                join lsh_sig b on a.t = b.t and a.bucket = b.bucket
+                              and a.vec_id < b.vec_id
+            )
+            select c.doc_a, c.doc_b,
+                   {_cos6_sql('va.emb', 'vb.emb')} as cos_sim
+            from cand c
+            join v va on va.vec_id = c.doc_a
+            join v vb on vb.vec_id = c.doc_b
+            where {_cos6_sql('va.emb', 'vb.emb')} >= 0.45
+        """,
+        "q21_lsh_recall": f"""
+            with {_signlsh_cte(n_bits=5, n_tables=24)},
+            cand as (
+                select distinct a.vec_id, b.vec_id as neighbor_id
+                from lsh_sig a
+                join lsh_sig b on a.t = b.t and a.bucket = b.bucket
+                              and a.vec_id <> b.vec_id
+            ),
+            scored as (
+                select c.vec_id, c.neighbor_id,
+                       {_cos6_sql('va.emb', 'vb.emb')} as cos_sim
+                from cand c
+                join v va on va.vec_id = c.vec_id
+                join v vb on vb.vec_id = c.neighbor_id
+            ),
+            ann as (
+                select vec_id, neighbor_id from (
+                    select *, row_number() over (partition by vec_id
+                        order by cos_sim desc, neighbor_id asc) as rk
+                    from scored
+                ) where rk <= 5
+            ),
+            bf_scored as (
+                select a.vec_id, b.vec_id as neighbor_id,
+                       {_cos6_sql('a.emb', 'b.emb')} as cos_sim
+                from v a, v b where a.vec_id <> b.vec_id
+            ),
+            bf as (
+                select vec_id, neighbor_id from (
+                    select *, row_number() over (partition by vec_id
+                        order by cos_sim desc, neighbor_id asc) as rk
+                    from bf_scored
+                ) where rk <= 5
+            )
+            select 'recall_at_5' as metric,
+                   round((select count(*) from bf join ann
+                          using (vec_id, neighbor_id))
+                         / greatest((select count(*) from bf), 1), 4)
+                       as value,
+                   (select count(*) from bf) as denom
+        """,
+        "q21b_ivf_topk": f"""
+            with {_signlsh_cte(n_bits=1, n_tables=1)},
+            cent as (
+                select c, list_transform(range(0, 64), d ->
+                         case when substring(md5('ivf|42|' ||
+                                cast(c as varchar) || '|' ||
+                                cast(d as varchar)), 1, 1)
+                              in ('1','3','5','7','9','b','d','f')
+                              then 1.0::DOUBLE else -1.0::DOUBLE end)
+                           as cvec
+                from (select unnest(range(16)) as c)
+            ),
+            -- centroid normalization (÷8, a positive constant for
+            -- 64-dim ±1 rows) cannot change the argsort — skip it
+            cellrank as (
+                select vec_id, c, row_number() over (
+                    partition by vec_id
+                    order by list_dot_product(emb, cvec) desc, c asc)
+                        as rk
+                from v cross join cent
+            ),
+            assign as (
+                select vec_id as neighbor_id, c as cell
+                from cellrank where rk = 1
+            ),
+            probe as (
+                select vec_id, c as cell from cellrank where rk <= 4
+            ),
+            cand as (
+                select p.vec_id, a.neighbor_id
+                from probe p join assign a using (cell)
+                where p.vec_id <> a.neighbor_id
+            ),
+            scored as (
+                select c.vec_id, c.neighbor_id,
+                       {_cos6_sql('va.emb', 'vb.emb')} as cos_sim
+                from cand c
+                join v va on va.vec_id = c.vec_id
+                join v vb on vb.vec_id = c.neighbor_id
+            )
+            select vec_id, neighbor_id, cos_sim, cast(rk as int) as rank
+            from (
+                select *, row_number() over (partition by vec_id
+                    order by cos_sim desc, neighbor_id asc) as rk
+                from scored
+            ) where rk <= 5
         """,
         "q20_events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,
