@@ -570,11 +570,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), threshold=0.45)
 
     def q21_lsh_recall(spark, sf):
-        # ANN recall gate surfaced as a query (rows-only): recall@5 of
-        # the LSH path vs the exact brute-force baseline at the benched
-        # operating point.  A banding regression turns this row's value
-        # red in pytest (tests/test_similarity.py) and visibly wrong
-        # here.
+        # ANN recall gate surfaced as a query: recall@5 of the LSH
+        # path vs the exact brute-force baseline at the benched
+        # operating point.  The whole computation (production md5-
+        # parity hyperplanes included) is mirrored in DuckDB in
+        # oracle_sql(); tests/test_similarity.py additionally gates
+        # the recall floor.
         bf = similarity.brute_force_topk(_emb(spark, sf), k=5).select(
             "vec_id", "neighbor_id")
         ann = similarity.lsh_topk(
@@ -587,17 +588,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "metric string, value double, denom bigint")
 
     def q21b_ivf_topk(spark, sf):
-        # IVF coarse-quantizer ANN sibling of q21 (rows-only; the
-        # recall >= 0.9 gate on clustered embeddings is
-        # tests/test_similarity.py::test_ivf_topk_recall_on_clusters)
+        # IVF coarse-quantizer ANN sibling of q21, exact-mirrored in
+        # DuckDB (centroid derivation + probe/assign join + ranking);
+        # the recall >= 0.9 gate on clustered embeddings is
+        # tests/test_similarity.py::test_ivf_topk_recall_on_clusters
         return similarity.ivf_topk(
             _emb(spark, sf), k=5, n_cells=16, n_probe=4).select(
             "vec_id", "neighbor_id", "cos_sim",
             F.col("rank").cast("int").alias("rank"))
 
     def q19b_embedding_neardup_lsh(spark, sf):
-        # bucketed sibling of q19 (rows-only; pytest asserts agreement
-        # with the exact path at >= 0.95 recall on planted near-dups)
+        # bucketed sibling of q19, exact-mirrored in DuckDB (pytest
+        # additionally asserts >= 0.95 agreement with the exact path
+        # on planted near-dups)
         return similarity.embedding_near_duplicates_lsh(
             _emb(spark, sf), threshold=0.45, n_bits=4, n_tables=16)
 
