@@ -36,6 +36,20 @@ def test_pipeline_checkpoint_and_resume(spark, tmp_path):
         "docs", "mentions", "triples_dc", "links", "entities",
         "mapping", "canonical_triples"}
 
+    # observe() counters (SURVEY §7): every checkpointed stage
+    # reports rows_out collected on its own write job, agreeing with
+    # the lineage table, plus rows_in linked from its producing stage
+    assert set(res.counters) == set(by_stage)
+    for stage, c in res.counters.items():
+        assert c["rows_out"] == by_stage[stage], stage
+        assert c["resumed"] is False, stage
+    assert res.counters["docs"]["rows_in"] == \
+        res.counters["docs"]["rows_out"]  # per-row map stage
+    assert res.counters["mentions"]["rows_in"] == \
+        res.counters["docs"]["rows_out"]
+    assert res.counters["canonical_triples"]["rows_in"] == \
+        res.counters["triples_dc"]["rows_out"]
+
     # simulate a crash after 'mentions': drop later stages, resume
     for stage in ("triples_dc", "links", "entities", "mapping",
                   "canonical_triples"):
@@ -44,9 +58,18 @@ def test_pipeline_checkpoint_and_resume(spark, tmp_path):
     assert res2.triples.count() == n_triples
     assert res2.mentions.count() == n_mentions  # reloaded, not rebuilt
 
+    # partial resume: 'mentions' was reloaded, not rebuilt — its
+    # counter says so and still reports the committed row count
+    assert res2.counters["mentions"] == {
+        "rows_out": n_mentions, "resumed": True,
+        "rows_in": res2.counters["docs"]["rows_out"]}
+    assert res2.counters["triples_dc"]["resumed"] is False
+
     # full resume: everything present -> same results again
     res3 = run_pipeline(spark, pages, gaz, cfg)
     assert res3.canonical_triples.count() == res2.canonical_triples.count()
+    assert all(c["resumed"] for c in res3.counters.values())
+    assert res3.counters["triples_dc"]["rows_out"] == n_triples
 
 
 def test_materialize_graph(spark, tmp_path):

@@ -20,10 +20,16 @@ protocol.
 
 from __future__ import annotations
 
+import itertools
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+# Observation names must be unique per query; a monotone suffix keeps
+# repeated checkpoint_stage calls for the same stage (force=True
+# re-runs, tests) from colliding in one session.
+_OBS_SEQ = itertools.count()
 
 LINEAGE_SCHEMA = (
     "stage string, partition_id int, rows long, finished_at double"
@@ -72,6 +78,13 @@ def _check_layout(path: str, slices: int | None) -> None:
                 f"recompute")
 
 
+def _lineage_rows_sum(spark: SparkSession, lineage_path: str) -> int:
+    """Total rows recorded for a stage's committed lineage (resume)."""
+    df = (spark.read.option("recursiveFileLookup", "true")
+          .parquet(lineage_path))
+    return df.agg(F.sum("rows")).collect()[0][0] or 0
+
+
 def checkpoint_stage(
     spark: SparkSession,
     df: DataFrame,
@@ -81,6 +94,7 @@ def checkpoint_stage(
     force: bool = False,
     slices: int | None = None,
     slice_key: str | None = None,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Write ``df`` as the ``stage`` table (if absent) and read it back.
 
@@ -100,6 +114,13 @@ def checkpoint_stage(
         compute is never run.  Use for the expensive UDF stage; the
         N-times input-scan overhead is bounded because downstream
         stages read the previous stage's checkpoint, not raw lineage.
+
+    ``counters``: optional dict the stage's ``observe()`` metrics are
+    recorded into as ``counters[stage] = {"rows_out": n, "resumed":
+    bool}`` (SURVEY.md §7).  The count is collected by an Observation
+    attached to the SAME job that writes the stage — no extra pass
+    over the data; a resumed (skipped) stage reports the sum of its
+    committed lineage rows instead.
     """
     path = os.path.join(checkpoint_dir, stage)
     lineage_path = os.path.join(checkpoint_dir, "_lineage", stage)
@@ -115,15 +136,34 @@ def checkpoint_stage(
         _check_layout(path, slices)
         done_marker = os.path.join(path, "_SUCCESS")
         if not force and os.path.exists(done_marker):
+            if counters is not None:
+                counters[stage] = {
+                    "rows_out": _lineage_rows_sum(spark, lineage_path),
+                    "resumed": True,
+                }
             return spark.read.parquet(os.path.join(path, "slice_*"))
         _write_layout(path, slices)
         slice_of = F.pmod(F.xxhash64(F.col(slice_key)), F.lit(slices))
+        rows_out = 0
+        any_resumed = False
         for k in range(slices):
             sdir = os.path.join(path, f"slice_{k}")
             if not force and _exists(spark, sdir):
-                continue  # committed slice: skip (resume)
+                # committed slice: skip (resume); its rows still count
+                rows_out += _lineage_rows_sum(
+                    spark, os.path.join(lineage_path, f"slice_{k}"))
+                any_resumed = True
+                continue
             part = df.filter(slice_of == k)
+            obs = None
+            if counters is not None:
+                obs = Observation(
+                    f"ckpt:{stage}/slice_{k}#{next(_OBS_SEQ)}")
+                part = part.observe(
+                    obs, F.count(F.lit(1)).alias("rows_out"))
             part.write.mode("overwrite").parquet(sdir)
+            if obs is not None:
+                rows_out += obs.get["rows_out"]
             out_k = spark.read.parquet(sdir)
             lineage = (
                 out_k.groupBy(
@@ -137,13 +177,23 @@ def checkpoint_stage(
                 os.path.join(lineage_path, f"slice_{k}"))
         # stage-level marker LAST: all slices committed
         open(done_marker, "w").close()
+        if counters is not None:
+            counters[stage] = {"rows_out": rows_out,
+                               "resumed": any_resumed}
         return spark.read.parquet(os.path.join(path, "slice_*"))
     _check_layout(path, None)
     if force or not _exists(spark, path):
+        obs = None
+        if counters is not None:
+            obs = Observation(f"ckpt:{stage}#{next(_OBS_SEQ)}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
+        if obs is not None:
+            counters[stage] = {"rows_out": obs.get["rows_out"],
+                               "resumed": False}
         _write_layout(path, None)
         out = spark.read.parquet(path)
         lineage = (
@@ -155,6 +205,11 @@ def checkpoint_stage(
         )
         lineage.write.mode("overwrite").parquet(lineage_path)
         return out
+    if counters is not None:
+        counters[stage] = {
+            "rows_out": _lineage_rows_sum(spark, lineage_path),
+            "resumed": True,
+        }
     return spark.read.parquet(path)
 
 

@@ -51,6 +51,25 @@ class PipelineResult:
     mapping: DataFrame
     canonical_triples: DataFrame
     extra: dict = field(default_factory=dict)
+    # per-stage observe() metrics (checkpointed runs only):
+    # {stage: {"rows_out": n, "rows_in": m, "resumed": bool}} — the
+    # rows_out count rides the stage's own write job via Observation
+    # (no extra pass); rows_in is the producing stage's rows_out
+    # (every stage boundary is a checkpoint table, SURVEY.md §7).
+    counters: dict = field(default_factory=dict)
+
+
+# stage -> the stage whose output it consumes (for rows_in);
+# self-mapped stages are per-row maps of the pipeline input
+_STAGE_INPUTS = {
+    "mentions": "docs", "triples_dc": "docs",
+    "links": "mentions", "entities": "mentions", "mapping": "mentions",
+    "canonical_triples": "triples_dc",
+    # operator (fused=False) path
+    "triples": "mentions",
+}
+_STAGE_INPUTS_UNFUSED = {"mentions": "tagged",
+                         "canonical_triples": "triples"}
 
 
 def run_pipeline(
@@ -77,6 +96,7 @@ def run_pipeline(
     """
     cfg = cfg or EngineConfig()
     ckpt = cfg.checkpoint_dir
+    counters: dict[str, dict] = {}
 
     if reextract_text:
         pages = pages.withColumn("text", extract_text("html"))
@@ -106,7 +126,8 @@ def run_pipeline(
             # url-hash slices so a kill resumes per-slice.
             docs = checkpoint_stage(
                 spark, docs, ckpt, "docs",
-                slices=cfg.checkpoint_slices, slice_key="url")
+                slices=cfg.checkpoint_slices, slice_key="url",
+                counters=counters)
         else:
             # cache the whole doc struct: Spark's in-memory cache
             # stores nested types as opaque row bytes, so caching the
@@ -139,11 +160,12 @@ def run_pipeline(
             graph_in.select(F.explode("hub_pairs").alias("x"))
             .select("x.*"))
         if ckpt:
-            mentions = checkpoint_stage(spark, mentions, ckpt, "mentions")
+            mentions = checkpoint_stage(spark, mentions, ckpt, "mentions",
+                                        counters=counters)
             # 'triples_dc', not 'triples': carries subj_dc/obj_dc,
             # which the operator path's triples table does not
             triples_dc = checkpoint_stage(spark, triples_dc, ckpt,
-                                          "triples_dc")
+                                          "triples_dc", counters=counters)
         # the exposed triples table matches the operator path's schema;
         # the _dc annotations are internal to fused canonicalization
         triples = triples_dc.drop("subj_dc", "obj_dc")
@@ -153,7 +175,8 @@ def run_pipeline(
         tagged = pages.select(
             "url", "lang", tag_udf(F.col("text")).alias("tokens"))
         if ckpt:
-            tagged = checkpoint_stage(spark, tagged, ckpt, "tagged")
+            tagged = checkpoint_stage(spark, tagged, ckpt, "tagged",
+                                      counters=counters)
         else:
             # the tagged table feeds three downstream branches (spans,
             # triples' verb lookup, linking); without materialization
@@ -163,13 +186,15 @@ def run_pipeline(
         tokens = explode_tokens(tagged)
         mentions = assemble_spans(tokens)
         if ckpt:
-            mentions = checkpoint_stage(spark, mentions, ckpt, "mentions")
+            mentions = checkpoint_stage(spark, mentions, ckpt, "mentions",
+                                        counters=counters)
         else:
             mentions = mentions.persist()
 
         triples = extract_triples(mentions, tokens)
         if ckpt:
-            triples = checkpoint_stage(spark, triples, ckpt, "triples")
+            triples = checkpoint_stage(spark, triples, ckpt, "triples",
+                                       counters=counters)
 
     if fused and not ckpt:
         # materialize the docs cache with ONE scan before the graph
@@ -186,9 +211,12 @@ def run_pipeline(
     links, entities, mapping = (
         graph["links"], graph["entities"], graph["mapping"])
     if ckpt:
-        links = checkpoint_stage(spark, links, ckpt, "links")
-        entities = checkpoint_stage(spark, entities, ckpt, "entities")
-        mapping = checkpoint_stage(spark, mapping, ckpt, "mapping")
+        links = checkpoint_stage(spark, links, ckpt, "links",
+                                 counters=counters)
+        entities = checkpoint_stage(spark, entities, ckpt, "entities",
+                                    counters=counters)
+        mapping = checkpoint_stage(spark, mapping, ckpt, "mapping",
+                                   counters=counters)
     elif not fused:
         mapping = mapping.persist()  # joined twice (subj + obj sides)
 
@@ -201,7 +229,8 @@ def run_pipeline(
     else:
         canon = canonicalize_triples(triples, mapping)
     if ckpt:
-        canon = checkpoint_stage(spark, canon, ckpt, "canonical_triples")
+        canon = checkpoint_stage(spark, canon, ckpt, "canonical_triples",
+                                 counters=counters)
 
     extra = {}
     if not ckpt:
@@ -213,10 +242,21 @@ def run_pipeline(
         else:
             extra["caches"] = [tagged, mentions, mapping,
                                graph["links"]]
+    # rows_in per stage from the producing stage's rows_out (the
+    # first stage is a per-row map, so its rows_in == rows_out)
+    inputs = dict(_STAGE_INPUTS)
+    if not fused:
+        inputs.update(_STAGE_INPUTS_UNFUSED)
+    for st, c in counters.items():
+        src = inputs.get(st)
+        if src is None:
+            c["rows_in"] = c["rows_out"]
+        elif src in counters:
+            c["rows_in"] = counters[src]["rows_out"]
     return PipelineResult(
         tagged=tagged, tokens=tokens, mentions=mentions, triples=triples,
         links=links, entities=entities, mapping=mapping,
-        canonical_triples=canon, extra=extra,
+        canonical_triples=canon, extra=extra, counters=counters,
     )
 
 
