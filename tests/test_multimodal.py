@@ -20,9 +20,21 @@ def test_feature_extraction_shape_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
-def test_decode_stub_raises():
+def test_declared_stubs_raise():
+    """Formats needing external codecs stay declared stubs; unknown
+    bytes are a ValueError, not a silent fake."""
+    from tildener_spark.operators.multimodal import (
+        decode_audio, decode_video)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"fLaC....")
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42")
+    with pytest.raises(ValueError):
+        decode_image(b"not an image")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG")  # bad signature tail -> not a PNG
 
 
 def test_frame_sample_plan(spark):

@@ -2,12 +2,18 @@
 
 Training-data pipelines carry media as opaque ``binary`` columns with
 typed metadata; the Spark-side contract — schema, partitioning, Arrow
-batch shape, UDF signatures — is real and tested here, while the
-actual codec work is stubbed (no image/audio libraries in this
-container): ``decode_image``/``decode_audio`` raise
-NotImplementedError unless a library import succeeds, and
-``fake_decode=True`` substitutes a deterministic fake whose outputs
-are pure functions of the payload bytes (so tests are stable).
+batch shape, UDF signatures — is real and tested here.  The decode
+layer is split by what the container can honestly do:
+
+  * PNG and WAV/PCM decode for REAL through the pure-stdlib codecs in
+    :mod:`tildener_spark.functions.codecs` (zlib + struct) — the
+    non-fake feature/resize paths run end to end on them;
+  * JPEG / compressed audio / video containers raise a declared
+    ``NotImplementedError`` (they require external codecs absent in
+    this environment);
+  * ``fake_decode=True`` substitutes a deterministic fake whose
+    outputs are pure functions of the payload bytes, for plumbing
+    tests independent of any format.
 
 At 100 TB the rules encoded here are the load-bearing part:
   * media stays ``binary`` end to end; nothing ever collects to the
@@ -27,6 +33,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+from tildener_spark.functions import codecs
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
@@ -48,21 +56,42 @@ FEATURE_SCHEMA = T.StructType([
 FEATURE_DIM = 16
 
 
-def _try_import_codecs():
-    try:  # pragma: no cover - not present in this container
-        import PIL.Image  # noqa: F401
-        return True
-    except Exception:
-        return False
+def decode_image(payload: bytes) -> np.ndarray:
+    """Binary payload -> (H, W, C) uint8 pixels.
 
-
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real decode path; requires an imaging library."""
-    if not _try_import_codecs():
+    PNG decodes for real (stdlib zlib, functions/codecs.py); JPEG is
+    the declared stub — it needs an external codec this container
+    does not have."""
+    raw = bytes(payload or b"")
+    if raw.startswith(codecs.PNG_SIG):
+        return codecs.decode_png(raw)
+    if raw[:2] == b"\xff\xd8":  # pragma: no cover - declared stub
         raise NotImplementedError(
-            "image decoding requires PIL/opencv (absent in this env); "
-            "use fake_decode=True for plumbing tests")
-    raise NotImplementedError("wire to PIL.Image.open when available")
+            "JPEG decoding requires PIL/opencv (absent in this env); "
+            "use PNG payloads or fake_decode=True")
+    raise ValueError("unrecognized image format")
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Binary payload -> ((frames, channels) int16, sample_rate).
+
+    WAV/PCM decodes for real (functions/codecs.py); compressed audio
+    is the declared stub."""
+    raw = bytes(payload or b"")
+    if raw[:4] == b"RIFF":
+        return codecs.decode_wav(raw)
+    if raw[:4] in (b"fLaC", b"OggS") or raw[:3] == b"ID3":
+        raise NotImplementedError(  # pragma: no cover - declared stub
+            "compressed audio requires an external codec (absent in "
+            "this env); use WAV payloads or fake_decode=True")
+    raise ValueError("unrecognized audio format")
+
+
+def decode_video(payload: bytes):  # pragma: no cover - declared stub
+    """Video containers always need ffmpeg-class codecs."""
+    raise NotImplementedError(
+        "video decoding requires ffmpeg (absent in this env); "
+        "use frame_sample_plan + fake_decode for plumbing tests")
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -72,19 +101,59 @@ def _fake_features(payload: bytes) -> list[float]:
     return (arr.astype(np.float32) / 65535.0).tolist()
 
 
+def _pad16(vals: list[float]) -> list[float]:
+    out = [float(min(1.0, max(0.0, v))) for v in vals[:FEATURE_DIM]]
+    return out + [0.0] * (FEATURE_DIM - len(out))
+
+
+def _real_features(payload: bytes, media_type: str) -> list[float]:
+    """Content features from a REAL decode (PNG / WAV payloads).
+
+    Layout (all clipped to [0, 1]): [is_image, is_audio, dims/rate
+    scalars, channel count, global stats, per-channel stats, pad]."""
+    if media_type == "image":
+        img = decode_image(payload)
+        h, w, c = img.shape
+        x = img.astype(np.float32) / 255.0
+        ch = x.reshape(-1, c)
+        means, stds = ch.mean(axis=0), ch.std(axis=0)
+        return _pad16(
+            [1.0, 0.0, min(w / 4096, 1.0), min(h / 4096, 1.0), c / 4.0,
+             float(x.mean()), float(x.std())]
+            + list(means[:4]) + list(stds[:4]))
+    if media_type == "audio":
+        frames, rate = decode_audio(payload)
+        x = frames.astype(np.float32) / 32768.0
+        mono = x.mean(axis=1) if x.size else np.zeros(1, np.float32)
+        zcr = (float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+               if len(mono) > 1 else 0.0)
+        return _pad16(
+            [0.0, 1.0, min(rate / 48000, 1.0),
+             min(len(mono) / max(rate, 1) / 60.0, 1.0),
+             frames.shape[1] / 4.0,
+             float(np.sqrt(np.mean(mono ** 2))),  # rms
+             float(np.abs(mono).max()),
+             float(np.abs(mono).mean()), zcr])
+    return decode_video(payload)  # declared stub
+
+
 def extract_media_features(media: DataFrame,
                            fake_decode: bool = True) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads."""
+    """mapInPandas feature extraction over binary payloads.
+
+    ``fake_decode=False`` runs the real codecs — PNG images and WAV
+    audio produce content features; video (and JPEG/compressed audio)
+    raise the declared NotImplementedError, so filter those rows out
+    or route them to the fake path upstream."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             feats = []
-            for p in payloads:
+            for p, mt in zip(payloads, pdf["media_type"]):
                 raw = bytes(p) if p is not None else b""
-                if not fake_decode:
-                    decode_image(raw)  # raises NotImplementedError
-                feats.append(_fake_features(raw))
+                feats.append(_fake_features(raw) if fake_decode
+                             else _real_features(raw, mt))
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "media_type": pdf["media_type"],
@@ -101,18 +170,36 @@ def extract_media_features(media: DataFrame,
 
 def synthetic_media(spark: SparkSession, n: int = 64,
                     seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table: REAL payloads (PNG pixels / WAV PCM
+    via functions/codecs.py) for image and audio rows — so the
+    non-fake decode paths are exercisable — and an opaque blob for
+    video (whose decode is the declared stub)."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}|{i}".encode()).digest() * (
-            (i % 7) + 1)
+        digest = hashlib.sha256(f"{seed}|{i}".encode()).digest()
         mt = ["image", "audio", "video"][i % 3]
-        rows.append((
-            i, mt, bytearray(payload),
-            64 + i % 512 if mt == "image" else None,
-            64 + (i * 3) % 512 if mt == "image" else None,
-            1000 + i * 37 if mt != "image" else None,
-        ))
+        w = h = dur = None
+        if mt == "image":
+            w, h = 64 + i % 512, 64 + (i * 3) % 512
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w),
+                                 indexing="ij")
+            img = np.stack([
+                (xx * (digest[0] + 1)) % 256,
+                (yy * (digest[1] + 1)) % 256,
+                (xx + yy + digest[2]) % 256,
+            ], axis=-1).astype(np.uint8)
+            payload = codecs.encode_png(img)
+        elif mt == "audio":
+            dur, rate = 1000 + i * 37, 8000
+            t = np.arange(rate * dur // 1000, dtype=np.float32)
+            freq = 110.0 + digest[3] * 4
+            wave = np.sin(2 * np.pi * freq * t / rate) * (
+                8000 + digest[4] * 64)
+            payload = codecs.encode_wav(wave.astype(np.int16), rate)
+        else:
+            dur = 1000 + i * 37
+            payload = digest * ((i % 7) + 1)
+        rows.append((i, mt, bytearray(payload), w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -126,17 +213,26 @@ RESIZE_SCHEMA = T.StructType([
 ])
 
 
+def _clamp_geometry(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving clamp of the longer side to ``max_side``."""
+    if max(w, h) > max_side and max(w, h) > 0:
+        scale = max_side / max(w, h)
+        return max(1, round(w * scale)), max(1, round(h * scale))
+    return w, h
+
+
 def resize_images(media: DataFrame, max_side: int = 256,
                   fake_decode: bool = True) -> DataFrame:
-    """mapInPandas image resize plumbing.
+    """mapInPandas image resize.
 
-    Geometry (aspect-preserving clamp of the longer side to
-    ``max_side``) is computed for real from the metadata columns; the
-    pixel work is the stubbed decode (``fake_decode=True`` emits a
-    deterministic payload: sha256 of the input keyed by the target
-    geometry, so tests are stable and re-runs idempotent).  The batch
-    shape — one Arrow batch of many blobs per invocation, codec state
-    loadable once per worker — is the real contract."""
+    ``fake_decode=False`` is the real path: decode PNG pixels, take
+    geometry from the DECODED dimensions, nearest-neighbor resample,
+    re-encode PNG.  ``fake_decode=True`` computes geometry from the
+    metadata columns and emits a deterministic payload (sha256 of the
+    input keyed by the target geometry) so plumbing tests are stable
+    for formats without a stdlib codec.  The batch shape — one Arrow
+    batch of many blobs per invocation, codec state loadable once per
+    worker — is the same contract either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,24 +240,30 @@ def resize_images(media: DataFrame, max_side: int = 256,
                                    "orig_height", "new_width",
                                    "new_height", "payload")}
             for _, row in pdf.iterrows():
-                w = int(row["width"] or 0)
-                h = int(row["height"] or 0)
-                if max(w, h) > max_side and max(w, h) > 0:
-                    scale = max_side / max(w, h)
-                    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
-                else:
-                    nw, nh = w, h
                 raw = bytes(row["payload"] or b"")
-                if not fake_decode:
-                    decode_image(raw)  # raises NotImplementedError
-                fake = hashlib.sha256(
-                    raw + f"|{nw}x{nh}".encode()).digest()
+                if fake_decode:
+                    w = int(row["width"] or 0)
+                    h = int(row["height"] or 0)
+                    nw, nh = _clamp_geometry(w, h, max_side)
+                    payload = hashlib.sha256(
+                        raw + f"|{nw}x{nh}".encode()).digest()
+                else:
+                    img = decode_image(raw)
+                    h, w = img.shape[:2]
+                    nw, nh = _clamp_geometry(w, h, max_side)
+                    ys = np.minimum(
+                        (np.arange(nh) * (h / nh)).astype(np.int64),
+                        h - 1)
+                    xs = np.minimum(
+                        (np.arange(nw) * (w / nw)).astype(np.int64),
+                        w - 1)
+                    payload = codecs.encode_png(img[ys][:, xs])
                 out["asset_id"].append(row["asset_id"])
                 out["orig_width"].append(w)
                 out["orig_height"].append(h)
                 out["new_width"].append(nw)
                 out["new_height"].append(nh)
-                out["payload"].append(fake)
+                out["payload"].append(payload)
             yield pd.DataFrame(out)
 
     return media.filter(media.media_type == "image") \
