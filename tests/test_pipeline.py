@@ -77,11 +77,23 @@ def test_materialize_graph(spark, tmp_path):
     pages, *_ = split_gold(corpus)
     res = run_pipeline(spark, pages, gazetteer_df(spark), EngineConfig())
     paths = materialize(res, str(tmp_path / "graph"), buckets=4)
+    assert paths["format"] == "parquet"
     nodes = spark.read.parquet(paths["nodes"])
     edges = spark.read.parquet(paths["edges"])
     assert nodes.count() > 0 and edges.count() > 0
     assert "bucket" in nodes.columns and "bucket" in edges.columns
     assert edges.filter(F.col("n_evidence") < 1).count() == 0
+
+    # table_format switch (EngineConfig.table_format): the same writer
+    # emits any DataFrameWriter format — orc is bundled in Spark, so it
+    # stands in for iceberg (whose runtime jar this sandbox lacks).
+    paths_orc = materialize(res, str(tmp_path / "graph_orc"),
+                            buckets=4, fmt="orc")
+    nodes_orc = spark.read.format("orc").load(paths_orc["nodes"])
+    edges_orc = spark.read.format("orc").load(paths_orc["edges"])
+    assert nodes_orc.count() == nodes.count()
+    assert edges_orc.count() == edges.count()
+    assert sorted(nodes_orc.columns) == sorted(nodes.columns)
 
 
 def test_reextract_matches_embedded_text(spark):

@@ -87,6 +87,10 @@ class EngineConfig:
     salt_buckets: int = 16
     # Deterministic seed for anything sampled.
     seed: int = 42
+    # DataFrameWriter format for graph materialization ("parquet",
+    # "orc", or "iceberg" when its runtime jar is on the classpath;
+    # operators/graph.py materialize_graph).
+    table_format: str = "parquet"
     # Where stage checkpoints go (per-stage parquet + _lineage rows).
     checkpoint_dir: str | None = None
     # >1: the expensive per-document UDF stage checkpoints as this

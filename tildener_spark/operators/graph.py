@@ -16,9 +16,11 @@ is deterministic.
 Materialization writes ``nodes`` / ``edges`` parquet tables
 repartitioned by a bucket of the canonical id — the layout a
 1000-executor consumer would want (co-located adjacency, no
-read-side shuffle for per-entity queries).  With an Iceberg catalog
-configured the same writer degrades to ``format("iceberg")``; plain
-parquet keeps this sandbox dependency-free.
+read-side shuffle for per-entity queries).  The writer format is a
+parameter (``materialize_graph(..., fmt=cfg.table_format)``): with
+an Iceberg runtime on the classpath the same writer emits
+``format("iceberg")``; plain parquet keeps this sandbox
+dependency-free (parquet + orc paths are tested).
 """
 
 from __future__ import annotations
@@ -344,8 +346,19 @@ def canonicalize_triples_fused(triples_dc: DataFrame,
 
 
 def materialize_graph(entities: DataFrame, canon_triples: DataFrame,
-                      out_dir: str, buckets: int = 64) -> dict:
-    """Write partitioned nodes/edges tables; returns paths."""
+                      out_dir: str, buckets: int = 64,
+                      fmt: str = "parquet") -> dict:
+    """Write partitioned nodes/edges tables; returns paths.
+
+    ``fmt`` selects the DataFrameWriter format (EngineConfig.
+    table_format).  Path-managed formats (parquet/orc) get hive-style
+    ``bucket=`` partition directories via ``partitionBy``; ``iceberg``
+    targets a Hadoop table at the path, whose own partition spec
+    governs layout (Iceberg rejects writer-side partitionBy), so the
+    explicit repartition still co-locates rows but directory fan-out
+    is the table's concern.  The sandbox has no Iceberg runtime jar;
+    parquet/orc are exercised in tests/test_pipeline.py.
+    """
     nodes = entities.withColumn(
         "bucket", F.pmod(F.hash("canonical"), F.lit(buckets)))
     edges = (
@@ -361,8 +374,9 @@ def materialize_graph(entities: DataFrame, canon_triples: DataFrame,
     )
     nodes_path = f"{out_dir}/nodes"
     edges_path = f"{out_dir}/edges"
-    nodes.repartition("bucket").write.mode("overwrite") \
-        .partitionBy("bucket").parquet(nodes_path)
-    edges.repartition("bucket").write.mode("overwrite") \
-        .partitionBy("bucket").parquet(edges_path)
-    return {"nodes": nodes_path, "edges": edges_path}
+    for df, path in ((nodes, nodes_path), (edges, edges_path)):
+        w = df.repartition("bucket").write.mode("overwrite").format(fmt)
+        if fmt != "iceberg":
+            w = w.partitionBy("bucket")
+        w.save(path)
+    return {"nodes": nodes_path, "edges": edges_path, "format": fmt}

@@ -261,6 +261,6 @@ def run_pipeline(
 
 
 def materialize(result: PipelineResult, out_dir: str,
-                buckets: int = 64) -> dict:
+                buckets: int = 64, fmt: str = "parquet") -> dict:
     return materialize_graph(result.entities, result.canonical_triples,
-                             out_dir, buckets)
+                             out_dir, buckets, fmt=fmt)
