@@ -80,43 +80,57 @@ def main() -> None:
         # 5-8x neighbor-load episodes (measured 9.7s vs 88.6s for the
         # SAME code+input in one day) — keep trialing until the two
         # fastest agree within 20%, capped at max_trials
+        from tildener_spark.session import noise_probe
         times: list[float] = []
+        probes: list[dict] = []
         max_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
         while len(times) < max_trials:
             spark.catalog.clearCache()
+            pr0 = noise_probe()
             t0 = time.perf_counter()
             res = run_pipeline(spark, pages, gaz, EngineConfig())
             res.canonical_triples.count()
             times.append(time.perf_counter() - t0)
+            pr1 = noise_probe()
+            probes.append({k: max(pr0[k], pr1[k]) for k in pr0})
             if (len(times) >= 2
                     and sorted(times)[1] <= min(times) * 1.2):
                 break
         kg_sec = min(times)
+        kg_probe = probes[times.index(kg_sec)]
         kg_trials = len(times)
         timings["kg_pipeline"] = round(kg_sec, 3)
         spark.catalog.clearCache()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # best-of-2 per query: the shared-VM host contends the 32-thread
+    # stages even when a single-thread probe reads near-idle (round 3
+    # measured the same q21 run at 8.1 s and 44.7 s back-to-back), so
+    # a single-shot timing is a coin flip on the host, not the plan
+    def timed(fn) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        return round(best, 3)
+
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        n = queries[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        timings[name] = timed(lambda: queries[name](spark, SF_DIR).count())
 
     # ANN scale path over the embeddings table — same (n_bits,
     # n_tables) operating point as the recall@5 >= 0.8 gate in
     # tests/test_similarity.py, so the benched config is the gated one
-    t0 = time.perf_counter()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    lsh_topk(emb, k=5, n_bits=5, n_tables=24).count()
-    timings["q21_lsh_topk"] = round(time.perf_counter() - t0, 3)
+    timings["q21_lsh_topk"] = timed(
+        lambda: lsh_topk(emb, k=5, n_bits=5, n_tables=24).count())
 
     # LSH-bucketed embedding near-dup (scale sibling of the exact q19)
-    t0 = time.perf_counter()
-    similarity.embedding_near_duplicates_lsh(emb, threshold=0.45,
-                                             n_bits=5, n_tables=24).count()
-    timings["q19b_neardup_lsh"] = round(time.perf_counter() - t0, 3)
+    timings["q19b_neardup_lsh"] = timed(
+        lambda: similarity.embedding_near_duplicates_lsh(
+            emb, threshold=0.45, n_bits=5, n_tables=24).count())
 
     total = round(sum(timings.values()), 3)
     docs_per_hour = round(N_DOCS / kg_sec * 3600, 1)
@@ -129,6 +143,7 @@ def main() -> None:
         "docs_per_hour": docs_per_hour,
         "kg_docs": N_DOCS,
         "kg_trials": kg_trials,
+        **kg_probe,
         "cpus": CPUS,
     }))
     spark.stop()

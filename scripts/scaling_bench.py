@@ -34,6 +34,7 @@ def worker(cpus: int, pages_path: str) -> None:
     from tildener_spark.config import EngineConfig
     from tildener_spark.datagen import gazetteer_df, pages_df
     from tildener_spark.plans.pipeline import run_pipeline
+    from tildener_spark.session import noise_probe as _noise_probe
 
     spark = get_spark(app_name=f"scaling-{cpus}",
                       master=f"local[{cpus}]",
@@ -52,19 +53,25 @@ def worker(cpus: int, pages_path: str) -> None:
     spark.catalog.clearCache()
 
     best = None
+    best_probe = {}
     n = 0
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     for _trial in range(trials):  # best-of-N: single-trial variance on
         # this box is up to ~30% (shared VM host)
+        pr0 = _noise_probe()
         t0 = time.perf_counter()
         res = run_pipeline(spark, pages, gaz, EngineConfig())
         n = res.canonical_triples.count()
         sec = time.perf_counter() - t0
-        best = sec if best is None else min(best, sec)
+        pr1 = _noise_probe()
+        if best is None or sec < best:
+            best = sec
+            best_probe = {k: max(pr0[k], pr1[k]) for k in pr0}
         spark.catalog.clearCache()
     print(json.dumps({
         "cpus": cpus, "sec": round(best, 2), "n_triples": n,
         "docs_per_hour": round(N_DOCS / best * 3600, 1),
+        **best_probe,
     }))
     spark.stop()
 
@@ -162,14 +169,14 @@ same pre-materialized
 cores (the sandbox stand-in for N vs 4N executors per task
 instructions: no real cluster exists here).
 
-Round 2 made the linking stage affordable enough to default on:
-numpy-batched minhash banding + tensor-batched Jaro-Winkler
-(operators/linking.py), size-adaptive driver union-find in connected
-components with a one-directional edge cache (operators/components.py),
-and one-scan materialization of the docs cache before the graph stage
-(plans/pipeline.py).  The stage's residual cost is a few seconds of
-fixed job latency plus one extra scan of the docs cache for the
-surface vocabulary — both amortize with corpus size.
+Round 2 made the linking stage affordable enough to default on
+(numpy-batched minhash banding + tensor-batched Jaro-Winkler,
+size-adaptive driver union-find, one-scan docs-cache
+materialization); round 3 removed the per-token/mention/triple
+Python dict churn from the fused Arrow pass (columnar TokenTable +
+memoized per-raw-token analysis, operators/tokenize.py) — the
+allocation traffic the round-2 bandwidth analysis named as the
+scaling ceiling.
 
 | config | wall sec | docs/hour |
 |---|---|---|
@@ -177,7 +184,8 @@ surface vocabulary — both amortize with corpus size.
 | local[{CORES_4N}] (4N cores) | {results[CORES_4N]['sec']} | {thr_4n:,.0f} |
 {max_rows}
 **Scaling efficiency = (thr_4N / thr_N) / 4 = {eff:.3f}**
-(target ≥ 0.8 — {"PASS" if eff >= 0.8 else "FAIL"})
+(target ≥ 0.8 — {"PASS" if eff >= 0.8 else "FAIL"});
+per-sweep (single-load-window) ratios: {per_sweep}
 
 ## Why N=2 vs 4N=8 (and not 8 vs 32) on this box
 
@@ -207,12 +215,19 @@ document-local stage (operators/document.py).
 ## Measurement discipline
 
 This 32-vCPU box is a shared VM: single-trial wall times vary up to
-±30% (occasionally 2×).  Every number above is best-of-
-{os.environ.get('SPARK_GRAFT_TRIALS', '3')} on an otherwise-idle
-machine; bench.py measures the KG stage FIRST in a clean session
-(measuring it after the query set inflates it 2-4× from heap/cache
-pollution) with a 24g driver heap (an 8g heap GC-thrashes at 48k
-docs: 52.9 s vs ~11 s for the same run).
+±30% routinely, and neighbor-load episodes degrade the whole box
+2-8× for tens of minutes (round 3 measured the same local[32] run
+at 25.2 s and 61.7 s within fifteen minutes).  Mitigations: the
+sweep INTERLEAVES one trial per parallelism level per pass, so each
+sweep's N:4N ratio comes from a single load window (running all
+trials of one level back-to-back let a window boundary fall between
+levels and contaminate a round-2 ratio to 0.758 vs the clean 0.843);
+the headline efficiency uses per-level best across {sweeps} sweeps,
+with the per-sweep ratios above as the consistency check.  bench.py
+measures the KG stage FIRST in a clean session (measuring it after
+the query set inflates it 2-4× from heap/cache pollution) with a
+24g driver heap (an 8g heap GC-thrashes at 48k docs: 52.9 s vs
+~11 s for the same run).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -59,3 +59,30 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
+
+
+def noise_probe() -> dict:
+    """Host-contention index for benchmark tagging: two fixed
+    single-thread workloads timed — a pure-CPU int loop (sensitive to
+    hypervisor CPU steal) and a 64 MB md5 stream (sensitive to
+    memory-subsystem contention).  This sandbox is a shared VM where
+    identical Spark runs measure 2-8x apart during neighbor-load
+    episodes (round 3: 63 s vs 171 s within twenty minutes); bench
+    harnesses record these probe times next to each wall number so an
+    inflated measurement is attributable to host state rather than a
+    code regression.  Calibration idle: cpu ~110 ms, mem ~110 ms."""
+    import hashlib
+    import time as _time
+    t0 = _time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    cpu_ms = (_time.perf_counter() - t0) * 1000
+    buf = b"\xa5" * (1 << 20)
+    t0 = _time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(buf)
+    mem_ms = (_time.perf_counter() - t0) * 1000
+    return {"probe_cpu_ms": round(cpu_ms, 1),
+            "probe_mem_ms": round(mem_ms, 1)}
