@@ -39,6 +39,8 @@ reference's own sort at NERefinements.pm:582).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -49,6 +51,7 @@ _OPEN = "([{"
 _CLOSE = ")]}"
 _PAIR = {"(": ")", "[": "]", "{": "}"}
 _QUOTES = "\"«»„“”"
+_BRACKETY = re.compile("[%s]" % re.escape(_OPEN + _CLOSE + _QUOTES))
 
 
 # --------------------------------------------------------------- helpers
@@ -59,7 +62,9 @@ def _spans(tags: list[str]) -> list[tuple[int, int, str]]:
     i, n = 0, len(tags)
     while i < n:
         tag = tags[i]
-        if tag.startswith("B-"):
+        # label space is closed (BIO_LABELS): first-char dispatch is
+        # exact here
+        if tag[0] == "B":
             t = tag[2:]
             want = "I-" + t
             j = i
@@ -102,6 +107,10 @@ def _unbalance(text: str) -> tuple[int, list[str]]:
     unmatched opener/closer counts 1, quote marks count by parity
     (:726-734 drop rule counts total unbalanced >= 2).
     """
+    if _BRACKETY.search(text) is None:
+        # fast path: most span surfaces carry no bracket/quote chars
+        # at all — one C-level scan instead of 15 .count() passes
+        return 0, []
     offenders: list[str] = []
     for o in _OPEN:
         c = _PAIR[o]
