@@ -114,8 +114,9 @@ def run_pipeline(
     links = surfaces = hub_pairs = None
     if fused:
         doc_udf = make_process_document_udf(gaz_rows, cfg, initialisms)
-        docs = pages.select(
+        docs_full = pages.select(
             "url", "lang", doc_udf(F.col("text")).alias("doc"))
+        docs = docs_full
         if ckpt:
             # one checkpoint covers all four document-local outputs;
             # downstream stage tables are narrow re-projections of it.
@@ -129,14 +130,25 @@ def run_pipeline(
                 slices=cfg.checkpoint_slices, slice_key="url",
                 counters=counters)
         else:
-            # cache the whole doc struct: Spark's in-memory cache
-            # stores nested types as opaque row bytes, so caching the
-            # full struct is as cheap to build as any subset and the
-            # narrow downstream projections read it directly (an A/B
-            # of full-struct vs mentions/triples/links-only caching
-            # measured the full struct faster on BOTH build and read)
-            docs = docs.persist()
-        tagged = docs.select(
+            # cache a SLIM struct — everything downstream of the graph
+            # stage reads (mentions/triples/links/surfaces/hub_pairs)
+            # but NOT tokens, which are ~40% of the serialized bytes
+            # and are consumed by no default-path consumer (the bench/
+            # scaling path ends at canonical triples).  Measured at
+            # 200k docs / local[32]: slim build 15.4 s vs full 25.9 s.
+            # ``tagged`` below stays a projection of the UNCACHED full
+            # plan, so a consumer that does want tokens re-runs the
+            # document UDF once for them — at scale that consumer
+            # should use checkpoint mode, where the full docs stage
+            # (tokens included) is committed to parquet and every
+            # projection reads it back without recompute.
+            docs = docs_full.select(
+                "url", "lang",
+                F.struct(
+                    "doc.mentions", "doc.triples", "doc.links",
+                    "doc.surfaces", "doc.hub_pairs").alias("doc"),
+            ).persist()
+        tagged = (docs if ckpt else docs_full).select(
             "url", "lang", F.col("doc.tokens").alias("tokens"))
         mentions = explode_docs(docs, "mentions")
         triples_dc = explode_docs(docs, "triples")
