@@ -100,6 +100,10 @@ def _classify_core(words: list[str], lows: list[str],
             tags[k] = f"I-{ne_type}"
             probs[k] = p
 
+    exact_get = gaz["exact"].get
+    lemma_get = gaz["lemma"].get
+    org_init = gaz["org_init"]
+
     i = 0
     while i < n:
         if tags[i] != "O":
@@ -107,27 +111,48 @@ def _classify_core(words: list[str], lows: list[str],
             continue
         w = words[i]
         matched = False
-        # 1/2: gazetteer longest match, exact then lemma level
-        for index, key, p in (
-            (gaz["exact"], w, P_EXACT),
-            (gaz["lemma"], lows[i], P_LEMMA),
-        ):
-            for toks, ne_type in index.get(key, ()):
+        # 1/2: gazetteer longest match, exact then lemma level.  The
+        # two levels are unrolled (no per-token index/level tuple
+        # scaffolding — this loop runs once per token of the corpus);
+        # single-token entries need no slice compare: the index key IS
+        # the one token and tags[i] == "O" held at loop entry.
+        hit = exact_get(w)
+        if hit is not None:
+            for toks, ne_type in hit:
                 m = len(toks)
+                if m == 1:
+                    set_span(i, i, ne_type, P_EXACT)
+                    i += 1
+                    matched = True
+                    break
                 if m > _MAX_GAZ_TOKENS or i + m > n:
                     continue
-                cand = (
-                    words[i:i + m] if p == P_EXACT else lows[i:i + m]
-                )
-                if tuple(cand) == toks and all(
+                if tuple(words[i:i + m]) == toks and all(
                     t == "O" for t in tags[i:i + m]
                 ):
-                    set_span(i, i + m - 1, ne_type, p)
+                    set_span(i, i + m - 1, ne_type, P_EXACT)
                     i += m
                     matched = True
                     break
-            if matched:
-                break
+        if not matched:
+            hit = lemma_get(lows[i])
+            if hit is not None:
+                for toks, ne_type in hit:
+                    m = len(toks)
+                    if m == 1:
+                        set_span(i, i, ne_type, P_LEMMA)
+                        i += 1
+                        matched = True
+                        break
+                    if m > _MAX_GAZ_TOKENS or i + m > n:
+                        continue
+                    if tuple(lows[i:i + m]) == toks and all(
+                        t == "O" for t in tags[i:i + m]
+                    ):
+                        set_span(i, i + m - 1, ne_type, P_LEMMA)
+                        i += m
+                        matched = True
+                        break
         if matched:
             continue
         # 3: honorific — Cap (Cap)? + kungs/kundze => PERS over the caps
@@ -140,7 +165,7 @@ def _classify_core(words: list[str], lows: list[str],
                 i = j + 2
                 continue
         # 4: ORG_INIT initialism + capitalized run (<=3) => ORG
-        if w in gaz["org_init"] and i + 1 < n and _is_cap(words[i + 1]):
+        if w in org_init and i + 1 < n and _is_cap(words[i + 1]):
             j = i + 1
             while j + 1 < n and _is_cap(words[j + 1]) and j - i < 3:
                 j += 1

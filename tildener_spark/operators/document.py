@@ -211,44 +211,29 @@ def doc_triples_py(mentions: list[Mention], tt: TokenTable,
 
 # --------------------------------------------------------------- links
 
-def doc_links_py(mentions: list[Mention], initialisms: frozenset[str],
-                 cfg: EngineConfig) -> list[tuple]:
-    """Within-document alias resolution, identical to
-    operators/linking.alias_links (containment-first scoring, JW only
-    for single-token typo variants, nearest-preceding tie-break,
-    per-alias majority).  Rows are (ne_type, alias, canonical, score)
-    tuples (LINK_STRUCT order)."""
-    occs = []
-    for m in mentions:
-        # dedup while preserving order: the DataFrame path's
-        # array_except dedups, so repeated tokens in a surface must
-        # not skew the len(toks) ordering filter here (row-level
-        # parity contract, ADVICE r01)
-        toks = list(dict.fromkeys(
-            t for t in m.surface.split(" ") if t not in initialisms))
-        if toks:
-            # (ne_type, surface, begin_tok, toks, tokset)
-            occs.append((m.ne_type, m.surface, m.begin_tok,
-                         toks, set(toks)))
-    if len(occs) < 2:
-        return []
-    best_rows: list[tuple] = []
-    for a_type, a_surf, a_begin, a_toks, a_set in occs:
+def _links_for_type(a_type: str, occs: list[tuple], cfg: EngineConfig,
+                    best_rows: list[tuple]) -> None:
+    """Best canonical per alias occurrence within one ne_type bucket.
+
+    Same pair predicate / scoring / tie-break as the pre-bucketed
+    all-mentions loop (the a_type != c_type arm is now structural)."""
+    typo_min = cfg.typo_min_score
+    for a_surf, a_begin, a_ntoks, a_toks, a_set in occs:
+        a_len = len(a_surf)
         best_key = None
         best = None
-        for c_type, c_surf, c_begin, c_toks, c_set in occs:
-            if (a_type != c_type
-                    or a_surf == c_surf
-                    or len(a_toks) > len(c_toks)
-                    or len(a_surf) >= len(c_surf)
+        for c_surf, c_begin, c_ntoks, _c_toks, c_set in occs:
+            if (a_surf == c_surf
+                    or a_ntoks > c_ntoks
+                    or a_len >= len(c_surf)
                     or not (a_set & c_set)):
                 continue
             if a_set <= c_set:
                 score = 0.95
-            elif len(a_toks) == 1 and len(c_toks) == 1:
+            elif a_ntoks == 1 and c_ntoks == 1:
                 score = jaro_winkler_py(
-                    a_toks[0].lower(), c_toks[0].lower())
-                if score < cfg.typo_min_score:
+                    a_toks[0].lower(), _c_toks[0].lower())
+                if score < typo_min:
                     continue
             else:
                 continue
@@ -260,6 +245,35 @@ def doc_links_py(mentions: list[Mention], initialisms: frozenset[str],
                 best = (a_type, a_surf, c_surf, score)
         if best is not None:
             best_rows.append(best)
+
+
+def doc_links_py(mentions: list[Mention], initialisms: frozenset[str],
+                 cfg: EngineConfig) -> list[tuple]:
+    """Within-document alias resolution, identical to
+    operators/linking.alias_links (containment-first scoring, JW only
+    for single-token typo variants, nearest-preceding tie-break,
+    per-alias majority).  Rows are (ne_type, alias, canonical, score)
+    tuples (LINK_STRUCT order)."""
+    # candidate pairs only ever form within one ne_type, so bucket by
+    # type up front: the scoring loop is quadratic per bucket instead
+    # of quadratic over the whole document's mentions
+    by_type: dict[str, list[tuple]] = {}
+    for m in mentions:
+        # dedup while preserving order: the DataFrame path's
+        # array_except dedups, so repeated tokens in a surface must
+        # not skew the len(toks) ordering filter here (row-level
+        # parity contract, ADVICE r01)
+        toks = list(dict.fromkeys(
+            t for t in m.surface.split(" ") if t not in initialisms))
+        if toks:
+            # (surface, begin_tok, n_toks, toks, tokset)
+            by_type.setdefault(m.ne_type, []).append(
+                (m.surface, m.begin_tok, len(toks), toks, set(toks)))
+    best_rows: list[tuple] = []
+    for a_type, occs in by_type.items():
+        if len(occs) < 2:
+            continue
+        _links_for_type(a_type, occs, cfg, best_rows)
     # per-(type, alias) majority over occurrences; tie -> max score,
     # then lexicographic canonical
     agg: dict[tuple, dict[str, list]] = {}

@@ -57,23 +57,29 @@ _BRACKETY = re.compile("[%s]" % re.escape(_OPEN + _CLOSE + _QUOTES))
 # --------------------------------------------------------------- helpers
 
 def _spans(tags: list[str]) -> list[tuple[int, int, str]]:
-    """(start_idx, end_idx, ne_type) for each B-X (I-X)* run."""
+    """(start_idx, end_idx, ne_type) for each B-X (I-X)* run.
+
+    Single enumerate pass (no per-position slicing/indexing): a run
+    opens on B-X, extends on exact I-X, closes on anything else.
+    Orphan I tags (no open matching run) are not spans — identical to
+    the two-level scan this replaced.  Label space is closed
+    (BIO_LABELS), so first-char dispatch is exact here."""
     spans = []
-    i, n = 0, len(tags)
-    while i < n:
-        tag = tags[i]
-        # label space is closed (BIO_LABELS): first-char dispatch is
-        # exact here
+    append = spans.append
+    start = -1
+    cur_t = want = ""
+    for i, tag in enumerate(tags):
         if tag[0] == "B":
-            t = tag[2:]
-            want = "I-" + t
-            j = i
-            while j + 1 < n and tags[j + 1] == want:
-                j += 1
-            spans.append((i, j, t))
-            i = j + 1
-        else:
-            i += 1
+            if start >= 0:
+                append((start, i - 1, cur_t))
+            cur_t = tag[2:]
+            want = "I" + tag[1:]
+            start = i
+        elif start >= 0 and tag != want:
+            append((start, i - 1, cur_t))
+            start = -1
+    if start >= 0:
+        append((start, len(tags) - 1, cur_t))
     return spans
 
 

@@ -223,15 +223,18 @@ def tokenize_table(text: str | None) -> TokenTable:
     tt = TokenTable()
     if not text:
         return tt
-    sent_ids = tt.sent_id
-    toks_out = tt.token
-    pos_out = tt.pos
-    lemma_out = tt.lemma
-    morpho_out = tt.morpho
-    lf_out = tt.line_from
-    cf_out = tt.col_from
-    lt_out = tt.line_to
-    ct_out = tt.col_to
+    # bound-method appends: the loop body runs once per token of the
+    # corpus, and attribute lookups per append are measurable there
+    sent_ids = tt.sent_id.append
+    toks_out = tt.token.append
+    pos_out = tt.pos.append
+    lemma_out = tt.lemma.append
+    morpho_out = tt.morpho.append
+    lf_out = tt.line_from.append
+    cf_out = tt.col_from.append
+    lt_out = tt.line_to.append
+    ct_out = tt.col_to.append
+    ws_split = _WS.split
     sent_id = 0
     sent_open = False  # tokens emitted in current sentence?
     prev_line = None
@@ -244,25 +247,26 @@ def tokenize_table(text: str | None) -> TokenTable:
             sent_open = False
         prev_line = line_no
         cursor = 0
-        for raw in _WS.split(line):
+        find = line.find
+        for raw in ws_split(line):
             if not raw:
                 continue
             for tok, pos, lemma, morpho in _analyze_raw(raw):
                 # first-match cursor advance (NEPreprocess.pm:391-399)
-                start = line.find(tok, cursor)
+                start = find(tok, cursor)
                 if start < 0:  # defensive; cannot happen for our splitter
                     start = cursor
                 end = start + len(tok) - 1
                 cursor = end + 1
-                sent_ids.append(sent_id)
-                toks_out.append(tok)
-                pos_out.append(pos)
-                lemma_out.append(lemma)
-                morpho_out.append(morpho)
-                lf_out.append(line_no)
-                cf_out.append(start)
-                lt_out.append(line_no)
-                ct_out.append(end)
+                sent_ids(sent_id)
+                toks_out(tok)
+                pos_out(pos)
+                lemma_out(lemma)
+                morpho_out(morpho)
+                lf_out(line_no)
+                cf_out(start)
+                lt_out(line_no)
+                ct_out(end)
                 sent_open = True
                 if pos == "SENT":
                     sent_id += 1
