@@ -145,12 +145,17 @@ def doc_mentions_py(tt: TokenTable) -> list[Mention]:
     out: list[Mention] = []
     tags = tt.ne_tag
     probs = tt.ne_prob
+    sent_ids = tt.sent_id
+    line_from, col_from = tt.line_from, tt.col_from
+    line_to, col_to = tt.line_to, tt.col_to
+    tokens, lemmas = tt.token, tt.lemma
     n = len(tags)
     span_id = 0
     i = 0
     while i < n:
         tag = tags[i]
-        if not tag.startswith("B-"):
+        # label space is closed (BIO_LABELS): first-char dispatch
+        if tag[0] != "B":
             i += 1
             continue
         span_id += 1
@@ -161,11 +166,11 @@ def doc_mentions_py(tt: TokenTable) -> list[Mention]:
             j += 1
         seg = probs[i:j + 1]
         out.append(Mention(
-            span_id, tt.sent_id[i], i, j,
-            tt.line_from[i], tt.col_from[i],
-            tt.line_to[j], tt.col_to[j],
-            " ".join(tt.token[i:j + 1]),
-            " ".join(tt.lemma[i:j + 1]),
+            span_id, sent_ids[i], i, j,
+            line_from[i], col_from[i],
+            line_to[j], col_to[j],
+            " ".join(tokens[i:j + 1]),
+            " ".join(lemmas[i:j + 1]),
             t, sum(seg) / len(seg), j - i + 1,
         ))
         i = j + 1
@@ -182,20 +187,32 @@ def doc_triples_py(mentions: list[Mention], tt: TokenTable,
     canonical) annotates each end with its within-doc canonical.
     Rows are tuples in TRIPLE_STRUCT field order."""
     link_map = link_map or {}
-    verbs = [(k, tt.sent_id[k], tt.lemma[k])
-             for k, pos in enumerate(tt.pos) if pos == "VB"]
+    # verbs bucketed per sentence, in token order (enumerate order):
+    # the pair loop below only ever probes its own sentence's verbs,
+    # and "first verb strictly between" is the first in-range element
+    # of an ascending list
+    verbs_by_sent: dict[int, list[tuple[int, str]]] = {}
+    sent_ids = tt.sent_id
+    lemmas = tt.lemma
+    for k, pos in enumerate(tt.pos):
+        if pos == "VB":
+            verbs_by_sent.setdefault(sent_ids[k], []).append(
+                (k, lemmas[k]))
     out: list[tuple] = []
     by_sent: dict[int, list[Mention]] = {}
     for m in mentions:
         by_sent.setdefault(m.sent_id, []).append(m)
     for sent_id, ms in by_sent.items():
         ms = sorted(ms, key=lambda m: m.begin_tok)
+        sent_verbs = verbs_by_sent.get(sent_id, ())
         for a, b in zip(ms, ms[1:]):
             verb = None
-            for v_tok, v_sent, v_lemma in verbs:
-                if v_sent == sent_id and a.end_tok < v_tok < b.begin_tok:
-                    if verb is None or v_tok < verb[0]:
-                        verb = (v_tok, v_lemma)
+            for v_tok, v_lemma in sent_verbs:
+                if v_tok >= b.begin_tok:
+                    break  # ascending: nothing later can be in range
+                if v_tok > a.end_tok:
+                    verb = (v_tok, v_lemma)
+                    break  # first in-range == minimal v_tok
             out.append((
                 sent_id,
                 a.surface, a.ne_type,
