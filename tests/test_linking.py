@@ -94,3 +94,43 @@ def test_minhash_bands_deterministic(spark):
     b2 = with_minhash_bands(df, "s").collect()[0]["bands"]
     assert b1 == b2
     assert len(b1) == EngineConfig().minhash_bands
+
+
+def test_banding_udf_not_duplicated_below_distinct(spark):
+    """Plan-shape regression: Catalyst's InferFiltersFromGenerate +
+    predicate pushdown used to clone the minhash-banding UDF below an
+    upstream distinct, re-running it over every pre-distinct row
+    (measured 26-40 s vs ~2 s at 200k docs).  lsh_candidate_pairs now
+    persists the banded vocab as an optimizer barrier; this asserts
+    the executed plan keeps exactly one banding UDF, above the
+    aggregate."""
+    import re
+
+    base = spark.createDataFrame(
+        [("ORG", "Baltijas Banka")] * 50 + [("ORG", "Kurzemes Radio")] * 50,
+        "ne_type string, surface string")
+    vocab = base.distinct()
+    handles: list = []
+    lsh_candidate_pairs(vocab, handles=handles)
+    try:
+        small = handles[0]
+        plan = small._jdf.queryExecution().executedPlan().toString()
+        # the banded-vocab cache child is where the UDF must live:
+        # exactly one minhash ArrowEvalPython, and no aggregate above
+        # it inside that child (i.e. the UDF consumes the distinct's
+        # output, not its input)
+        segments = plan.split("InMemoryRelation")
+        for seg in segments:
+            uses = seg.count("minhash_bands")
+            if not uses:
+                continue
+            first_udf = seg.index("minhash_bands")
+            first_agg = (seg.index("HashAggregate")
+                         if "HashAggregate" in seg else len(seg))
+            # plans print top-down: the UDF above the aggregate means
+            # its line comes BEFORE the aggregate's
+            assert first_udf < first_agg, (
+                "banding UDF was pushed below the distinct:\n" + seg)
+    finally:
+        for h in handles:
+            h.unpersist()

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from tildener_spark.config import EngineConfig
+from tildener_spark.diag import stage_mark as _stage_mark
 from tildener_spark.operators.components import connected_components
 from tildener_spark.operators.linking import (
     alias_links, jaro_winkler, lsh_candidate_pairs,
@@ -154,7 +155,9 @@ def build_entity_graph(mentions: DataFrame,
             .distinct()
         )
         lsh_handles: list = []
+        _stage_mark("graph_plan_build")
         cand = lsh_candidate_pairs(vocab, cfg, handles=lsh_handles)
+        _stage_mark("lsh_banding_materialize")
         # JVM-side prefilters BEFORE the (Python) Jaro-Winkler pass:
         # at score >= 0.94 the lengths must be close and (in practice)
         # the first character equal — cuts the candidate volume by
@@ -187,6 +190,7 @@ def build_entity_graph(mentions: DataFrame,
     else:
         lsh_handles = []
     hub_cc = connected_components(hub_pairs, cfg)
+    _stage_mark("connected_components")
     # CC materialized its (localCheckpointed) labels, so the LSH
     # stage's internal cache is consumed — release it (long-lived
     # sessions would otherwise accumulate cached tables)

@@ -261,7 +261,18 @@ def lsh_candidate_pairs(entities: DataFrame, cfg: EngineConfig | None = None,
     appended to so the caller can unpersist after the consuming action
     (long-lived sessions would otherwise accumulate cached tables)."""
     cfg = cfg or EngineConfig()
-    e = with_minhash_bands(entities, id_col, cfg)
+    # OPTIMIZER BARRIER between the banding UDF and the explode below:
+    # explode makes Catalyst infer `size(bands) > 0 AND isnotnull(bands)`
+    # (InferFiltersFromGenerate), and because bands is a deterministic
+    # function of a grouping column it then pushes that filter — WITH A
+    # DUPLICATED BANDING UDF — below the caller's distinct, re-running
+    # minhash over every pre-distinct surface row (measured: 26-40 s vs
+    # ~2 s at 200k docs / 4.8M surface rows / 458-row vocab, local[8]).
+    # An InMemoryRelation is a leaf to the outer optimizer, so the
+    # inferred filter lands on the cached scan instead and the UDF runs
+    # exactly once, above the distinct, when this cache builds.  The
+    # cache is vocabulary-sized (the same order as `small` below).
+    e = with_minhash_bands(entities, id_col, cfg).persist()
     exploded = e.select(
         type_col, F.col(id_col), F.explode("bands").alias("band")
     )
@@ -281,6 +292,11 @@ def lsh_candidate_pairs(entities: DataFrame, cfg: EngineConfig | None = None,
     small.count()
     if handles is not None:
         handles.append(small)
+        handles.append(e)
+    else:
+        # no caller bookkeeping: the banded-vocab barrier cache has
+        # served its purpose once small is materialized
+        e.unpersist()
     a = small.alias("a")
     b = small.alias("b")
     return (

@@ -37,6 +37,7 @@ from tildener_spark.operators.graph import (
 from tildener_spark.operators.spans import assemble_spans
 from tildener_spark.operators.tokenize import explode_tokens
 from tildener_spark.operators.triples import extract_triples
+from tildener_spark.diag import stage_mark as _stage_mark
 from tildener_spark.plans.lineage import checkpoint_stage
 
 
@@ -97,6 +98,7 @@ def run_pipeline(
     cfg = cfg or EngineConfig()
     ckpt = cfg.checkpoint_dir
     counters: dict[str, dict] = {}
+    _stage_mark(None)  # reset the diagnostic stage clock
 
     if reextract_text:
         pages = pages.withColumn("text", extract_text("html"))
@@ -217,8 +219,10 @@ def run_pipeline(
         # blowup at 48k docs even without cross-doc linking (stages
         # within one job run concurrently when independent)
         docs.count()
+        _stage_mark("docs_materialize")
     graph = build_entity_graph(mentions, cfg, initialisms, links=links,
                                surfaces=surfaces, hub_pairs=hub_pairs)
+    _stage_mark("graph_construct_eager_cc")
     links, entities, mapping = (
         graph["links"], graph["entities"], graph["mapping"])
     if ckpt:
