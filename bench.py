@@ -7,8 +7,9 @@ local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 The KG-pipeline throughput number (docs/hour) is measured over a
 pre-materialized pages parquet (generation excluded — the pipeline is
 timed from table scan to canonical-triple count, which is what a
-production run does).  Scaling-efficiency evidence (local[8] vs
-local[32]) lives in scripts/scaling_bench.py -> BENCH/BASELINE.md.
+production run does).  Scaling-efficiency evidence (N=2 vs 4N=8
+cores; see BENCH/BASELINE.md "Why N=2 vs 4N=8" for the pairing
+rationale) lives in scripts/scaling_bench.py -> BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
