@@ -21,8 +21,29 @@ sys.path.insert(0, REPO)
 SKIP_PREFIX = ("kg_",)  # pipeline queries audited via their own runs
 
 
+def _dup_py_udfs(plan: str) -> list[str]:
+    """Python UDF expressions evaluated at 2+ plan sites.
+
+    Catalyst can clone a deterministic UDF when pushing an inferred
+    filter (e.g. explode's size()>0) past an Aggregate or Project —
+    round 3 caught minhash-banding re-running over every pre-distinct
+    row this way (operators/linking.py).  The clone keeps the SAME
+    expression result id (name(...)#NNN), so repeated (name, id)
+    pairs across ArrowEvalPython nodes mean the same logical UDF call
+    executes more than once per row stream."""
+    seen: dict[tuple[str, str], int] = {}
+    for seg in re.findall(r"ArrowEvalPython \[([^\]]*)\]", plan):
+        # args routinely contain attr ids (x#39.doc_canonical), so
+        # match lazily up to the first ")#<id>" — the clone keeps the
+        # result id even when the arg exprs got rewritten
+        for fname, rid in re.findall(r"(\w+)\(.*?\)#(\d+)", seg):
+            seen[(fname, rid)] = seen.get((fname, rid), 0) + 1
+    return sorted(f"{f}#{r}x{c}" for (f, r), c in seen.items() if c > 1)
+
+
 def audit(name: str, plan: str) -> dict:
     return {
+        "dup_py": _dup_py_udfs(plan),
         "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)",
                                     plan)),
         "bhj": plan.count("BroadcastHashJoin"),
@@ -65,6 +86,8 @@ def main() -> None:
         flags = []
         if a["slow_py"]:
             flags.append("ROW-PYTHON!")
+        if a["dup_py"]:
+            flags.append("DUP-PY-UDF!" + ",".join(a["dup_py"]))
         if a["cartesian"] or a["bnlj"]:
             flags.append("CROSS-JOIN" + (
                 " (exact-baseline ok)" if name in (

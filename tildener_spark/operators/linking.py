@@ -236,7 +236,13 @@ def make_minhash_bands_udf(cfg: EngineConfig | None = None):
                 out.append(key.astype(np.int64))
         return pd.Series(out, index=texts.index)
 
-    return minhash_bands
+    # asNondeterministic pins the evaluation site: Catalyst otherwise
+    # clones deterministic UDF calls when pushing filters (e.g. the
+    # size(bands)>0 inferred from a downstream explode) below the
+    # defining Project/Aggregate, re-running minhash per pushed copy
+    # (caught by scripts/audit_plans.py DUP-PY-UDF).  Values are
+    # deterministic; only the plan placement changes.
+    return minhash_bands.asNondeterministic()
 
 
 def with_minhash_bands(df: DataFrame, text_col: str,

@@ -112,6 +112,14 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(pd.array(out, dtype="Float64"), index=a.index)
 
 
+# asNondeterministic pins the evaluation site: the cos_sim threshold
+# filter in the near-dup/top-k paths otherwise gets pushed below the
+# scoring Project with a CLONED cosine_batch — the expensive numpy
+# cosine ran twice per candidate pair (caught by audit_plans.py
+# DUP-PY-UDF).  Values are deterministic; only plan placement changes.
+cosine_batch = cosine_batch.asNondeterministic()
+
+
 def make_table_buckets_udf(dim: int = 64, n_bits: int = 8,
                            n_tables: int = 8, seed: int = 42):
     """Arrow-batched multi-table hyperplane bucketing UDF.
