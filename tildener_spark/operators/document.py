@@ -95,15 +95,26 @@ HUB_PAIR_STRUCT = T.StructType([
     T.StructField("dst", T.StringType()),
 ])
 
-def doc_struct_type(emit_tokens: bool = True) -> T.StructType:
+def doc_struct_type(emit_tokens: bool = True,
+                    emit_mentions: bool = True) -> T.StructType:
     """Return schema of the fused UDF.  ``emit_tokens=False`` drops the
     tokens field — it is ~40% of the Arrow-serialized bytes and the
     default in-memory pipeline path has no consumer for it, so not
     emitting it at all beats emitting-then-pruning (the JVM-side slim
-    re-projection cannot reach back into the Python worker)."""
+    re-projection cannot reach back into the Python worker).
+    ``emit_mentions=False`` additionally drops the mentions field —
+    measured at ~50% of the REMAINING Arrow bytes (50 MB / 20k docs vs
+    30 MB triples + 20 MB surfaces) — because the graph + canonical-
+    triple stages consume only triples/links/surfaces/hub_pairs: the
+    fused pass precomputes per-doc what the graph stage would have
+    derived from mentions, so the mention rows themselves cross into
+    the JVM only for consumers that ask for them (checkpoint mode, or
+    a recompute-on-access projection)."""
     fields = [T.StructField("tokens", TAGGED_TYPE)] if emit_tokens else []
+    if emit_mentions:
+        fields.append(
+            T.StructField("mentions", T.ArrayType(MENTION_STRUCT)))
     return T.StructType(fields + [
-        T.StructField("mentions", T.ArrayType(MENTION_STRUCT)),
         T.StructField("triples", T.ArrayType(TRIPLE_STRUCT)),
         T.StructField("links", T.ArrayType(LINK_STRUCT)),
         T.StructField("surfaces", T.ArrayType(SURFACE_STRUCT)),
@@ -343,12 +354,15 @@ def doc_surfaces_py(mentions: list[Mention],
 def process_document_py(text: str | None, gaz: dict,
                         initialisms: frozenset[str],
                         cfg: EngineConfig,
-                        emit_tokens: bool = True) -> dict:
+                        emit_tokens: bool = True,
+                        emit_mentions: bool = True) -> dict:
     """One document -> the DOC_STRUCT fields, columnar throughout:
     tokens live in a TokenTable (parallel lists) from tokenizer to
     Arrow hand-off; rows cross into Arrow as tuples, never dicts.
     ``emit_tokens=False`` omits the tokens key (and skips building the
-    per-token tuples entirely)."""
+    per-token tuples entirely); ``emit_mentions=False`` omits the
+    mentions key (mentions are still computed internally — triples,
+    links and surfaces derive from them — but never serialized)."""
     tt = tokenize_table(text)
     classify_table(tt, gaz)
     refine_table(tt, cfg)
@@ -358,12 +372,13 @@ def process_document_py(text: str | None, gaz: dict,
                 for ne_type, alias, canonical, _score in links}
     surfaces, hub_pairs = doc_surfaces_py(mentions, links)
     out = {
-        "mentions": mentions,
         "triples": doc_triples_py(mentions, tt, link_map),
         "links": links,
         "surfaces": surfaces,
         "hub_pairs": hub_pairs,
     }
+    if emit_mentions:
+        out["mentions"] = mentions
     if emit_tokens:
         out["tokens"] = tt.token_tuples()
     return out
@@ -371,7 +386,8 @@ def process_document_py(text: str | None, gaz: dict,
 
 def make_process_document_udf(gazetteer_rows, cfg: EngineConfig | None = None,
                               initialisms=frozenset(),
-                              emit_tokens: bool = True):
+                              emit_tokens: bool = True,
+                              emit_mentions: bool = True):
     """text -> struct(tokens?, mentions, triples, links, ...), one
     Arrow pass.
 
@@ -382,14 +398,16 @@ def make_process_document_udf(gazetteer_rows, cfg: EngineConfig | None = None,
     cfg = cfg or EngineConfig()
     get_gaz = ship_broadcast(build_gazetteer_index(gazetteer_rows))
     inits = frozenset(initialisms)
-    fields = tuple(f.name for f in doc_struct_type(emit_tokens).fields)
+    struct = doc_struct_type(emit_tokens, emit_mentions)
+    fields = tuple(f.name for f in struct.fields)
 
-    @F.pandas_udf(doc_struct_type(emit_tokens))
+    @F.pandas_udf(struct)
     def process_document(text: pd.Series) -> pd.DataFrame:
         # struct return type => a DataFrame whose columns are the
         # struct fields
         gaz = get_gaz()
-        docs = [process_document_py(t, gaz, inits, cfg, emit_tokens)
+        docs = [process_document_py(t, gaz, inits, cfg, emit_tokens,
+                                    emit_mentions)
                 for t in text]
         return pd.DataFrame(
             {k: [d[k] for d in docs] for k in fields},

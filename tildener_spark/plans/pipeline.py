@@ -132,26 +132,29 @@ def run_pipeline(
                 counters=counters)
         else:
             # cache a SLIM struct — everything downstream of the graph
-            # stage reads (mentions/triples/links/surfaces/hub_pairs)
-            # but NOT tokens, which are ~40% of the serialized bytes
-            # and are consumed by no default-path consumer (the bench/
-            # scaling path ends at canonical triples).  The slim UDF
-            # never builds or Arrow-serializes the tokens field at all
-            # (emitting-then-pruning would still pay the Python->JVM
-            # transfer).  ``tagged`` below stays a projection of the
-            # UNCACHED full plan, so a consumer that does want tokens
-            # re-runs the document UDF once for them — at scale that
-            # consumer should use checkpoint mode, where the full docs
-            # stage (tokens included) is committed to parquet and every
-            # projection reads it back without recompute.
+            # stage reads (triples/links/surfaces/hub_pairs) but NOT
+            # tokens (~40% of the serialized bytes) or mentions (~50%
+            # of the remainder: the fused pass already emits per-doc
+            # surfaces/links/hub_pairs, which is all the graph stage
+            # derives from mentions, and the bench/scaling path ends
+            # at canonical triples).  The slim UDF never builds or
+            # Arrow-serializes either field at all (emitting-then-
+            # pruning would still pay the Python->JVM transfer).
+            # ``tagged``/``mentions`` below stay projections of the
+            # UNCACHED full plan, so a consumer that does want them
+            # re-runs the document UDF once — at scale that consumer
+            # should use checkpoint mode, where the full docs stage
+            # (tokens + mentions included) is committed to parquet and
+            # every projection reads it back without recompute.
             slim_udf = make_process_document_udf(
-                gaz_rows, cfg, initialisms, emit_tokens=False)
+                gaz_rows, cfg, initialisms, emit_tokens=False,
+                emit_mentions=False)
             docs = pages.select(
                 "url", "lang", slim_udf(F.col("text")).alias("doc"),
             ).persist()
         tagged = (docs if ckpt else docs_full).select(
             "url", "lang", F.col("doc.tokens").alias("tokens"))
-        mentions = explode_docs(docs, "mentions")
+        mentions = explode_docs(docs if ckpt else docs_full, "mentions")
         triples_dc = explode_docs(docs, "triples")
         links = explode_docs(docs, "links")
         # surfaces + hub_pairs feed the whole graph stage (vocab
