@@ -498,10 +498,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), n=3, threshold=0.3, max_df=1000)
 
     def q12_simhash(spark, sf):
+        # token md5s staged as a column: the 16 per-bit majorities
+        # reference the array 32x, which as a raw expression re-runs
+        # the md5 transform per reference (dedup.word_tokens doc)
         d = _docs(spark, sf)
         return d.select(
             "doc_id",
-            dedup.simhash_bits(F.col("text"), bits=16).alias("simhash"))
+            dedup.token_md5s(F.col("text")).alias("_h"),
+        ).select(
+            "doc_id",
+            dedup.simhash_from_hashes(F.col("_h"), bits=16)
+            .alias("simhash"))
 
     def q12b_simhash_pairs(spark, sf):
         # simhash near-dup pairs: byte-banded equi-join + bit_count
@@ -533,20 +540,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.posexplode("bands").alias("band_idx", "band_key"))
 
     def q13_minhash(spark, sf):
+        # normalized text and the char-shingle array staged as
+        # columns: low is probed once per shingle and sh is consumed
+        # by four seed transforms (dedup.word_tokens doc)
         d = _docs(spark, sf)
-        low = _norm(F.col("text"))
+        low = F.col("_low")
         sh = F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1),
                            F.greatest(F.lit(1), F.length(low) - 2)),
                 lambda i: low.substr(i, F.lit(3))))
+
         def mh(seed: int):
             return F.array_min(
                 F.transform(
-                    sh, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+                    F.col("_sh"),
+                    lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
             ).alias(f"mh{seed}")
 
-        return d.select("doc_id", *[mh(seed) for seed in range(4)])
+        return (
+            d.select("doc_id", _norm(F.col("text")).alias("_low"))
+            .select("doc_id", sh.alias("_sh"))
+            .select("doc_id", *[mh(seed) for seed in range(4)]))
 
     def q14_lang_id(spark, sf):
         return textstats.detect_language(_docs(spark, sf))

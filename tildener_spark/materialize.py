@@ -45,3 +45,25 @@ def release(df: DataFrame) -> None:
     freed on GC — but explicit release keeps long-lived sessions lean."""
     if not _is_local(df):
         df.unpersist()
+
+
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input plan has fewer
+    partitions than the cluster has task slots.
+
+    CPU-heavy narrow stages (interpreted higher-order shingle
+    expressions, Arrow-batched signature UDFs) inherit the scan's
+    partitioning; a small input file then serializes the whole stage
+    onto one core regardless of cluster size — measured 11 s for the
+    q11 shingle build at local[32] over ONE 600 KB parquet split
+    (scripts/profile_q11.py).  At production scale input partitions
+    far exceed ``defaultParallelism`` and this is a metadata-only
+    no-op; below it, the one extra shuffle of raw rows is orders of
+    magnitude cheaper than the serialized compute it unblocks.
+    Results are partition-invariant (tests/test_partition_invariance).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from tildener_spark.config import EngineConfig
-from tildener_spark.materialize import materialize_once
+from tildener_spark.materialize import (
+    ensure_min_parallelism, materialize_once)
 from tildener_spark.operators.linking import with_minhash_bands
 
 
@@ -50,9 +51,43 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def word_tokens(col):
+    """Word-token array of the normalized text.
+
+    Stage this as its OWN projected column before consuming it more
+    than once (or inside a higher-order lambda): interpreted
+    expression eval has no common-subexpression elimination, so every
+    reference to the raw expression re-runs the regex+split — inside
+    a ``transform`` lambda that means once per OUTPUT ELEMENT
+    (measured 10x on the q11 shingle build, scripts/profile_q11.py).
+    Catalyst's CollapseProject keeps the stage boundary (it never
+    inlines a non-cheap alias referenced more than once)."""
+    return F.split(normalized_text(col), " ")
+
+
+def shingles_from_tokens(toks, n: int = 3):
+    """Distinct word n-gram strings from a pre-projected token-array
+    column.  ``concat_ws`` over ``element_at`` probes — no per-element
+    slice allocation or array_join; out-of-range probes return null,
+    which concat_ws skips, reproducing array_join's short-tail
+    behavior on docs with < n words."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.lit(0), F.size(toks) - n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
 def word_shingles(col, n: int = 3):
-    """Array of word n-gram strings (space-joined), distinct."""
-    toks = F.split(normalized_text(col), " ")
+    """Array of word n-gram strings (space-joined), distinct.
+
+    One-expression form (slice keeps the inner split to ONE eval per
+    element); hot paths should stage :func:`word_tokens` as a column
+    and use :func:`shingles_from_tokens` instead."""
+    toks = word_tokens(col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0),
@@ -71,9 +106,15 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed from a shared-shingle
     equi-join — never materializes the full pair matrix.  Shingles
     with document frequency > max_df are dropped (skew guard)."""
+    docs = ensure_min_parallelism(docs)
+    # tokens staged as a real column: ONE regex+split per doc (see
+    # word_tokens) instead of one per shingle
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+        word_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        shingles_from_tokens(F.col("_toks"), n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
     flat = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
     # NOTE: a per-shingle collect_list + higher-order-function pair
@@ -124,7 +165,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     The scale path: O(docs × bands) explode + equi-join on the band
     key.  Buckets larger than max_bucket dropped (skew guard)."""
     cfg = cfg or EngineConfig()
-    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    d = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
     banded = with_minhash_bands(d, text_col, cfg)
     flat = banded.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band"))
@@ -149,13 +191,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def simhash_bits(col, bits: int = 32):
-    """32-bit SimHash as a bigint, from word-token md5 hex digits.
+def token_md5s(col):
+    """md5 hex digests of the distinct word tokens — the shared input
+    of the per-bit SimHash majorities.  Stage as a column (see
+    :func:`word_tokens`): :func:`simhash_from_hashes` references it
+    2 x bits times, which as a raw expression would md5 the whole
+    token array 2 x bits times per row."""
+    return F.transform(
+        F.array_distinct(F.split(normalized_text(col), " ")),
+        lambda t: F.md5(t))
+
+
+def simhash_from_hashes(hashes, bits: int = 32):
+    """SimHash bigint from a pre-projected token-md5 array column.
 
     bit j of the signature = majority over tokens of (hex digit j of
     md5(token) is odd).  Pure built-ins; DuckDB-mirrorable."""
-    toks = F.array_distinct(F.split(normalized_text(col), " "))
-    hashes = F.transform(toks, lambda t: F.md5(t))
 
     def bit(j: int):
         odd = F.size(
@@ -173,14 +224,26 @@ def simhash_bits(col, bits: int = 32):
     return expr
 
 
+def simhash_bits(col, bits: int = 32):
+    """One-expression SimHash (oracle-parity form).  Hot paths must
+    stage :func:`token_md5s` as a column and call
+    :func:`simhash_from_hashes` — inlined here, every per-bit
+    majority re-evaluates the md5 transform."""
+    return simhash_from_hashes(token_md5s(col), bits)
+
+
 def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: band the 32-bit signature into 4 bytes,
     equi-join on any equal byte, verify hamming distance <= k."""
+    docs = ensure_min_parallelism(docs)
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        simhash_bits(F.col(text_col)).alias("sig"),
+        token_md5s(F.col(text_col)).alias("_h"),
+    ).select(
+        "doc_id",
+        simhash_from_hashes(F.col("_h")).alias("sig"),
     )
     bands = d.select(
         "doc_id", "sig",

@@ -19,7 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import DoubleType
 
-from tildener_spark.materialize import materialize_once
+from tildener_spark.materialize import (
+    ensure_min_parallelism, materialize_once)
 
 
 def _dot(a, b):
@@ -44,7 +45,7 @@ def brute_force_topk(emb: DataFrame, k: int = 5,
     """Exact cosine top-k neighbors per vector (excluding self).
 
     Output: (vec_id, neighbor_id, cos_sim, rank)."""
-    e = emb.select(
+    e = ensure_min_parallelism(emb).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
@@ -177,6 +178,7 @@ def _lsh_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
     False keeps both directions (top-k shape).  Dedup happens BEFORE
     scoring — the same pair surfaces from several tables and the
     cosine is the expensive part."""
+    emb = ensure_min_parallelism(emb)
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         make_table_buckets_udf(dim, n_bits, n_tables, seed)(
@@ -326,7 +328,7 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 16,
             out[valid] = tmp
         return pd.Series(out, index=v.index)
 
-    e = emb.select(
+    e = ensure_min_parallelism(emb).select(
         F.col(id_col).alias("vec_id"),
         top_cells(F.col(vec_col).cast("array<double>")).alias("cells"),
         # assignment + probe branches both read this: one UDF pass
@@ -361,7 +363,7 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
 
     EXACT baseline (O(n²) cross join) — kept as the oracle/test
     reference; use :func:`embedding_near_duplicates_lsh` at scale."""
-    e = emb.select(
+    e = ensure_min_parallelism(emb).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )

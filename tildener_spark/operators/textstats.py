@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from tildener_spark.operators.dedup import normalized_text, word_shingles
+from tildener_spark.operators.dedup import (
+    normalized_text, shingles_from_tokens, word_tokens)
 
 # tiny closed marker-word profiles (deterministic n-gram-heuristic
 # stand-in for a real language-ID model)
@@ -24,9 +25,13 @@ LANG_PROFILES = {
 STOPWORDS = LANG_PROFILES["en"]
 
 
-def lang_scores(text_col):
-    """Per-language marker-hit counts as a map expression."""
-    toks = F.split(normalized_text(text_col), " ")
+def lang_scores(toks):
+    """Per-language marker-hit counts from a token-array column.
+
+    Callers stage the tokens as a projected column (dedup.word_tokens
+    doc): the five per-language filters plus the argmax reference the
+    array ~17 times, which as a raw expression re-runs regex+split
+    per reference."""
     scores = {}
     for lang, words in LANG_PROFILES.items():
         arr = F.array(*[F.lit(w) for w in words])
@@ -39,15 +44,18 @@ def detect_language(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """argmax over marker-hit counts; tie-break 'und' (undetermined)
     when the best score is 0, else lexicographically smallest lang."""
-    scores = lang_scores(F.col(text_col))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.col(text_col)).alias("_toks"))
+    scores = lang_scores(F.col("_toks"))
     pairs = F.array(*[
         F.struct(
             (-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
         for lang in sorted(LANG_PROFILES)
     ])
     best = F.array_min(pairs)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         *[scores[lang].alias(f"score_{lang}")
           for lang in sorted(LANG_PROFILES)],
         F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und"))
@@ -59,8 +67,12 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / repetition quality features
     + a composite score in [0,1]."""
-    text = F.col(text_col)
-    toks = F.split(normalized_text(text), " ")
+    text = F.col("_text")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        word_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_chars = F.length(text)
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
@@ -83,8 +95,8 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
         + (1 - rep_ratio) * 0.4
         + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars"),
         F.round(avg_tok_len, 6).alias("avg_token_len"),
@@ -118,12 +130,19 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
     md5 over word n-gram shingles + the shingle count.  Equal
     fingerprints => near-identical prefixes/content at much lower cost
     than full jaccard."""
-    sh = word_shingles(F.col(text_col), n)
-    hashes = F.transform(sh, lambda s: F.md5(s))
-    return docs.select(
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_min(hashes).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+        word_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        shingles_from_tokens(F.col("_toks"), n).alias("_sh"),
+    )
+    return staged.select(
+        "doc_id",
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(s)))
+        .alias("fingerprint"),
+        F.size(F.col("_sh")).alias("n_shingles"),
     )
 
 

@@ -29,6 +29,17 @@ def get_spark(
         # AQE: coalesce post-shuffle partitions + split skewed joins
         # (SURVEY.md §4.2; the mention-similarity self-join is skewed).
         .config("spark.sql.adaptive.enabled", "true")
+        # InferFiltersFromGenerate clones the ENTIRE generator input
+        # expression into an inferred size(...)>0 filter, which then
+        # pushes below projections into the scan — for our interpreted
+        # higher-order shingle/minhash expressions (and pandas UDFs,
+        # the round-3 banding clone bug) that re-runs the most
+        # expensive compute once per row at the scan, measured 3-30x
+        # slowdowns.  The rows it would pre-drop (empty arrays) are
+        # dropped by the non-outer Generate anyway; results identical.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
