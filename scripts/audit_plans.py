@@ -41,9 +41,56 @@ def _dup_py_udfs(plan: str) -> list[str]:
     return sorted(f"{f}#{r}x{c}" for (f, r), c in seen.items() if c > 1)
 
 
+_EXPENSIVE = ("regexp_replace(", "regexp_extract_all(", "md5(",
+              "sha2(", "transform(", "zip_with(")
+
+
+def _dup_exprs(plan: str, min_len: int = 40) -> list[str]:
+    """Identical expensive expression subtrees evaluated 2+ times
+    within one plan node.
+
+    Interpreted expression eval (higher-order lambdas, Generate,
+    non-codegen filters) has no common-subexpression elimination, so
+    a repeated subtree re-runs per reference — and inside a transform
+    lambda, once per OUTPUT ELEMENT (round 3: the q11 shingle build
+    re-ran regexp+split ~52x per doc; lang-id ~17x; simhash re-ran
+    its md5 transform 2x bits times).  The engine's rule is to stage
+    such arrays as projected columns (dedup.word_tokens doc); this
+    check catches regressions, including Catalyst rules that
+    re-inline the staged expression (InferFiltersFromGenerate, now
+    excluded in session.py).  Identical TEXT is the signal — distinct
+    subtrees sharing a function name (cosine's three aggregates) do
+    not match."""
+    dups: set[str] = set()
+    for line in plan.splitlines():
+        for fn in _EXPENSIVE:
+            starts = [m.start() for m in re.finditer(re.escape(fn), line)]
+            if len(starts) < 2:
+                continue
+            exprs: dict[str, int] = {}
+            for s in starts:
+                depth = 0
+                for i in range(s, min(len(line), s + 2000)):
+                    c = line[i]
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            e = line[s:i + 1]
+                            if len(e) >= min_len:
+                                exprs[e] = exprs.get(e, 0) + 1
+                            break
+            for e, c in exprs.items():
+                if c >= 2:
+                    dups.add(f"{e[:60]}…x{c}")
+    return sorted(dups)
+
+
 def audit(name: str, plan: str) -> dict:
     return {
         "dup_py": _dup_py_udfs(plan),
+        "dup_expr": _dup_exprs(plan),
         "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)",
                                     plan)),
         "bhj": plan.count("BroadcastHashJoin"),
@@ -88,6 +135,8 @@ def main() -> None:
             flags.append("ROW-PYTHON!")
         if a["dup_py"]:
             flags.append("DUP-PY-UDF!" + ",".join(a["dup_py"]))
+        if a["dup_expr"]:
+            flags.append("DUP-EXPR!" + ";".join(a["dup_expr"]))
         if a["cartesian"] or a["bnlj"]:
             flags.append("CROSS-JOIN" + (
                 " (exact-baseline ok)" if name in (
