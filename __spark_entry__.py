@@ -55,7 +55,32 @@ def _lex_type_sql(tok: str) -> str:
     return f"(case {cases} else null end)"
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable session confs when running
+    inside a session NOT built by tildener_spark.get_spark (the round
+    driver constructs its own).  Only confs that matter for plan
+    shape/perf and are settable post-startup; idempotent.
+
+    InferFiltersFromGenerate re-inlines a generator's whole input
+    expression as an inferred size()>0 scan filter — re-running the
+    staged shingle/minhash arrays once per row, and (round 3) cloning
+    pandas UDFs below aggregates (see tildener_spark/session.py)."""
+    rule = ("org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate")
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+        if rule not in (cur or ""):
+            spark.conf.set("spark.sql.optimizer.excludedRules",
+                           f"{cur},{rule}" if cur else rule)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled",
+                       "true")
+    except Exception:
+        pass  # never fail a query over a tuning conf
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune_session(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -215,10 +240,12 @@ def _cos6_sql(a: str, b: str) -> str:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune_session(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune_session(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -317,6 +344,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from tildener_spark.datagen import corpus_df, gazetteer_df, split_gold
     from tildener_spark.plans.pipeline import run_pipeline
 
+    _tune_session(spark)
     corpus = corpus_df(spark, 60)
     pages, _gm, _gt, _gl = split_gold(corpus)
     gaz = gazetteer_df(spark)
@@ -730,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- KG pipeline queries (no DuckDB view: rows-only)
 
     def _kg(spark):
+        _tune_session(spark)
         from tildener_spark.config import EngineConfig
         from tildener_spark.datagen import (
             corpus_df, gazetteer_df, split_gold)

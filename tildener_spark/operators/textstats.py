@@ -68,16 +68,24 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
     """Length / punctuation / stopword / repetition quality features
     + a composite score in [0,1]."""
     text = F.col("_text")
+    # the punct-strip regex is consumed twice (punct_ratio + the
+    # composite score), so its count is staged alongside the tokens
+    # (see word_tokens) — the output Project contains higher-order
+    # lambdas, so it evaluates interpreted, without CSE
+    src = F.col(text_col)
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_text"),
-        word_tokens(F.col(text_col)).alias("_toks"))
+        src.alias("_text"),
+        word_tokens(src).alias("_toks"),
+        (F.length(src)
+         - F.length(F.regexp_replace(src, r"[^\w\s]", "")))
+        .alias("_n_punct"))
     toks = F.col("_toks")
     n_tok = F.size(toks)
     n_chars = F.length(text)
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_punct = F.col("_n_punct")
     n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
     n_uniq = F.size(F.array_distinct(toks))
     # raw (unrounded) ratios feed the composite; rounding happens only
