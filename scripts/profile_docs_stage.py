@@ -5,7 +5,7 @@ persist -> count.  This script times, on the same pre-materialized
 pages parquet and in one session:
 
   scan       parquet scan + text length agg (no Python)
-  udf_flow   full UDF, minimal JVM-side sink (sum of mention counts),
+  udf_flow   full UDF, minimal JVM-side sink (sum of triple counts),
              NO persist — isolates scan + Arrow both ways + compute
   udf_cache  the production form: persist() + count()
 
@@ -49,11 +49,12 @@ def main() -> None:
     inits = frozenset(
         s for t, s in gaz_rows if t == "ORG_INIT")
     udf = make_process_document_udf(
-        gaz_rows, EngineConfig(), inits, emit_tokens=False)
+        gaz_rows, EngineConfig(), inits, emit_tokens=False,
+        emit_mentions=False)  # the production slim form
 
     # warm-up: codegen + Python worker pool on a slice
     pages.limit(4000).select(udf(F.col("text")).alias("doc")) \
-        .selectExpr("sum(size(doc.mentions))").collect()
+        .selectExpr("sum(size(doc.triples))").collect()
 
     t = {}
     t0 = time.perf_counter()
@@ -62,7 +63,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     pages.select(udf(F.col("text")).alias("doc")) \
-        .select(F.size("doc.mentions").alias("n")) \
+        .select(F.size("doc.triples").alias("n")) \
         .agg(F.sum("n")).collect()
     t["udf_flow"] = round(time.perf_counter() - t0, 2)
 
@@ -73,7 +74,7 @@ def main() -> None:
     t["udf_cache"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    docs.select(F.size("doc.mentions").alias("n")) \
+    docs.select(F.size("doc.triples").alias("n")) \
         .agg(F.sum("n")).collect()
     t["cache_rescan"] = round(time.perf_counter() - t0, 2)
     docs.unpersist()

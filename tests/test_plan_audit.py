@@ -86,6 +86,16 @@ def test_infer_filters_from_generate_excluded(spark):
     assert "Filter (size(" not in plan
 
 
+def test_ensure_min_parallelism(spark):
+    from tildener_spark.materialize import ensure_min_parallelism
+    target = spark.sparkContext.defaultParallelism
+    few = spark.range(100).coalesce(1)
+    assert ensure_min_parallelism(few).rdd.getNumPartitions() == target
+    many = spark.range(100).repartition(target + 4)
+    # already wide: metadata no-op, same plan object
+    assert ensure_min_parallelism(many) is many
+
+
 def test_staged_equals_one_expression_forms(spark):
     """shingles_from_tokens == word_shingles and
     simhash_from_hashes(token_md5s) == simhash_bits, row for row."""
