@@ -132,22 +132,27 @@ def _unbalance(text: str) -> tuple[int, list[str]]:
 
 
 def _core_L(tags: list[str], probs: list[float],
-            toks: list[str]) -> None:
+            toks: list[str], spans=None) -> bool:
     """CleanBracketsAndQuotations (NERefinements.pm:638-942).
 
     0 unbalanced -> keep; >=2 -> drop span (:726-734); exactly 1 ->
     trim the offending edge token, or extend the span <=3 neighbors
     ($leftEgeLength=3, :645) to the matching bracket/quote
     (:757-791,811-843,884-933).
+
+    ``spans``: optional precomputed ``_spans(tags)`` (the chain's
+    dirty-flag cache); every core returns True iff it wrote tags.
     """
+    changed = False
     n = len(tags)
-    for (i, j, t) in _spans(tags):
+    for (i, j, t) in (_spans(tags) if spans is None else spans):
         text = " ".join(toks[i:j + 1])
         cnt, offenders = _unbalance(text)
         if cnt == 0:
             continue
         if cnt >= 2:
             _clear(tags, i, j)
+            changed = True
             continue
         off = offenders[0]
         first, last = toks[i], toks[j]
@@ -156,9 +161,11 @@ def _core_L(tags: list[str], probs: list[float],
             tags[i] = "O"
             if j > i:
                 tags[i + 1] = f"B-{t}"
+            changed = True
             continue
         if off in last and last in (_OPEN + _CLOSE + _QUOTES):
             tags[j] = "O"
+            changed = True
             continue
         # search <=3 tokens outside the span for the matching char
         if off in _OPEN or (off in _QUOTES or off == '"'):
@@ -179,33 +186,41 @@ def _core_L(tags: list[str], probs: list[float],
             tags[side] = "O"
             if side == i and j > i:
                 tags[i + 1] = f"B-{t}"
+            changed = True
             continue
         lo, hi = min(i, hit), max(j, hit)
         prob = _avg_prob(probs, i, j)
         _retag(tags, lo, hi, t, probs, prob)
+        changed = True
+    return changed
 
 
 # ------------------------------------------------------------ letter: N
 
-def _core_N(tags: list[str], toks: list[str]) -> None:
+def _core_N(tags: list[str], toks: list[str], spans=None) -> bool:
     """RemoveCorruptedNEs: PERS/ORG span whose surface has >=2 '/'
     is dropped entirely (patterns at NERefinements.pm:1028-1031)."""
-    for (i, j, t) in _spans(tags):
+    changed = False
+    for (i, j, t) in (_spans(tags) if spans is None else spans):
         if t in ("PERS", "ORG"):
             if sum(toks[k].count("/") for k in range(i, j + 1)) >= 2:
                 _clear(tags, i, j)
+                changed = True
+    return changed
 
 
 # ------------------------------------------------------------ letter: S
 
-def _core_S(tags: list[str], toks: list[str]) -> None:
+def _core_S(tags: list[str], toks: list[str], spans=None) -> bool:
     """Corrupt-token strip: token matching '://' removed from the span
     edge; interior match drops the whole span (NERefinements.pm:951-1012,
     pattern at :957)."""
-    for (i, j, t) in _spans(tags):
+    changed = False
+    for (i, j, t) in (_spans(tags) if spans is None else spans):
         ks = [k for k in range(i, j + 1) if "://" in toks[k]]
         if not ks:
             continue
+        changed = True  # edge trim and/or clear follows unconditionally
         if any(i < k < j for k in ks):
             _clear(tags, i, j)
             continue
@@ -219,23 +234,27 @@ def _core_S(tags: list[str], toks: list[str]) -> None:
         if hi >= lo:
             _retag(tags, lo, hi, t)
         # single-token span that was the URL itself: already cleared
+    return changed
 
 
 # ------------------------------------------------------------ letter: R
 
 def _core_R(tags: list[str], probs: list[float],
-            threshold: float = 0.7) -> None:
+            threshold: float = 0.7, spans=None) -> bool:
     """RemoveLowProbNETags: null spans with avg prob < θ
     (NERefinements.pm:508-522 + gate at :269-277)."""
-    for (i, j, _t) in _spans(tags):
+    changed = False
+    for (i, j, _t) in (_spans(tags) if spans is None else spans):
         if _avg_prob(probs, i, j) < threshold:
             _clear(tags, i, j)
+            changed = True
+    return changed
 
 
 # ------------------------------------------------------------ letter: C
 
 def _core_C(tags: list[str], probs: list[float],
-            lemmas: list[str]) -> None:
+            lemmas: list[str], spans=None) -> bool:
     """ConsolidateEqualEntities (NERefinements.pm:364-499).
 
     Per document: spans sharing the same lemma sequence but tagged
@@ -243,7 +262,9 @@ def _core_C(tags: list[str], probs: list[float],
     by (occurrence count, sum of span probs), exact ties left alone
     (:470-475). Stats per (lemmas, type): count/min/max/sum
     (:380-421)."""
-    spans = _spans(tags)
+    changed = False
+    if spans is None:
+        spans = _spans(tags)
     keys = [" ".join(lemmas[i:j + 1]) for (i, j, _t) in spans]
     stats: dict[str, dict[str, list[float]]] = {}
     for key, (i, j, t) in zip(keys, spans):
@@ -262,12 +283,14 @@ def _core_C(tags: list[str], probs: list[float],
             continue  # exact tie neutralized
         if t != t1:
             _retag(tags, i, j, t1)
+            changed = True
+    return changed
 
 
 # ------------------------------------------------------------ letter: T
 
 def _core_T(tags: list[str], probs: list[float], lemmas: list[str],
-            threshold: float = 0.90) -> None:
+            threshold: float = 0.90, spans=None) -> bool:
     """TagEqualLemmas (NERefinements.pm:531-629).
 
     Dictionary from tagged spans: lemma sequence -> (type, avg prob);
@@ -281,7 +304,9 @@ def _core_T(tags: list[str], probs: list[float], lemmas: list[str],
     those candidates are probed (same result as the full left-to-right
     scan with its skip-m-on-match rule, at a fraction of the probes).
     """
-    spans = _spans(tags)
+    changed = False
+    if spans is None:
+        spans = _spans(tags)
     lemma_dict: dict[tuple[str, ...], tuple[str | None, float, int]] = {}
     for (i, j, t) in spans:
         key = tuple(lemmas[i:j + 1])
@@ -300,7 +325,7 @@ def _core_T(tags: list[str], probs: list[float], lemmas: list[str],
         if t is not None and cnt > 0 and psum / cnt >= threshold
     ]
     if not keys:
-        return
+        return changed
     keys.sort(key=lambda e: (-len(e[0]), e[0]))
     n = len(tags)
     by_first: dict[str, list[int]] = {}
@@ -316,13 +341,16 @@ def _core_T(tags: list[str], probs: list[float], lemmas: list[str],
                 continue
             if lemmas[i:i + m] == klist and tags[i:i + m] == untag:
                 _retag(tags, i, i + m - 1, t, probs, p)
+                changed = True
                 next_free = i + m
+    return changed
 
 
 # ------------------------------------------------------------ letter: A
 
 def _core_A(tags: list[str], probs: list[float], line_from: list[int],
-            line_to: list[int], cfg: EngineConfig) -> None:
+            line_to: list[int], cfg: EngineConfig,
+            spans=None) -> bool:
     """AddMissingLineBreaks (NEUtilities.pm:136-260).
 
     We keep original line numbers through tokenization, so the
@@ -336,10 +364,11 @@ def _core_A(tags: list[str], probs: list[float], line_from: list[int],
     removes all blanks (no break ever).  prob > 0.8 => relabel the
     continuation I- -> B- (split); else continuation -> O (threshold
     at NEUtilities.pm:202)."""
+    changed = False
     if cfg.empty_line_mode not in (1, 2):
-        return
+        return changed
     min_gap = 1 if cfg.empty_line_mode == 1 else 2
-    for (i, j, t) in _spans(tags):
+    for (i, j, t) in (_spans(tags) if spans is None else spans):
         prob = _avg_prob(probs, i, j)
         for k in range(i + 1, j + 1):
             if line_from[k] - line_to[k - 1] > min_gap:
@@ -347,7 +376,9 @@ def _core_A(tags: list[str], probs: list[float], line_from: list[int],
                     tags[k] = f"B-{t}"
                 else:
                     _clear(tags, k, j)
+                changed = True
                 break
+    return changed
 
 
 # ------------------------------------------------- chain over arrays
@@ -356,23 +387,39 @@ def _run_chain(tags: list[str], probs: list[float], toks: list[str],
                lemmas: list[str], line_from: list[int],
                line_to: list[int], cfg: EngineConfig) -> None:
     """Dispatch loop of CombinedRefsOnFile (NERefinements.pm:58-101):
-    unknown letters skipped, A terminal."""
+    unknown letters skipped, A terminal.
+
+    The BIO span list is rebuilt only after a step that actually
+    wrote tags (each core returns that): on typical documents most
+    steps fire nothing, so the 7-step chain does 1-2 span scans
+    instead of 7.  Semantics unchanged — a cached list is exactly
+    what the core would recompute, and ANY tag write (including
+    type-only rewrites in C) invalidates."""
+    spans = None
     for letter, thr in cfg.refinement_steps():
+        if spans is None:
+            spans = _spans(tags)
         if letter == "R":
-            _core_R(tags, probs, 0.7 if thr is None else thr)
+            changed = _core_R(tags, probs, 0.7 if thr is None else thr,
+                              spans=spans)
         elif letter == "T":
-            _core_T(tags, probs, lemmas, 0.90 if thr is None else thr)
+            changed = _core_T(tags, probs, lemmas,
+                              0.90 if thr is None else thr, spans=spans)
         elif letter == "L":
-            _core_L(tags, probs, toks)
+            changed = _core_L(tags, probs, toks, spans=spans)
         elif letter == "N":
-            _core_N(tags, toks)
+            changed = _core_N(tags, toks, spans=spans)
         elif letter == "S":
-            _core_S(tags, toks)
+            changed = _core_S(tags, toks, spans=spans)
         elif letter == "C":
-            _core_C(tags, probs, lemmas)
+            changed = _core_C(tags, probs, lemmas, spans=spans)
         elif letter == "A":
-            _core_A(tags, probs, line_from, line_to, cfg)
+            _core_A(tags, probs, line_from, line_to, cfg, spans=spans)
             break  # A is terminal (NERefinements.pm:87-96)
+        else:
+            continue  # unknown letter: nothing ran, cache stays valid
+        if changed:
+            spans = None
 
 
 def refine_table(tt: TokenTable, cfg: EngineConfig) -> None:
