@@ -81,7 +81,34 @@ def _is_allcaps(tok: str) -> bool:
     return len(tok) > 1 and tok.isupper() and tok.isalpha()
 
 
-def _classify_core(words: list[str], lows: list[str],
+# memoized per-token shape facts, shared across documents within a
+# worker: token -> (lower, is_cap, is_allcaps, is_time, is_digit).
+# Web corpora repeat tokens heavily (the tokenizer's _RAW_CACHE hit
+# rate shows it), so the unicode-category scans and — more important
+# for the memory-bandwidth ceiling documented in BENCH/BASELINE.md —
+# the fresh ``str.lower()`` allocation per occurrence collapse into
+# one dict probe returning shared objects.  Bounded like _RAW_CACHE.
+_SHAPE_MEMO: dict[str, tuple] = {}
+_SHAPE_MEMO_MAX = 1 << 18
+
+
+def _tok_shape(tok: str) -> tuple:
+    hit = _SHAPE_MEMO.get(tok)
+    if hit is None:
+        if len(_SHAPE_MEMO) >= _SHAPE_MEMO_MAX:
+            _SHAPE_MEMO.clear()
+        hit = (
+            tok.lower(),
+            _is_cap(tok),
+            _is_allcaps(tok),
+            ":" in tok and _TIME_RE.match(tok) is not None,
+            tok.isdigit(),
+        )
+        _SHAPE_MEMO[tok] = hit
+    return hit
+
+
+def _classify_core(words: list[str], shapes: list[tuple],
                    sent_start: list[bool], gaz: dict
                    ) -> tuple[list[str], list[float]]:
     """Decision-list classification over parallel arrays -> (tags, probs).
@@ -134,70 +161,73 @@ def _classify_core(words: list[str], lows: list[str],
                     i += m
                     matched = True
                     break
-        if not matched:
-            hit = lemma_get(lows[i])
-            if hit is not None:
-                for toks, ne_type in hit:
-                    m = len(toks)
-                    if m == 1:
-                        set_span(i, i, ne_type, P_LEMMA)
-                        i += 1
-                        matched = True
-                        break
-                    if m > _MAX_GAZ_TOKENS or i + m > n:
-                        continue
-                    if tuple(lows[i:i + m]) == toks and all(
-                        t == "O" for t in tags[i:i + m]
-                    ):
-                        set_span(i, i + m - 1, ne_type, P_LEMMA)
-                        i += m
-                        matched = True
-                        break
+        if matched:
+            continue
+        sh = shapes[i]
+        hit = lemma_get(sh[0])
+        if hit is not None:
+            for toks, ne_type in hit:
+                m = len(toks)
+                if m == 1:
+                    set_span(i, i, ne_type, P_LEMMA)
+                    i += 1
+                    matched = True
+                    break
+                if m > _MAX_GAZ_TOKENS or i + m > n:
+                    continue
+                if all(s[0] == t for s, t in
+                       zip(shapes[i:i + m], toks)) and all(
+                    t == "O" for t in tags[i:i + m]
+                ):
+                    set_span(i, i + m - 1, ne_type, P_LEMMA)
+                    i += m
+                    matched = True
+                    break
         if matched:
             continue
         # 3: honorific — Cap (Cap)? + kungs/kundze => PERS over the caps
-        if _is_cap(w):
+        if sh[1]:
             j = i
-            if j + 1 < n and _is_cap(words[j + 1]):
+            if j + 1 < n and shapes[j + 1][1]:
                 j += 1
-            if j + 1 < n and lows[j + 1] in HONORIFICS:
+            if j + 1 < n and shapes[j + 1][0] in HONORIFICS:
                 set_span(i, j, "PERS", P_HONORIFIC)
                 i = j + 2
                 continue
         # 4: ORG_INIT initialism + capitalized run (<=3) => ORG
-        if w in org_init and i + 1 < n and _is_cap(words[i + 1]):
+        if w in org_init and i + 1 < n and shapes[i + 1][1]:
             j = i + 1
-            while j + 1 < n and _is_cap(words[j + 1]) and j - i < 3:
+            while j + 1 < n and shapes[j + 1][1] and j - i < 3:
                 j += 1
             set_span(i, j, "ORG", P_ORG_INIT)
             i = j + 1
             continue
         # 5: DATE / TIME / MON surface patterns
-        if _TIME_RE.match(w):
+        if sh[3]:
             set_span(i, i, "TIME", P_PATTERN)
             i += 1
             continue
-        if w.isdigit():
-            if i + 1 < n and lows[i + 1] in CURRENCY_WORDS:
+        if sh[4]:
+            if i + 1 < n and shapes[i + 1][0] in CURRENCY_WORDS:
                 set_span(i, i + 1, "MON", P_PATTERN)
                 i += 2
                 continue
-            if i + 1 < n and lows[i + 1] in MONTH_WORDS:
+            if i + 1 < n and shapes[i + 1][0] in MONTH_WORDS:
                 # maximal run of digit/month tokens => DATE
                 j = i + 1
                 while j + 1 < n and (
-                    words[j + 1].isdigit() or lows[j + 1] in MONTH_WORDS
+                    shapes[j + 1][4] or shapes[j + 1][0] in MONTH_WORDS
                 ):
                     j += 1
                 set_span(i, j, "DATE", P_PATTERN)
                 i = j + 1
                 continue
         # 6: shape fallback — mid-sentence Capitalized, single token
-        if _is_cap(w) and not sent_start[i]:
+        if sh[1] and not sent_start[i]:
             set_span(i, i, "PERS", P_SHAPE)
             i += 1
             continue
-        if _is_allcaps(w):
+        if sh[2]:
             probs[i] = P_O_UNSURE
         i += 1
 
@@ -215,7 +245,7 @@ def classify_doc_py(tokens: list[dict], gaz: dict) -> list[dict]:
     """Classify one document's token list; returns tagged token dicts."""
     words = [t["token"] for t in tokens]
     tags, probs = _classify_core(
-        words, [w.lower() for w in words],
+        words, [_tok_shape(w) for w in words],
         _sent_starts([t["sent_id"] for t in tokens]), gaz)
     return [
         {**tok, "ne_tag": tags[k], "ne_prob": probs[k]}
@@ -227,7 +257,7 @@ def classify_table(tt, gaz: dict) -> None:
     """Columnar form: writes ne_tag/ne_prob onto a TokenTable in place."""
     words = tt.token
     tt.ne_tag, tt.ne_prob = _classify_core(
-        words, [w.lower() for w in words],
+        words, [_tok_shape(w) for w in words],
         _sent_starts(tt.sent_id), gaz)
 
 
