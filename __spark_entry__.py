@@ -92,6 +92,17 @@ _U64 = "18446744073709551616::HUGEINT"  # 2^64 — the uint64 wrap modulus
 _KG_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".kg_oracle_cache")
 
+# DuckDB's jaro_winkler_similarity runs over UTF-8 BYTES; ours runs
+# over codepoints.  An injective map of every datagen diacritic to an
+# unused single-byte char makes byte==codepoint, so the two agree
+# exactly (jaro only tests character equality).  The remaining formula
+# difference — DuckDB boosts only when jaro > 0.7, ours always — is
+# invisible above the 0.93 acceptance bar: ours >= 0.93 forces
+# jaro >= 0.883 where both formulas coincide, and ours <= 0.6*jaro+0.4
+# <= 0.82 < 0.93 when jaro <= 0.7, so both sides reject.
+_JW_SRC = "āčēģīķļņšūž"
+_JW_DST = "!@#$%^&*()~"  # never inside a token (injectivity-safe)
+
 
 def _kg_source_stamp() -> str:
     import glob
@@ -827,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f"{_KG_CACHE}/tagged_tokens.parquet")
             res.mentions.write.mode("overwrite").parquet(
                 f"{_KG_CACHE}/mentions.parquet")
+            res.links.write.mode("overwrite").parquet(
+                f"{_KG_CACHE}/links.parquet")
             gm.write.mode("overwrite").parquet(
                 f"{_KG_CACHE}/gold_mentions.parquet")
             gazetteer_df(spark).filter(
@@ -837,8 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f.write(stamp)
         return {
             name: spark.read.parquet(f"{_KG_CACHE}/{name}.parquet")
-            for name in ("tagged_tokens", "mentions", "gold_mentions",
-                         "gaz_existing")
+            for name in ("tagged_tokens", "mentions", "links",
+                         "gold_mentions", "gaz_existing")
         }
 
     def kg_token_eval(spark, sf):
@@ -868,6 +881,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             gazetteer_candidates)
         m = _kg_materialized(spark)
         return gazetteer_candidates(m["mentions"], m["gaz_existing"])
+
+    def kg_triples_stage(spark, sf):
+        # triple extraction as a relational transform of the
+        # materialized classifier output (operators/triples.py
+        # extract_triples: consecutive same-sentence mention pairs via
+        # lead(), first VB-lemma strictly between the pair, else
+        # co_occurs).  The fused kg_triples row stays rows-only (it
+        # embeds the classifier); THIS row gives the extraction
+        # semantics themselves an exact DuckDB mirror (r2 verdict #2
+        # pattern, extended downstream).
+        from tildener_spark.operators.triples import extract_triples
+        m = _kg_materialized(spark)
+        return extract_triples(m["mentions"], m["tagged_tokens"]).select(
+            "url", "sent_id", "subj", "subj_type", "pred",
+            "obj", "obj_type",
+            F.round("prob", 6).alias("prob"), "kind")
+
+    def kg_links_stage(spark, sf):
+        # within-document alias resolution over the same materialized
+        # mentions (operators/linking.py alias_links: containment-first
+        # 0.95, Jaro-Winkler >= typo_min_score for single-token typo
+        # variants, nearest-preceding tie-break, per-alias majority).
+        # The oracle mirrors Jaro-Winkler via DuckDB's byte-level
+        # jaro_winkler_similarity over an injective diacritic->ASCII
+        # translate (byte==codepoint then), exact because accepted
+        # scores >= 0.93 imply jaro > 0.883 > 0.7 where DuckDB's
+        # boost-threshold variant coincides with ours.
+        from tildener_spark.config import EngineConfig
+        from tildener_spark.operators.linking import alias_links
+        m = _kg_materialized(spark)
+        inits = frozenset(
+            r["surface"] for r in m["gaz_existing"].collect())
+        return alias_links(m["mentions"], EngineConfig(), inits).select(
+            "url", "ne_type", "alias", "canonical",
+            F.round("score", 6).alias("score"))
+
+    def kg_graph_stage(spark, sf):
+        # graph canonicalization given materialized mentions + links:
+        # doc-canonical resolution, star contraction, connected
+        # components over the hub graph, per-component representative
+        # and entity rollup (operators/graph.py build_entity_graph,
+        # join path; operators/components.py).  Cross-doc LSH is OFF
+        # here so the oracle is a pure recursive-CTE transitive
+        # closure with min-label — the LSH banding math has its own
+        # exact row (q13c).
+        from tildener_spark.config import EngineConfig
+        from tildener_spark.operators.graph import build_entity_graph
+        m = _kg_materialized(spark)
+        g = build_entity_graph(
+            m["mentions"], EngineConfig(cross_doc_linking=False),
+            links=m["links"])
+        return g["entities"].select(
+            "component", "ne_type", "canonical",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_surfaces").cast("long").alias("n_surfaces"))
 
     def kg_bootstrap(spark, sf):
         # two self-training iterations with the positive-iteration
@@ -941,6 +1009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_span_eval": kg_token_eval,
         "kg_top_sentences": kg_top_sentences,
         "kg_gazetteer_candidates": kg_gazetteer_candidates,
+        "kg_triples_stage": kg_triples_stage,
+        "kg_links_stage": kg_links_stage,
+        "kg_graph_stage": kg_graph_stage,
         "kg_bootstrap": kg_bootstrap,
     }
 
@@ -1682,5 +1753,213 @@ def oracle_sql() -> dict[str, str]:
                 from read_parquet(
                     '{_KG_CACHE}/gaz_existing.parquet/*.parquet')
             ) e on c.ne_type = e.ne_type and c.surface = e.surface
+        """,
+        # extract_triples (operators/triples.py): lead() pairs +
+        # first-VB-between via min(v_tok) then a lemma back-join
+        # (unambiguous mirror of Spark's null-skipping min_by)
+        "kg_triples_stage": f"""
+            with m as (
+                select url, sent_id, surface, ne_type, begin_tok,
+                       end_tok, avg_prob
+                from read_parquet(
+                    '{_KG_CACHE}/mentions.parquet/*.parquet')
+            ),
+            pairs as (
+                select url, sent_id,
+                       surface as subj, ne_type as subj_type,
+                       end_tok as subj_end,
+                       lead(surface) over w as obj,
+                       lead(ne_type) over w as obj_type,
+                       lead(begin_tok) over w as obj_begin,
+                       least(avg_prob, lead(avg_prob) over w) as prob
+                from m
+                window w as (partition by url, sent_id
+                             order by begin_tok)
+            ),
+            p as (select * from pairs where obj is not null),
+            verbs as (
+                select url, sent_id, tok_id as v_tok, lemma as v_lemma
+                from read_parquet(
+                    '{_KG_CACHE}/tagged_tokens.parquet/*.parquet')
+                where pos = 'VB'
+            ),
+            agg as (
+                select p.url, p.sent_id, p.subj, p.subj_type,
+                       p.subj_end, p.obj, p.obj_type, p.obj_begin,
+                       p.prob,
+                       min(case when v.v_tok > p.subj_end
+                                 and v.v_tok < p.obj_begin
+                                then v.v_tok end) as vmin
+                from p
+                left join verbs v
+                  on p.url = v.url and p.sent_id = v.sent_id
+                group by p.url, p.sent_id, p.subj, p.subj_type,
+                         p.subj_end, p.obj, p.obj_type, p.obj_begin,
+                         p.prob
+            )
+            select a.url, a.sent_id, a.subj, a.subj_type,
+                   coalesce(v2.v_lemma, 'co_occurs') as pred,
+                   a.obj, a.obj_type,
+                   round(a.prob, 6) as prob,
+                   case when a.vmin is not null then 'pattern'
+                        else 'cooc' end as kind
+            from agg a
+            left join verbs v2
+              on a.url = v2.url and a.sent_id = v2.sent_id
+             and v2.v_tok = a.vmin
+        """,
+        # alias_links (operators/linking.py): shared-token blocking,
+        # containment-first 0.95, JW typo arm (see _JW_SRC note),
+        # nearest-preceding best per occurrence, per-alias majority
+        "kg_links_stage": f"""
+            with init_list as (
+                select coalesce(list(surface), []) as inits
+                from read_parquet(
+                    '{_KG_CACHE}/gaz_existing.parquet/*.parquet')
+            ),
+            m as (
+                select url, ne_type, surface, begin_tok,
+                       list_distinct(list_filter(
+                           string_split(surface, ' '),
+                           t -> not list_contains(inits, t))) as toks
+                from read_parquet(
+                    '{_KG_CACHE}/mentions.parquet/*.parquet'),
+                     init_list
+            ),
+            m2 as (select * from m where len(toks) > 0),
+            pairs as (
+                select a.url, a.ne_type,
+                       a.surface as alias, a.begin_tok as alias_tok,
+                       a.toks as alias_toks,
+                       c.surface as canonical,
+                       c.begin_tok as canon_tok, c.toks as canon_toks
+                from m2 a
+                join m2 c
+                  on a.url = c.url and a.ne_type = c.ne_type
+                where a.surface <> c.surface
+                  and len(a.toks) <= len(c.toks)
+                  and length(a.surface) < length(c.surface)
+                  and list_has_any(a.toks, c.toks)
+            ),
+            scored as (
+                select *,
+                    case when len(list_filter(alias_toks,
+                             t -> not list_contains(canon_toks, t))) = 0
+                         then 0.95
+                         when len(alias_toks) = 1
+                          and len(canon_toks) = 1
+                         then jaro_winkler_similarity(
+                             translate(lower(alias_toks[1]),
+                                       '{_JW_SRC}', '{_JW_DST}'),
+                             translate(lower(canon_toks[1]),
+                                       '{_JW_SRC}', '{_JW_DST}'))
+                         end as score
+                from pairs
+            ),
+            acc as (
+                select * from scored where score >= 0.93
+            ),
+            best as (
+                select url, ne_type, alias, canonical, score,
+                       row_number() over (
+                           partition by url, ne_type, alias, alias_tok
+                           order by score desc,
+                               (case when canon_tok < alias_tok
+                                     then canon_tok - alias_tok
+                                     else -1099511627776 - canon_tok
+                                end) desc,
+                               canonical asc) as rn
+                from acc
+            ),
+            maj as (
+                select url, ne_type, alias, canonical,
+                       count(*) as n, max(score) as score
+                from best where rn = 1
+                group by url, ne_type, alias, canonical
+            )
+            select url, ne_type, alias, canonical,
+                   round(score, 6) as score
+            from (
+                select *, row_number() over (
+                    partition by url, ne_type, alias
+                    order by n desc, score desc, canonical asc) as rn2
+                from maj
+            ) where rn2 = 1
+        """,
+        # build_entity_graph join path + connected_components
+        # (operators/graph.py, components.py): doc-canonical resolve,
+        # alias-chain hub pairs, CC = min reachable node id via
+        # recursive transitive closure, per-component rep, entity
+        # rollup.  UTF-8 byte order == codepoint order, so min() on
+        # node ids agrees across Spark / Python union-find / DuckDB.
+        "kg_graph_stage": f"""
+            with recursive links as (
+                select url, ne_type, alias, canonical
+                from read_parquet(
+                    '{_KG_CACHE}/links.parquet/*.parquet')
+            ),
+            groups as (
+                select distinct url, ne_type, surface
+                from read_parquet(
+                    '{_KG_CACHE}/mentions.parquet/*.parquet')
+            ),
+            mention_hub as (
+                select g.url, g.ne_type, g.surface,
+                       'g:' || g.ne_type || '␟'
+                            || coalesce(l.canonical, g.surface) as hub
+                from groups g
+                left join links l
+                  on g.url = l.url and g.ne_type = l.ne_type
+                 and g.surface = l.alias
+            ),
+            hub_pairs as (
+                select distinct ha.hub as src, hc.hub as dst
+                from links l
+                join mention_hub ha
+                  on l.url = ha.url and l.ne_type = ha.ne_type
+                 and l.alias = ha.surface
+                join mention_hub hc
+                  on l.url = hc.url and l.ne_type = hc.ne_type
+                 and l.canonical = hc.surface
+                where ha.hub <> hc.hub
+            ),
+            edges as (
+                select src as a, dst as b from hub_pairs
+                union
+                select dst, src from hub_pairs
+            ),
+            reach(a, b) as (
+                select a, b from edges
+                union
+                select r.a, e.b from reach r join edges e on r.b = e.a
+            ),
+            hub_cc as (
+                select a as node, least(a, min(b)) as component
+                from reach group by a
+            ),
+            hub_component as (
+                select h.hub,
+                       coalesce(c.component, h.hub) as component
+                from (select distinct hub from mention_hub) h
+                left join hub_cc c on h.hub = c.node
+            ),
+            reps as (
+                select component,
+                       string_split(substr(min(hub), 3),
+                                    '␟')[2] as canonical
+                from hub_component group by component
+            ),
+            mapping as (
+                select mh.url, mh.ne_type, mh.surface,
+                       r.canonical, hc.component
+                from mention_hub mh
+                join hub_component hc on mh.hub = hc.hub
+                join reps r on hc.component = r.component
+            )
+            select component, ne_type, canonical,
+                   cast(count(distinct url) as bigint) as n_docs,
+                   cast(count(distinct surface) as bigint) as n_surfaces
+            from mapping
+            group by component, ne_type, canonical
         """,
     }

@@ -33,3 +33,22 @@ def test_entry_flagship(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "subj_canonical" in df.columns
+
+
+def test_jw_translate_alphabet_guard():
+    """The kg_links_stage oracle maps diacritics to unused ASCII so
+    DuckDB's byte-level jaro_winkler_similarity computes over exactly
+    our codepoints.  Guard the two assumptions: the map is injective,
+    and the datagen corpus alphabet never grows a lowercase non-ASCII
+    char outside the source map or a token char colliding with a
+    target (digits are real token chars, so targets are punctuation)."""
+    from __spark_entry__ import _JW_DST, _JW_SRC
+    from tildener_spark.datagen import gen_doc
+
+    assert len(_JW_SRC) == len(set(_JW_SRC)) == len(_JW_DST) \
+        == len(set(_JW_DST))
+    chars: set[str] = set()
+    for i in range(500):
+        chars.update(gen_doc(i)["text"].lower())
+    assert {c for c in chars if ord(c) > 127} <= set(_JW_SRC)
+    assert not set(_JW_DST) & chars
