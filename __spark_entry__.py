@@ -112,10 +112,11 @@ def _kg_source_stamp() -> str:
     return str(max(os.path.getmtime(f) for f in files))
 
 
-def _minhash_bands_cte() -> str:
+def _minhash_bands_cte(source: str = "documents") -> str:
     """DuckDB mirror of the PRODUCTION minhash banding
     (linking.make_minhash_bands_udf): CTE chain ending in
-    ``mh_bands(doc_id, band_idx, band_key)``.
+    ``mh_bands(doc_id, band_idx, band_key)`` over ``source``
+    (any relation with doc_id + text columns).
 
     Every uint64 natural-overflow step of the numpy path is replayed
     in HUGEINT arithmetic with an explicit ``% 2^64``: codepoint
@@ -159,7 +160,7 @@ def _minhash_bands_cte() -> str:
 
     return f"""
         mh_t as (
-            select doc_id, lower(coalesce(text, '')) as s from documents
+            select doc_id, lower(coalesce(text, '')) as s from {source}
         ),
         mh_cps as (
             select doc_id,
@@ -199,6 +200,156 @@ def _minhash_bands_cte() -> str:
                              else key_u end as bigint) as band_key
             from mh_folded
         )"""
+
+
+def _kg_graph_sql(cross: bool) -> str:
+    """DuckDB mirror of the graph canonicalization stage
+    (operators/graph.py build_entity_graph join path +
+    operators/components.py) over the materialized mention/link
+    tables: doc-canonical resolution, star contraction to hub nodes,
+    alias-chain hub pairs, connected components as a recursive-CTE
+    transitive closure with min-label, per-component representative,
+    entity rollup.
+
+    ``cross=True`` additionally mirrors the default-ON cross-document
+    LSH linking (graph.py:150-190): vocabulary of doc-canonical
+    surfaces (len >= cross_doc_min_len=8), the PRODUCTION minhash
+    banding CTE, per-(type, band) bucket cap 50
+    (linking.lsh_candidate_pairs), banded self-join, the
+    length-ratio + accent-folded-first-char prefilters, and
+    Jaro-Winkler >= cross_doc_min_score=0.94 (byte==codepoint via the
+    _JW_SRC translate; the boost-threshold difference is invisible
+    above 0.94 — see _JW_SRC note)."""
+    from tildener_spark.operators.graph import _ACCENTS, _ACCENTS_FOLDED
+    pairs_rel = "all_pairs" if cross else "hub_pairs"
+    cross_ctes = f"""
+            vocab as (
+                select distinct ne_type, doc_canonical as surface
+                from resolved
+                where length(doc_canonical) >= 8
+            ),
+            mh_src as (
+                select ne_type || '␟' || surface as doc_id,
+                       surface as text
+                from vocab
+            ),
+            {_minhash_bands_cte("mh_src")},
+            mh_expl as (
+                select string_split(doc_id, '␟')[1] as ne_type,
+                       string_split(doc_id, '␟')[2] as surface,
+                       band_key as band
+                from mh_bands
+            ),
+            mh_small as (
+                select ne_type, surface, band from (
+                    select *, count(*) over (
+                        partition by ne_type, band) as bn
+                    from mh_expl
+                ) where bn <= 50
+            ),
+            cand as (
+                select distinct s1.ne_type, s1.surface as a,
+                       s2.surface as b
+                from mh_small s1
+                join mh_small s2
+                  on s1.ne_type = s2.ne_type and s1.band = s2.band
+                where s1.surface < s2.surface
+            ),
+            cross_scored as (
+                select ne_type, a, b
+                from cand
+                where abs(length(a) - length(b)) * 5 <= length(a)
+                  and translate(lower(substr(a, 1, 1)),
+                                '{_ACCENTS}', '{_ACCENTS_FOLDED}')
+                    = translate(lower(substr(b, 1, 1)),
+                                '{_ACCENTS}', '{_ACCENTS_FOLDED}')
+                  and jaro_winkler_similarity(
+                          translate(lower(a), '{_JW_SRC}', '{_JW_DST}'),
+                          translate(lower(b), '{_JW_SRC}', '{_JW_DST}'))
+                      >= 0.94
+            ),
+            all_pairs as (
+                select src, dst from hub_pairs
+                union all
+                select 'g:' || ne_type || '␟' || a,
+                       'g:' || ne_type || '␟' || b
+                from cross_scored
+            ),""" if cross else ""
+    return f"""
+            with recursive links as (
+                select url, ne_type, alias, canonical
+                from read_parquet(
+                    '{_KG_CACHE}/links.parquet/*.parquet')
+            ),
+            groups as (
+                select distinct url, ne_type, surface
+                from read_parquet(
+                    '{_KG_CACHE}/mentions.parquet/*.parquet')
+            ),
+            resolved as (
+                select g.url, g.ne_type, g.surface,
+                       coalesce(l.canonical, g.surface) as doc_canonical
+                from groups g
+                left join links l
+                  on g.url = l.url and g.ne_type = l.ne_type
+                 and g.surface = l.alias
+            ),
+            mention_hub as (
+                select url, ne_type, surface,
+                       'g:' || ne_type || '␟' || doc_canonical
+                           as hub
+                from resolved
+            ),
+            hub_pairs as (
+                select distinct ha.hub as src, hc.hub as dst
+                from links l
+                join mention_hub ha
+                  on l.url = ha.url and l.ne_type = ha.ne_type
+                 and l.alias = ha.surface
+                join mention_hub hc
+                  on l.url = hc.url and l.ne_type = hc.ne_type
+                 and l.canonical = hc.surface
+                where ha.hub <> hc.hub
+            ),{cross_ctes}
+            edges as (
+                select src as a, dst as b from {pairs_rel}
+                union
+                select dst, src from {pairs_rel}
+            ),
+            reach(a, b) as (
+                select a, b from edges
+                union
+                select r.a, e.b from reach r join edges e on r.b = e.a
+            ),
+            hub_cc as (
+                select a as node, least(a, min(b)) as component
+                from reach group by a
+            ),
+            hub_component as (
+                select h.hub,
+                       coalesce(c.component, h.hub) as component
+                from (select distinct hub from mention_hub) h
+                left join hub_cc c on h.hub = c.node
+            ),
+            reps as (
+                select component,
+                       string_split(substr(min(hub), 3),
+                                    '␟')[2] as canonical
+                from hub_component group by component
+            ),
+            mapping as (
+                select mh.url, mh.ne_type, mh.surface,
+                       r.canonical, hc.component
+                from mention_hub mh
+                join hub_component hc on mh.hub = hc.hub
+                join reps r on hc.component = r.component
+            )
+            select component, ne_type, canonical,
+                   cast(count(distinct url) as bigint) as n_docs,
+                   cast(count(distinct surface) as bigint) as n_surfaces
+            from mapping
+            group by component, ne_type, canonical
+        """
 
 
 def _signlsh_cte(n_bits: int, n_tables: int,
@@ -937,6 +1088,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_surfaces").cast("long").alias("n_surfaces"))
 
+    def kg_entities_stage(spark, sf):
+        # the same graph stage through the DEFAULT config — the
+        # north-star cross-document minhash-LSH + Jaro-Winkler merging
+        # is ON, so this row gives the production vocab->banding->
+        # bucket-cap->prefilter->JW->CC chain an exact end-to-end
+        # DuckDB mirror (_kg_graph_sql(cross=True)); the fused
+        # kg_entities row stays rows-only (it embeds the classifier).
+        from tildener_spark.config import EngineConfig
+        from tildener_spark.operators.graph import build_entity_graph
+        m = _kg_materialized(spark)
+        g = build_entity_graph(
+            m["mentions"], EngineConfig(), links=m["links"])
+        return g["entities"].select(
+            "component", "ne_type", "canonical",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_surfaces").cast("long").alias("n_surfaces"))
+
     def kg_bootstrap(spark, sf):
         # two self-training iterations with the positive-iteration
         # gate (plans/bootstrap.py; BootstrapNEModel.pl:206-357)
@@ -1012,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_stage": kg_triples_stage,
         "kg_links_stage": kg_links_stage,
         "kg_graph_stage": kg_graph_stage,
+        "kg_entities_stage": kg_entities_stage,
         "kg_bootstrap": kg_bootstrap,
     }
 
@@ -1892,74 +2061,11 @@ def oracle_sql() -> dict[str, str]:
         # recursive transitive closure, per-component rep, entity
         # rollup.  UTF-8 byte order == codepoint order, so min() on
         # node ids agrees across Spark / Python union-find / DuckDB.
-        "kg_graph_stage": f"""
-            with recursive links as (
-                select url, ne_type, alias, canonical
-                from read_parquet(
-                    '{_KG_CACHE}/links.parquet/*.parquet')
-            ),
-            groups as (
-                select distinct url, ne_type, surface
-                from read_parquet(
-                    '{_KG_CACHE}/mentions.parquet/*.parquet')
-            ),
-            mention_hub as (
-                select g.url, g.ne_type, g.surface,
-                       'g:' || g.ne_type || '␟'
-                            || coalesce(l.canonical, g.surface) as hub
-                from groups g
-                left join links l
-                  on g.url = l.url and g.ne_type = l.ne_type
-                 and g.surface = l.alias
-            ),
-            hub_pairs as (
-                select distinct ha.hub as src, hc.hub as dst
-                from links l
-                join mention_hub ha
-                  on l.url = ha.url and l.ne_type = ha.ne_type
-                 and l.alias = ha.surface
-                join mention_hub hc
-                  on l.url = hc.url and l.ne_type = hc.ne_type
-                 and l.canonical = hc.surface
-                where ha.hub <> hc.hub
-            ),
-            edges as (
-                select src as a, dst as b from hub_pairs
-                union
-                select dst, src from hub_pairs
-            ),
-            reach(a, b) as (
-                select a, b from edges
-                union
-                select r.a, e.b from reach r join edges e on r.b = e.a
-            ),
-            hub_cc as (
-                select a as node, least(a, min(b)) as component
-                from reach group by a
-            ),
-            hub_component as (
-                select h.hub,
-                       coalesce(c.component, h.hub) as component
-                from (select distinct hub from mention_hub) h
-                left join hub_cc c on h.hub = c.node
-            ),
-            reps as (
-                select component,
-                       string_split(substr(min(hub), 3),
-                                    '␟')[2] as canonical
-                from hub_component group by component
-            ),
-            mapping as (
-                select mh.url, mh.ne_type, mh.surface,
-                       r.canonical, hc.component
-                from mention_hub mh
-                join hub_component hc on mh.hub = hc.hub
-                join reps r on hc.component = r.component
-            )
-            select component, ne_type, canonical,
-                   cast(count(distinct url) as bigint) as n_docs,
-                   cast(count(distinct surface) as bigint) as n_surfaces
-            from mapping
-            group by component, ne_type, canonical
-        """,
+        "kg_graph_stage": _kg_graph_sql(cross=False),
+        # the same through the DEFAULT config: the north-star
+        # cross-document LSH stage is ON, mirrored end-to-end (vocab
+        # -> production minhash banding CTE -> bucket-cap 50 ->
+        # banded self-join -> length/folded-first-char prefilters ->
+        # Jaro-Winkler >= 0.94 -> extra hub-hub edges -> CC)
+        "kg_entities_stage": _kg_graph_sql(cross=True),
     }
