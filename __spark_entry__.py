@@ -106,9 +106,13 @@ _JW_DST = "!@#$%^&*()~"  # never inside a token (injectivity-safe)
 
 def _kg_source_stamp() -> str:
     import glob
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tildener_spark")
-    files = glob.glob(os.path.join(root, "**", "*.py"), recursive=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = glob.glob(os.path.join(here, "tildener_spark", "**", "*.py"),
+                      recursive=True)
+    # the materialization logic itself (table set, rounding surfaces)
+    # lives in this file — a stale cache after an entry-file edit
+    # would silently miss newly-added tables
+    files.append(os.path.abspath(__file__))
     return str(max(os.path.getmtime(f) for f in files))
 
 
@@ -200,6 +204,152 @@ def _minhash_bands_cte(source: str = "documents") -> str:
                              else key_u end as bigint) as band_key
             from mh_folded
         )"""
+
+
+def _kg_triples_sql() -> str:
+    """DuckDB mirror of triple extraction over the materialized
+    mention/token tables (operators/triples.py extract_triples:
+    lead() pairs, first-VB-between via min(v_tok) + lemma back-join).
+    Shared by kg_triples_stage (operator path) and kg_triples (fused
+    path): the two Spark implementations are independent code, so one
+    SQL string cross-checks both against each other AND against the
+    independent relational derivation."""
+    return f"""
+            with m as (
+                select url, sent_id, surface, ne_type, begin_tok,
+                       end_tok, avg_prob
+                from read_parquet(
+                    '{_KG_CACHE}/mentions.parquet/*.parquet')
+            ),
+            pairs as (
+                select url, sent_id,
+                       surface as subj, ne_type as subj_type,
+                       end_tok as subj_end,
+                       lead(surface) over w as obj,
+                       lead(ne_type) over w as obj_type,
+                       lead(begin_tok) over w as obj_begin,
+                       least(avg_prob, lead(avg_prob) over w) as prob
+                from m
+                window w as (partition by url, sent_id
+                             order by begin_tok)
+            ),
+            p as (select * from pairs where obj is not null),
+            verbs as (
+                select url, sent_id, tok_id as v_tok, lemma as v_lemma
+                from read_parquet(
+                    '{_KG_CACHE}/tagged_tokens.parquet/*.parquet')
+                where pos = 'VB'
+            ),
+            agg as (
+                select p.url, p.sent_id, p.subj, p.subj_type,
+                       p.subj_end, p.obj, p.obj_type, p.obj_begin,
+                       p.prob,
+                       min(case when v.v_tok > p.subj_end
+                                 and v.v_tok < p.obj_begin
+                                then v.v_tok end) as vmin
+                from p
+                left join verbs v
+                  on p.url = v.url and p.sent_id = v.sent_id
+                group by p.url, p.sent_id, p.subj, p.subj_type,
+                         p.subj_end, p.obj, p.obj_type, p.obj_begin,
+                         p.prob
+            )
+            select a.url, a.sent_id, a.subj, a.subj_type,
+                   coalesce(v2.v_lemma, 'co_occurs') as pred,
+                   a.obj, a.obj_type,
+                   round(a.prob, 6) as prob,
+                   case when a.vmin is not null then 'pattern'
+                        else 'cooc' end as kind
+            from agg a
+            left join verbs v2
+              on a.url = v2.url and a.sent_id = v2.sent_id
+             and v2.v_tok = a.vmin
+        """
+
+
+def _kg_links_sql() -> str:
+    """DuckDB mirror of within-document alias resolution over the
+    materialized mention table (operators/linking.py alias_links:
+    shared-token blocking, containment-first 0.95, JW typo arm,
+    nearest-preceding tie-break, per-alias majority).  Shared by
+    kg_links_stage (operator path) and kg_links (fused path
+    doc_links_py) — see _kg_triples_sql on why sharing is the point,
+    and _JW_SRC on the Jaro-Winkler byte/codepoint equivalence."""
+    return f"""
+            with init_list as (
+                select coalesce(list(surface), []) as inits
+                from read_parquet(
+                    '{_KG_CACHE}/gaz_existing.parquet/*.parquet')
+            ),
+            m as (
+                select url, ne_type, surface, begin_tok,
+                       list_distinct(list_filter(
+                           string_split(surface, ' '),
+                           t -> not list_contains(inits, t))) as toks
+                from read_parquet(
+                    '{_KG_CACHE}/mentions.parquet/*.parquet'),
+                     init_list
+            ),
+            m2 as (select * from m where len(toks) > 0),
+            pairs as (
+                select a.url, a.ne_type,
+                       a.surface as alias, a.begin_tok as alias_tok,
+                       a.toks as alias_toks,
+                       c.surface as canonical,
+                       c.begin_tok as canon_tok, c.toks as canon_toks
+                from m2 a
+                join m2 c
+                  on a.url = c.url and a.ne_type = c.ne_type
+                where a.surface <> c.surface
+                  and len(a.toks) <= len(c.toks)
+                  and length(a.surface) < length(c.surface)
+                  and list_has_any(a.toks, c.toks)
+            ),
+            scored as (
+                select *,
+                    case when len(list_filter(alias_toks,
+                             t -> not list_contains(canon_toks, t))) = 0
+                         then 0.95
+                         when len(alias_toks) = 1
+                          and len(canon_toks) = 1
+                         then jaro_winkler_similarity(
+                             translate(lower(alias_toks[1]),
+                                       '{_JW_SRC}', '{_JW_DST}'),
+                             translate(lower(canon_toks[1]),
+                                       '{_JW_SRC}', '{_JW_DST}'))
+                         end as score
+                from pairs
+            ),
+            acc as (
+                select * from scored where score >= 0.93
+            ),
+            best as (
+                select url, ne_type, alias, canonical, score,
+                       row_number() over (
+                           partition by url, ne_type, alias, alias_tok
+                           order by score desc,
+                               (case when canon_tok < alias_tok
+                                     then canon_tok - alias_tok
+                                     else -1099511627776 - canon_tok
+                                end) desc,
+                               canonical asc) as rn
+                from acc
+            ),
+            maj as (
+                select url, ne_type, alias, canonical,
+                       count(*) as n, max(score) as score
+                from best where rn = 1
+                group by url, ne_type, alias, canonical
+            )
+            select url, ne_type, alias, canonical,
+                   round(score, 6) as score
+            from (
+                select *, row_number() over (
+                    partition by url, ne_type, alias
+                    order by n desc, score desc, canonical asc) as rn2
+                from maj
+            ) where rn2 = 1
+        """
 
 
 def _kg_graph_sql(cross: bool) -> str:
@@ -939,19 +1089,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ne_type", F.round("avg_prob", 6).alias("avg_prob"))
 
     def kg_triples(spark, sf):
+        # FUSED-path triples (document.py doc_triples_py) checked
+        # against _kg_triples_sql() over the materialized mention/
+        # token tables — the materialization runs first so the oracle
+        # parquet exists and is current (same deterministic pipeline)
+        _kg_materialized(spark)
         res, *_ = _kg(spark)
-        return res.triples
+        return res.triples.select(
+            "url", "sent_id", "subj", "subj_type", "pred",
+            "obj", "obj_type",
+            F.round("prob", 6).alias("prob"), "kind")
 
     def kg_links(spark, sf):
+        # FUSED-path links (document.py doc_links_py) vs
+        # _kg_links_sql() — see kg_triples
+        _kg_materialized(spark)
         res, *_ = _kg(spark)
-        return res.links
+        return res.links.select(
+            "url", "ne_type", "alias", "canonical",
+            F.round("score", 6).alias("score"))
 
     def kg_entities(spark, sf):
+        # FUSED-path graph stage (Arrow-pass surfaces/hub_pairs +
+        # broadcast-correction canonicalization) vs
+        # _kg_graph_sql(cross=True) — see kg_triples
+        _kg_materialized(spark)
         res, *_ = _kg(spark)
-        return res.entities
+        return res.entities.select(
+            "component", "ne_type", "canonical",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_surfaces").cast("long").alias("n_surfaces"))
 
     def kg_triple_parity(spark, sf):
+        # oracle: same P/R arithmetic in SQL over the independently
+        # SQL-derived predicted triples/links (_kg_triples_sql /
+        # _kg_links_sql) and the materialized gold tables — the
+        # materialization runs first so the parquet exists
         from tildener_spark.operators.triples import triple_prf
+        _kg_materialized(spark)
         res, gm, gt, gl = _kg(spark)
         m = triple_prf(res.triples, gt)
         key = ["url", "alias", "canonical"]
@@ -993,6 +1168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f"{_KG_CACHE}/links.parquet")
             gm.write.mode("overwrite").parquet(
                 f"{_KG_CACHE}/gold_mentions.parquet")
+            gt.write.mode("overwrite").parquet(
+                f"{_KG_CACHE}/gold_triples.parquet")
+            gl.write.mode("overwrite").parquet(
+                f"{_KG_CACHE}/gold_links.parquet")
             gazetteer_df(spark).filter(
                 F.col("ne_type") == "ORG_INIT").select(
                 "ne_type", "surface").write.mode("overwrite").parquet(
@@ -1926,135 +2105,21 @@ def oracle_sql() -> dict[str, str]:
         # extract_triples (operators/triples.py): lead() pairs +
         # first-VB-between via min(v_tok) then a lemma back-join
         # (unambiguous mirror of Spark's null-skipping min_by)
-        "kg_triples_stage": f"""
-            with m as (
-                select url, sent_id, surface, ne_type, begin_tok,
-                       end_tok, avg_prob
-                from read_parquet(
-                    '{_KG_CACHE}/mentions.parquet/*.parquet')
-            ),
-            pairs as (
-                select url, sent_id,
-                       surface as subj, ne_type as subj_type,
-                       end_tok as subj_end,
-                       lead(surface) over w as obj,
-                       lead(ne_type) over w as obj_type,
-                       lead(begin_tok) over w as obj_begin,
-                       least(avg_prob, lead(avg_prob) over w) as prob
-                from m
-                window w as (partition by url, sent_id
-                             order by begin_tok)
-            ),
-            p as (select * from pairs where obj is not null),
-            verbs as (
-                select url, sent_id, tok_id as v_tok, lemma as v_lemma
-                from read_parquet(
-                    '{_KG_CACHE}/tagged_tokens.parquet/*.parquet')
-                where pos = 'VB'
-            ),
-            agg as (
-                select p.url, p.sent_id, p.subj, p.subj_type,
-                       p.subj_end, p.obj, p.obj_type, p.obj_begin,
-                       p.prob,
-                       min(case when v.v_tok > p.subj_end
-                                 and v.v_tok < p.obj_begin
-                                then v.v_tok end) as vmin
-                from p
-                left join verbs v
-                  on p.url = v.url and p.sent_id = v.sent_id
-                group by p.url, p.sent_id, p.subj, p.subj_type,
-                         p.subj_end, p.obj, p.obj_type, p.obj_begin,
-                         p.prob
-            )
-            select a.url, a.sent_id, a.subj, a.subj_type,
-                   coalesce(v2.v_lemma, 'co_occurs') as pred,
-                   a.obj, a.obj_type,
-                   round(a.prob, 6) as prob,
-                   case when a.vmin is not null then 'pattern'
-                        else 'cooc' end as kind
-            from agg a
-            left join verbs v2
-              on a.url = v2.url and a.sent_id = v2.sent_id
-             and v2.v_tok = a.vmin
-        """,
+        "kg_triples_stage": _kg_triples_sql(),
+        # the FUSED triple extraction (operators/document.py
+        # doc_triples_py) against the same independent SQL: converts
+        # the fused-vs-operator pytest parity into a driver-visible
+        # correctness row (upstream classifier output is shared via
+        # the materialized cache; the pairing/verb logic is what this
+        # row cross-checks)
+        "kg_triples": _kg_triples_sql(),
         # alias_links (operators/linking.py): shared-token blocking,
         # containment-first 0.95, JW typo arm (see _JW_SRC note),
         # nearest-preceding best per occurrence, per-alias majority
-        "kg_links_stage": f"""
-            with init_list as (
-                select coalesce(list(surface), []) as inits
-                from read_parquet(
-                    '{_KG_CACHE}/gaz_existing.parquet/*.parquet')
-            ),
-            m as (
-                select url, ne_type, surface, begin_tok,
-                       list_distinct(list_filter(
-                           string_split(surface, ' '),
-                           t -> not list_contains(inits, t))) as toks
-                from read_parquet(
-                    '{_KG_CACHE}/mentions.parquet/*.parquet'),
-                     init_list
-            ),
-            m2 as (select * from m where len(toks) > 0),
-            pairs as (
-                select a.url, a.ne_type,
-                       a.surface as alias, a.begin_tok as alias_tok,
-                       a.toks as alias_toks,
-                       c.surface as canonical,
-                       c.begin_tok as canon_tok, c.toks as canon_toks
-                from m2 a
-                join m2 c
-                  on a.url = c.url and a.ne_type = c.ne_type
-                where a.surface <> c.surface
-                  and len(a.toks) <= len(c.toks)
-                  and length(a.surface) < length(c.surface)
-                  and list_has_any(a.toks, c.toks)
-            ),
-            scored as (
-                select *,
-                    case when len(list_filter(alias_toks,
-                             t -> not list_contains(canon_toks, t))) = 0
-                         then 0.95
-                         when len(alias_toks) = 1
-                          and len(canon_toks) = 1
-                         then jaro_winkler_similarity(
-                             translate(lower(alias_toks[1]),
-                                       '{_JW_SRC}', '{_JW_DST}'),
-                             translate(lower(canon_toks[1]),
-                                       '{_JW_SRC}', '{_JW_DST}'))
-                         end as score
-                from pairs
-            ),
-            acc as (
-                select * from scored where score >= 0.93
-            ),
-            best as (
-                select url, ne_type, alias, canonical, score,
-                       row_number() over (
-                           partition by url, ne_type, alias, alias_tok
-                           order by score desc,
-                               (case when canon_tok < alias_tok
-                                     then canon_tok - alias_tok
-                                     else -1099511627776 - canon_tok
-                                end) desc,
-                               canonical asc) as rn
-                from acc
-            ),
-            maj as (
-                select url, ne_type, alias, canonical,
-                       count(*) as n, max(score) as score
-                from best where rn = 1
-                group by url, ne_type, alias, canonical
-            )
-            select url, ne_type, alias, canonical,
-                   round(score, 6) as score
-            from (
-                select *, row_number() over (
-                    partition by url, ne_type, alias
-                    order by n desc, score desc, canonical asc) as rn2
-                from maj
-            ) where rn2 = 1
-        """,
+        "kg_links_stage": _kg_links_sql(),
+        # the FUSED within-doc linking (document.py doc_links_py /
+        # _links_for_type) against the same SQL — see kg_triples
+        "kg_links": _kg_links_sql(),
         # build_entity_graph join path + connected_components
         # (operators/graph.py, components.py): doc-canonical resolve,
         # alias-chain hub pairs, CC = min reachable node id via
@@ -2068,4 +2133,51 @@ def oracle_sql() -> dict[str, str]:
         # banded self-join -> length/folded-first-char prefilters ->
         # Jaro-Winkler >= 0.94 -> extra hub-hub edges -> CC)
         "kg_entities_stage": _kg_graph_sql(cross=True),
+        # the FUSED graph fast path (per-document surfaces/hub_pairs
+        # from the Arrow pass + broadcast-correction canonicalization,
+        # graph.py:200-251) against the same recursive-CTE mirror —
+        # a DIFFERENT algorithm than the join path kg_graph_stage
+        # checks, so both canonicalization strategies are value-gated
+        "kg_entities": _kg_graph_sql(cross=True),
+        # the north-rule parity gate's arithmetic (triples.triple_prf
+        # set P/R on (url, subj, pred, obj); link P/R on (url, alias,
+        # canonical)) over the SQL-derived predictions and the
+        # materialized gold tables
+        "kg_triple_parity": f"""
+            with pt as (
+                select distinct url, subj, pred, obj
+                from ({_kg_triples_sql()})
+            ),
+            gt as (
+                select distinct url, subj, pred, obj
+                from read_parquet(
+                    '{_KG_CACHE}/gold_triples.parquet/*.parquet')
+            ),
+            pl as (
+                select distinct url, alias, canonical
+                from ({_kg_links_sql()})
+            ),
+            gl as (
+                select distinct url, alias, canonical
+                from read_parquet(
+                    '{_KG_CACHE}/gold_links.parquet/*.parquet')
+            )
+            select 'triples' as task,
+                   round((select count(*) from pt join gt
+                          using (url, subj, pred, obj)) * 1.0
+                         / greatest((select count(*) from pt), 1), 4)
+                       as precision,
+                   round((select count(*) from pt join gt
+                          using (url, subj, pred, obj)) * 1.0
+                         / greatest((select count(*) from gt), 1), 4)
+                       as recall
+            union all
+            select 'links',
+                   round((select count(*) from pl join gl
+                          using (url, alias, canonical)) * 1.0
+                         / greatest((select count(*) from pl), 1), 4),
+                   round((select count(*) from pl join gl
+                          using (url, alias, canonical)) * 1.0
+                         / greatest((select count(*) from gl), 1), 4)
+    """,
     }

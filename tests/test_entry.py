@@ -52,3 +52,15 @@ def test_jw_translate_alphabet_guard():
         chars.update(gen_doc(i)["text"].lower())
     assert {c for c in chars if ord(c) > 127} <= set(_JW_SRC)
     assert not set(_JW_DST) & chars
+
+
+def test_cross_doc_stage_exercised(spark):
+    """kg_entities_stage must MERGE entities relative to
+    kg_graph_stage (cross-doc linking off): if this ever stops
+    holding, the datagen corpus no longer contains a >=8-char
+    typo/diacritic surface pair above the 0.94 JW bar and the
+    cross-doc arm of the oracle mirror has gone vacuously green."""
+    q = entry_mod.queries()
+    n_off = q["kg_graph_stage"](spark, SF_SMOKE).count()
+    n_on = q["kg_entities_stage"](spark, SF_SMOKE).count()
+    assert n_on < n_off
