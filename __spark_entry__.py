@@ -1082,6 +1082,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res, gm, gt, gl
 
     def kg_mentions(spark, sf):
+        # FUSED-path BIO span assembly (document.py doc_mentions_py)
+        # checked against an independent gaps-and-islands SQL over the
+        # materialized tagged tokens (the tagging is shared input; the
+        # assembly semantics — spans start at B only, maximal same-type
+        # I run, orphan I skipped — are what the mirror re-derives)
+        _kg_materialized(spark)
         res, *_ = _kg(spark)
         return res.mentions.select(
             "url", "sent_id", "begin_tok", "end_tok", "line_from",
@@ -2139,6 +2145,55 @@ def oracle_sql() -> dict[str, str]:
         # a DIFFERENT algorithm than the join path kg_graph_stage
         # checks, so both canonicalization strategies are value-gated
         "kg_entities": _kg_graph_sql(cross=True),
+        # BIO span assembly over the materialized tagged tokens
+        # (document.py doc_mentions_py / spans.assemble_spans
+        # semantics): gaps-and-islands — a token continues a span iff
+        # it is I-<t> and the previous token is B-<t>/I-<t>; every
+        # other token (B, orphan I, O) starts a group; only groups
+        # whose first token is B become mentions
+        "kg_mentions": f"""
+            with t as (
+                select url, sent_id, tok_id, token, lemma,
+                       line_from, col_from, line_to, col_to,
+                       ne_tag, ne_prob,
+                       substr(ne_tag, 1, 1) as bio,
+                       substr(ne_tag, 3) as typ
+                from read_parquet(
+                    '{_KG_CACHE}/tagged_tokens.parquet/*.parquet')
+            ),
+            marked as (
+                select *,
+                    case when bio = 'I'
+                          and lag(ne_tag) over w
+                              in ('B-' || typ, 'I-' || typ)
+                         then 0 else 1 end as is_begin
+                from t
+                window w as (partition by url order by tok_id)
+            ),
+            grp as (
+                select *,
+                    sum(is_begin) over (
+                        partition by url order by tok_id
+                        rows between unbounded preceding
+                             and current row) as span_grp
+                from marked
+            )
+            select url,
+                   arg_min(sent_id, tok_id) as sent_id,
+                   min(tok_id) as begin_tok,
+                   max(tok_id) as end_tok,
+                   arg_min(line_from, tok_id) as line_from,
+                   arg_min(col_from, tok_id) as col_from,
+                   arg_max(line_to, tok_id) as line_to,
+                   arg_max(col_to, tok_id) as col_to,
+                   string_agg(token, ' ' order by tok_id) as surface,
+                   string_agg(lemma, ' ' order by tok_id) as lemmas,
+                   min(typ) as ne_type,
+                   round(avg(ne_prob), 6) as avg_prob
+            from grp
+            group by url, span_grp
+            having arg_min(bio, tok_id) = 'B'
+        """,
         # the north-rule parity gate's arithmetic (triples.triple_prf
         # set P/R on (url, subj, pred, obj); link P/R on (url, alias,
         # canonical)) over the SQL-derived predictions and the
