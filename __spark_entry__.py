@@ -206,6 +206,18 @@ def _minhash_bands_cte(source: str = "documents") -> str:
         )"""
 
 
+def _pii_sql_expr(col: str) -> str:
+    """DuckDB regexp_replace chain over the SAME pattern list the
+    Spark operator applies (operators/scrub.py PII_PATTERNS) — the
+    patterns stay in the common RE2/Java subset and carry no quotes,
+    so they embed verbatim; 'g' mirrors Spark's replace-all."""
+    from tildener_spark.operators.scrub import PII_PATTERNS
+    expr = col
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
 def _kg_triples_sql() -> str:
     """DuckDB mirror of triple extraction over the materialized
     mention/token tables (operators/triples.py extract_triples:
@@ -1006,6 +1018,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash comparison is float-free (the score orders, ints ship)
         return textstats.top_keywords(_docs(spark, sf), k=5)
 
+    def q26_pii_redaction(spark, sf):
+        # PII scrub (operators/scrub.py redact_pii): the documents
+        # table carries no PII, so deterministic synthetic spans
+        # (derived from doc_id) are appended first — the redaction
+        # regexes then genuinely fire on every row; the oracle
+        # replays the same concat + the same pattern chain
+        from tildener_spark.operators.scrub import redact_pii
+        d = _docs(spark, sf)
+        seeded = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org or +371 2"),
+                F.lpad((F.col("doc_id") % 1000000).cast("string"),
+                       7, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ).alias("text"))
+        return redact_pii(seeded).select("doc_id", "clean")
+
+    def q27_paragraph_dedup(spark, sf):
+        # cross-document paragraph dedup (operators/scrub.py
+        # dedup_paragraphs) over the multi-line kg pages corpus —
+        # the synthetic web pages repeat template sentences across
+        # documents, so the global first-occurrence rule fires
+        from tildener_spark.operators.scrub import dedup_paragraphs
+        m = _kg_materialized(spark)
+        return dedup_paragraphs(m["pages"], "url", "text").select(
+            "url", "n_pars", "n_kept", "text_dedup")
+
     def q22_tag_writeback(spark, sf):
         # WriteNEtagsInTokens as a positional join
         # (operators/retag.py; NERefinements.pm:296-355)
@@ -1163,9 +1208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         marker = os.path.join(_KG_CACHE, "_STAMP")
         if not (os.path.exists(marker)
                 and open(marker).read() == stamp):
-            from tildener_spark.datagen import gazetteer_df
+            from tildener_spark.datagen import (
+                corpus_df, gazetteer_df, split_gold)
             from tildener_spark.operators.tokenize import explode_tokens
             res, gm, gt, gl = _kg(spark)
+            pages_df, *_ = split_gold(corpus_df(spark, 120))
+            pages_df.select("url", "text").write.mode(
+                "overwrite").parquet(f"{_KG_CACHE}/pages.parquet")
             explode_tokens(res.tagged).write.mode("overwrite").parquet(
                 f"{_KG_CACHE}/tagged_tokens.parquet")
             res.mentions.write.mode("overwrite").parquet(
@@ -1187,7 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return {
             name: spark.read.parquet(f"{_KG_CACHE}/{name}.parquet")
             for name in ("tagged_tokens", "mentions", "links",
-                         "gold_mentions", "gaz_existing")
+                         "gold_mentions", "gaz_existing", "pages")
         }
 
     def kg_token_eval(spark, sf):
@@ -1354,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_muc7_markup": q23_muc7_markup,
         "q24_region_brand_revenue": q24_region_brand_revenue,
         "q25_keywords": q25_keywords,
+        "q26_pii_redaction": q26_pii_redaction,
+        "q27_paragraph_dedup": q27_paragraph_dedup,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_links": kg_links,
@@ -1910,6 +1961,61 @@ def oracle_sql() -> dict[str, str]:
             where l.l_shipdate >= timestamp '1995-01-01 00:00:00'
               and p.p_size <= 20
             group by r.r_name, p.p_brand
+        """,
+        # PII scrub: same deterministic seeding concat, same pattern
+        # chain in the same order (built from scrub.PII_PATTERNS —
+        # one source of truth for both engines)
+        "q26_pii_redaction": f"""
+            with seeded as (
+                select doc_id,
+                       text || ' contact user'
+                            || cast(doc_id as varchar)
+                            || '@mail.example.org or +371 2'
+                            || lpad(cast(doc_id % 1000000 as varchar),
+                                    7, '0')
+                            || ' from 10.0.'
+                            || cast(doc_id % 256 as varchar) || '.'
+                            || cast((doc_id * 7) % 256 as varchar)
+                           as text
+                from documents
+            )
+            select doc_id, {_pii_sql_expr('text')} as clean
+            from seeded
+        """,
+        # cross-document paragraph dedup over the materialized kg
+        # pages (scrub.dedup_paragraphs): paragraph = non-empty
+        # trimmed line; keep the globally-first occurrence under the
+        # total order (url, line index); rejoin survivors in document
+        # order (all-duplicate documents keep an empty string)
+        "q27_paragraph_dedup": f"""
+            with pl as (
+                select url,
+                       unnest(list_transform(
+                           generate_series(1, len(ps)),
+                           i -> {{'idx': i, 'par': trim(ps[i])}})) as u
+                from (
+                    select url, string_split(text, chr(10)) as ps
+                    from read_parquet(
+                        '{_KG_CACHE}/pages.parquet/*.parquet')
+                )
+            ),
+            pars as (
+                select url, u.idx as idx, u.par as par
+                from pl where u.par <> ''
+            ),
+            ranked as (
+                select *, row_number() over (
+                    partition by par order by url, idx) as rn
+                from pars
+            )
+            select url,
+                   cast(count(*) as bigint) as n_pars,
+                   cast(sum(case when rn = 1 then 1 else 0 end)
+                        as bigint) as n_kept,
+                   coalesce(string_agg(case when rn = 1 then par end,
+                                       chr(10) order by idx), '')
+                       as text_dedup
+            from ranked group by url
         """,
         "q22_tag_writeback": f"""
             with toks as ({_DOC_TOKENS_SQL}),

@@ -1,0 +1,78 @@
+"""Training-data scrubbing operators: PII redaction and
+cross-document paragraph deduplication.
+
+Standard large-corpus preparation steps (not in the reference, which
+tags already-curated text); both are pure JVM-side built-ins with
+exact DuckDB oracles, like operators/textstats.py.
+
+Scale notes: redaction is a per-row map (no shuffle, rides whole-stage
+codegen).  Paragraph dedup shuffles twice — once hash-partitioned by
+paragraph content for the global first-occurrence window, once by doc
+id for reassembly — the same shape as exact document dedup
+(operators/dedup.py), so it holds at 10^12 documents; skew is bounded
+because a paragraph's window only ranks its duplicates, and
+pathological mega-duplicate paragraphs (boilerplate) are exactly the
+rows AQE skew-join/window handling splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Patterns kept to the common RE2/Java-regex subset so the DuckDB
+# oracle can run the byte-identical expressions; replacement ORDER is
+# part of the contract (email first, then ipv4, then phone).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d ]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               out_col: str = "clean") -> DataFrame:
+    """Replace email / IPv4 / phone spans with typed placeholders."""
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return docs.withColumn(out_col, col)
+
+
+def dedup_paragraphs(docs: DataFrame, id_col: str = "url",
+                     text_col: str = "text") -> DataFrame:
+    """Keep only the globally-first occurrence of every paragraph.
+
+    Paragraph = non-empty trimmed line.  "First" is the total order
+    (id, line index), so the result is deterministic under any
+    partitioning.  Returns (id, n_pars, n_kept, text_dedup) with
+    text_dedup the surviving paragraphs rejoined in document order;
+    documents whose every paragraph is a duplicate keep an empty
+    string (they remain countable rather than vanishing).
+    """
+    pars = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("idx", "par"))
+        .withColumn("par", F.trim("par"))
+        .filter(F.col("par") != "")
+    )
+    w = Window.partitionBy("par").orderBy("_id", "idx")
+    ranked = pars.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pars"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("rn") == 1,
+                        F.struct("idx", "par")))),
+                    lambda s: s["par"]),
+                "\n").alias("text_dedup"),
+        )
+        .select(F.col("_id").alias(id_col), "n_pars", "n_kept",
+                "text_dedup")
+    )
