@@ -1041,6 +1041,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("text"))
         return redact_pii(seeded).select("doc_id", "clean")
 
+    def q28_decontamination(spark, sf):
+        # benchmark decontamination (operators/contamination.py):
+        # the "benchmark" is a deterministic slice of the corpus
+        # itself (every 50th doc contributes its words 3-14), so the
+        # 8-gram overlap rule genuinely fires on the source docs and
+        # the oracle can rebuild the identical benchmark in SQL
+        from tildener_spark.operators.contamination import (
+            flag_contaminated)
+        d = _docs(spark, sf)
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        bench = (
+            d.filter(F.col("doc_id") % 50 == 0)
+            .select(F.col("doc_id").alias("bench_id"),
+                    F.concat_ws(" ", F.slice(toks, 3, 12))
+                    .alias("text")))
+        return flag_contaminated(d, bench, n=8).select(
+            "doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
     def q27_paragraph_dedup(spark, sf):
         # cross-document paragraph dedup (operators/scrub.py
         # dedup_paragraphs) over the multi-line kg pages corpus —
@@ -1405,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_keywords": q25_keywords,
         "q26_pii_redaction": q26_pii_redaction,
         "q27_paragraph_dedup": q27_paragraph_dedup,
+        "q28_decontamination": q28_decontamination,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_links": kg_links,
@@ -1981,6 +2000,43 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, {_pii_sql_expr('text')} as clean
             from seeded
+        """,
+        # benchmark decontamination: identical tokenization, 8-gram
+        # md5 window keys, identical benchmark derivation (words 3-14
+        # of every 50th doc); DuckDB list slices are inclusive-end and
+        # clamped like Spark's slice(toks, i, n)
+        "q28_decontamination": """
+            with tok as (
+                select doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+')
+                           as toks
+                from documents
+            ),
+            doc_sh as (
+                select distinct doc_id, sh from (
+                    select doc_id,
+                           unnest(case when len(toks) >= 8 then
+                               list_transform(
+                                   generate_series(1, len(toks) - 7),
+                                   i -> md5(array_to_string(
+                                       toks[i:i+7], ' ')))
+                               else [] end) as sh
+                    from tok)
+            ),
+            bench_sh as (
+                select distinct sh from (
+                    select unnest(case when len(b) >= 8 then
+                               list_transform(
+                                   generate_series(1, len(b) - 7),
+                                   i -> md5(array_to_string(
+                                       b[i:i+7], ' ')))
+                               else [] end) as sh
+                    from (select toks[3:14] as b from tok
+                          where doc_id % 50 = 0))
+            )
+            select d.doc_id, cast(count(*) as bigint) as n_hits
+            from doc_sh d join bench_sh b using (sh)
+            group by d.doc_id
         """,
         # cross-document paragraph dedup over the materialized kg
         # pages (scrub.dedup_paragraphs): paragraph = non-empty
