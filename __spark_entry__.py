@@ -1041,6 +1041,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("text"))
         return redact_pii(seeded).select("doc_id", "clean")
 
+    def q29_near_dup_clusters(spark, sf):
+        # dedup end artifact (operators/dedup.py near_dup_clusters):
+        # LSH pairs -> connected components -> per-cluster keep-list;
+        # the oracle replays the q13b pair derivation and a
+        # recursive-CTE closure with min-label
+        from tildener_spark.operators.dedup import near_dup_clusters
+        return near_dup_clusters(_docs(spark, sf)).select(
+            "doc_id", "cluster", "keep")
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -1424,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_pii_redaction": q26_pii_redaction,
         "q27_paragraph_dedup": q27_paragraph_dedup,
         "q28_decontamination": q28_decontamination,
+        "q29_near_dup_clusters": q29_near_dup_clusters,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_links": kg_links,
@@ -1705,6 +1715,45 @@ def oracle_sql() -> dict[str, str]:
         "q13c_minhash_production": f"""
             with {_minhash_bands_cte()}
             select doc_id, band_idx, band_key from mh_bands
+        """,
+        # near-dup clustering end artifact: q13b's pair derivation +
+        # symmetric closure + min-label CC + left join back to every
+        # document (singletons cluster to themselves and are kept)
+        "q29_near_dup_clusters": f"""
+            with recursive {_minhash_bands_cte()},
+            capped as (
+                select doc_id, band_idx, band_key from (
+                    select *, count(*) over (
+                        partition by band_idx, band_key) as bn
+                    from mh_bands
+                ) where bn <= 100
+            ),
+            prs as (
+                select distinct a.doc_id as a, b.doc_id as b
+                from capped a
+                join capped b on a.band_idx = b.band_idx
+                             and a.band_key = b.band_key
+                             and a.doc_id < b.doc_id
+            ),
+            edges as (
+                select a, b from prs
+                union
+                select b, a from prs
+            ),
+            reach(a, b) as (
+                select a, b from edges
+                union
+                select r.a, e.b from reach r join edges e on r.b = e.a
+            ),
+            cc as (
+                select a as node, least(a, min(b)) as component
+                from reach group by a
+            )
+            select d.doc_id,
+                   coalesce(cc.component, d.doc_id) as cluster,
+                   coalesce(cc.component, d.doc_id) = d.doc_id as keep
+            from documents d
+            left join cc on d.doc_id = cc.node
         """,
         "q14_lang_id": f"""
             with t as (

@@ -48,3 +48,20 @@ def test_skew_guard_max_df(spark):
     # with max_df=1 every shared shingle is dropped -> no pairs
     out = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.1, max_df=1)
     assert out.collect() == []
+
+
+def test_near_dup_clusters_end_artifact(spark):
+    from tildener_spark.operators.dedup import near_dup_clusters
+    rows = {r["doc_id"]: (r["cluster"], r["keep"])
+            for r in near_dup_clusters(_docs(spark)).collect()}
+    assert set(rows) == {0, 1, 2, 3}           # every doc labeled
+    # 0/1 (and possibly 2) collapse into the min-id cluster, which
+    # keeps exactly its representative
+    assert rows[0] == (0, True)
+    assert rows[1] == (0, False)
+    # the unrelated doc is a kept singleton
+    assert rows[3] == (3, True)
+    # exactly one keeper per cluster
+    from collections import Counter
+    keepers = Counter(c for c, k in rows.values() if k)
+    assert all(v == 1 for v in keepers.values())

@@ -191,6 +191,39 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def near_dup_clusters(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      cfg: EngineConfig | None = None,
+                      max_bucket: int = 100) -> DataFrame:
+    """The dedup END ARTIFACT: cluster near-duplicates and pick one
+    representative per cluster.
+
+    Candidate pairs alone (:func:`minhash_lsh_pairs`) don't dedup a
+    corpus — transitive chains (A~B, B~C) must collapse into ONE kept
+    document.  This composes the LSH pairs with connected components
+    (operators/components.py) and labels every document:
+    (id, cluster, keep) where cluster is the lexicographically
+    smallest member id (the CC label; singletons are their own
+    cluster) and keep is true exactly for the representative.  A
+    different survivor rule (longest text, newest crawl) is a drop-in
+    replacement for the ``keep`` expression.
+
+    Scale: pairs stage as documented on minhash_lsh_pairs; CC input is
+    bounded by the near-duplicate pair count, not corpus size."""
+    from tildener_spark.operators.components import connected_components
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, cfg, max_bucket)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")), cfg)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("cluster", F.coalesce("component", F.col("doc_id")))
+        .withColumn("keep", F.col("cluster") == F.col("doc_id"))
+        .select("doc_id", "cluster", "keep")
+    )
+
+
 def token_md5s(col):
     """md5 hex digests of the distinct word tokens — the shared input
     of the per-bit SimHash majorities.  Stage as a column (see
