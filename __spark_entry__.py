@@ -103,6 +103,9 @@ _KG_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 _JW_SRC = "āčēģīķļņšūž"
 _JW_DST = "!@#$%^&*()~"  # never inside a token (injectivity-safe)
 
+# q30 mixture table: language -> keep rate (doc_id-keyed, seed mix42)
+_MIX_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
+
 
 def _kg_source_stamp() -> str:
     import glob
@@ -1041,6 +1044,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("text"))
         return redact_pii(seeded).select("doc_id", "clean")
 
+    def q30_data_mixture(spark, sf):
+        # deterministic per-stratum mixture sampling
+        # (operators/mixing.py): keep iff md5-bucket(doc_id) sorts
+        # below the language's threshold; the oracle shares the
+        # threshold strings via mixing.hex_threshold
+        from tildener_spark.operators.mixing import stratified_mix
+        return stratified_mix(
+            _docs(spark, sf), "lang", _MIX_FRACTIONS, "doc_id",
+            seed="mix42", default_fraction=0.1,
+        ).select("doc_id", "lang")
+
     def q29_near_dup_clusters(spark, sf):
         # dedup end artifact (operators/dedup.py near_dup_clusters):
         # LSH pairs -> connected components -> per-cluster keep-list;
@@ -1434,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_paragraph_dedup": q27_paragraph_dedup,
         "q28_decontamination": q28_decontamination,
         "q29_near_dup_clusters": q29_near_dup_clusters,
+        "q30_data_mixture": q30_data_mixture,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_links": kg_links,
@@ -1453,6 +1468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
+    from tildener_spark.operators.mixing import hex_threshold
+    _mix_cases = " ".join(
+        f"when lang = '{k}' then '{hex_threshold(v)}'"
+        for k, v in sorted(_MIX_FRACTIONS.items()))
+    _mix_default = hex_threshold(0.1)
     lang_profiles = {
         "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
         "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
@@ -1715,6 +1735,16 @@ def oracle_sql() -> dict[str, str]:
         "q13c_minhash_production": f"""
             with {_minhash_bands_cte()}
             select doc_id, band_idx, band_key from mh_bands
+        """,
+        # deterministic mixture sampling: identical md5 bucket string,
+        # thresholds shared through mixing.hex_threshold — the hex
+        # STRING comparison orders like the integer it encodes, so
+        # both engines evaluate the same predicate byte-for-byte
+        "q30_data_mixture": f"""
+            select doc_id, lang from documents
+            where substr(md5('mix42:' || cast(doc_id as varchar)),
+                         1, 8)
+                  < case {_mix_cases} else '{_mix_default}' end
         """,
         # near-dup clustering end artifact: q13b's pair derivation +
         # symmetric closure + min-label CC + left join back to every

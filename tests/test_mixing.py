@@ -1,0 +1,54 @@
+"""Deterministic data-mixture sampling (operators/mixing.py)."""
+
+from pyspark.sql import functions as F
+
+from tildener_spark.operators.mixing import (
+    deterministic_sample, hex_threshold, stratified_mix)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de")
+         .otherwise("zz").alias("lang"))
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(1.0) == "g"
+    assert hex_threshold(0.5) == "80000000"
+    # 'g' sorts above every hex digit -> keep-everything sentinel
+    assert "ffffffff" < "g"
+
+
+def test_sample_rate_and_determinism(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in
+         deterministic_sample(df, 0.5, "doc_id", "s1").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(
+        df.repartition(17), 0.5, "doc_id", "s1").collect()}
+    assert a == b                       # partition-invariant
+    assert 0.4 < len(a) / 2000 < 0.6    # ~Bernoulli(0.5)
+    c = {r["doc_id"] for r in
+         deterministic_sample(df, 0.5, "doc_id", "s2").collect()}
+    assert a != c                       # seed changes the sample
+
+
+def test_stratified_rates_and_isolation(spark):
+    df = _docs(spark)
+    out = stratified_mix(df, "lang", {"en": 1.0, "de": 0.25},
+                         "doc_id", "s1", default_fraction=0.0)
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n"))
+               .collect()}
+    assert by_lang.get("en") == 667     # 1.0 keeps every en row
+    assert 100 < by_lang.get("de", 0) < 233
+    assert "zz" not in by_lang          # default 0.0 drops the rest
+    # adding a stratum to the table never reshuffles other strata
+    out2 = stratified_mix(df, "lang", {"en": 1.0, "de": 0.25,
+                                       "zz": 0.9},
+                          "doc_id", "s1", default_fraction=0.0)
+    de1 = {r["doc_id"] for r in out.filter("lang = 'de'").collect()}
+    de2 = {r["doc_id"] for r in out2.filter("lang = 'de'").collect()}
+    assert de1 == de2
