@@ -106,6 +106,25 @@ _JW_DST = "!@#$%^&*()~"  # never inside a token (injectivity-safe)
 # q30 mixture table: language -> keep rate (doc_id-keyed, seed mix42)
 _MIX_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
 
+# q32/q33 shared CTE: the pages corpus plus deterministic URL-spelling
+# variants (mirrors _variant_crawl in queries())
+_VARIANT_CRAWL_SQL = f"""
+  select url, warc_ts, text, lang
+  from read_parquet('{_KG_CACHE}/pages.parquet/*.parquet')
+  union all
+  select 'HTTP://WWW.' || regexp_replace(url, '^https://', '')
+             || '/?utm_source=feed',
+         warc_ts + interval 1 hour, text, lang
+  from read_parquet('{_KG_CACHE}/pages.parquet/*.parquet')
+  where cast(regexp_extract(url, 'doc/([0-9]+)$', 1) as int) % 2 = 0
+  union all
+  select 'https://' || regexp_replace(url, '^https://', '')
+             || '///#section-2',
+         warc_ts + interval 2 hour, text, lang
+  from read_parquet('{_KG_CACHE}/pages.parquet/*.parquet')
+  where cast(regexp_extract(url, 'doc/([0-9]+)$', 1) as int) % 3 = 0
+"""
+
 
 def _kg_source_stamp() -> str:
     import glob
@@ -1092,6 +1111,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_paragraphs(m["pages"], "url", "text").select(
             "url", "n_pars", "n_kept", "text_dedup")
 
+    def q31_repetition_profile(spark, sf):
+        # Gopher-style within-doc repetition rules
+        # (operators/textstats.py repetition_profile) over the web
+        # pages corpus.  The synthetic pages carry no natural line
+        # repetition, so deterministic boilerplate (a cookie-notice
+        # line repeated 1..11 times by doc number, the classic
+        # crawl artifact) is appended first — the dup-line and
+        # top-bigram rules then genuinely fire and the flag splits
+        # the corpus; the oracle replays the same seeding.
+        from tildener_spark.operators.textstats import (
+            repetition_profile)
+        m = _kg_materialized(spark)
+        num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+        seeded = m["pages"].select(
+            "url",
+            F.concat(
+                F.col("text"),
+                F.repeat(
+                    F.lit("\ncookie notice accept all cookies"),
+                    F.lit(1) + (num % 6) * 2)).alias("text"))
+        return repetition_profile(seeded, "url", "text")
+
+    def _variant_crawl(spark):
+        # deterministic URL-spelling variants of the pages corpus:
+        # scheme/host casing + www. + tracking param (even docs),
+        # trailing slashes + fragment (every third doc) — the
+        # canonicalization in operators/urls.py collapses each
+        # group back to its original spelling
+        m = _kg_materialized(spark)
+        pages = m["pages"].select("url", "warc_ts", "text", "lang")
+        num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+        stripped = F.regexp_replace("url", r"^https://", "")
+        v1 = pages.filter(num % 2 == 0).select(
+            F.concat(F.lit("HTTP://WWW."), stripped,
+                     F.lit("/?utm_source=feed")).alias("url"),
+            (F.col("warc_ts") + F.expr("interval 1 hour"))
+            .alias("warc_ts"),
+            "text", "lang")
+        v2 = pages.filter(num % 3 == 0).select(
+            F.concat(F.lit("https://"), stripped,
+                     F.lit("///#section-2")).alias("url"),
+            (F.col("warc_ts") + F.expr("interval 2 hour"))
+            .alias("warc_ts"),
+            "text", "lang")
+        return pages.unionByName(v1).unionByName(v2)
+
+    def q32_url_dedup(spark, sf):
+        # URL canonicalization + exact URL-level dedup
+        # (operators/urls.py): earliest fetch per canonical key wins
+        from tildener_spark.operators.urls import dedup_urls
+        return dedup_urls(_variant_crawl(spark)).select(
+            "norm_url", "kept_url", "n_dups")
+
+    def q33_host_stats(spark, sf):
+        # per-host crawl rollup (operators/urls.py host_stats) over
+        # the variant crawl, so www./non-www. hosts both appear
+        from tildener_spark.operators.urls import host_stats
+        return host_stats(_variant_crawl(spark)).select(
+            "host", "n_pages", "total_chars", "n_langs")
+
     def q22_tag_writeback(spark, sf):
         # WriteNEtagsInTokens as a positional join
         # (operators/retag.py; NERefinements.pm:296-355)
@@ -1254,7 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from tildener_spark.operators.tokenize import explode_tokens
             res, gm, gt, gl = _kg(spark)
             pages_df, *_ = split_gold(corpus_df(spark, 120))
-            pages_df.select("url", "text").write.mode(
+            pages_df.select("url", "warc_ts", "text", "lang").write.mode(
                 "overwrite").parquet(f"{_KG_CACHE}/pages.parquet")
             explode_tokens(res.tagged).write.mode("overwrite").parquet(
                 f"{_KG_CACHE}/tagged_tokens.parquet")
@@ -1449,6 +1528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_decontamination": q28_decontamination,
         "q29_near_dup_clusters": q29_near_dup_clusters,
         "q30_data_mixture": q30_data_mixture,
+        "q31_repetition_profile": q31_repetition_profile,
+        "q32_url_dedup": q32_url_dedup,
+        "q33_host_stats": q33_host_stats,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_links": kg_links,
@@ -2151,6 +2233,113 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) order by idx), '')
                        as text_dedup
             from ranked group by url
+        """,
+        "q31_repetition_profile": f"""
+            with base as (
+                select url,
+                       text || repeat(
+                           chr(10) || 'cookie notice accept all cookies',
+                           1 + (cast(regexp_extract(
+                               url, 'doc/([0-9]+)$', 1) as int) % 6) * 2)
+                           as text
+                from read_parquet(
+                    '{_KG_CACHE}/pages.parquet/*.parquet')
+            ),
+            lines as (
+                select url, trim(l) as line
+                from (select url, unnest(string_split(text, chr(10))) as l
+                      from base)
+                where trim(l) <> ''
+            ),
+            lgrp as (
+                select url, line, count(*) c, length(line) len
+                from lines group by url, line
+            ),
+            lstats as (
+                select url, sum(c) n_lines, count(*) n_dist,
+                       sum(c*len) tot_chars, sum(len) dist_chars
+                from lgrp group by url
+            ),
+            words as (
+                select url,
+                       list_filter(string_split(trim(regexp_replace(
+                           text, '\\s+', ' ', 'g')), ' '),
+                           w -> w <> '') ws
+                from base
+            ),
+            bg as (
+                select url, unnest(list_transform(
+                    generate_series(1, greatest(len(ws)-1, 0)),
+                    i -> ws[i] || ' ' || ws[i+1])) as b
+                from words
+            ),
+            bgrp as (select url, b, count(*) c from bg group by url, b),
+            btop as (select url, max(c * (length(b)-1)) best
+                     from bgrp group by url),
+            wchars as (
+                select url, coalesce(sum(length(w)), 0) wc
+                from (select url, unnest(ws) w from words) group by url
+            )
+            select b.url,
+                   cast(coalesce(l.n_lines, 0) as bigint) as n_lines,
+                   round((coalesce(l.n_lines,0) - coalesce(l.n_dist,0))
+                         / greatest(coalesce(l.n_lines,0), 1), 6)
+                       as dup_line_frac,
+                   round((coalesce(l.tot_chars,0) - coalesce(l.dist_chars,0))
+                         / greatest(coalesce(l.tot_chars,0), 1), 6)
+                       as dup_line_char_frac,
+                   round(coalesce(t.best,0)
+                         / greatest(coalesce(w2.wc,0), 1), 6)
+                       as top_bigram_char_frac,
+                   ((coalesce(l.n_lines,0) - coalesce(l.n_dist,0))
+                        / greatest(coalesce(l.n_lines,0), 1) > 0.30
+                    or (coalesce(l.tot_chars,0) - coalesce(l.dist_chars,0))
+                        / greatest(coalesce(l.tot_chars,0), 1) > 0.20
+                    or coalesce(t.best,0)
+                        / greatest(coalesce(w2.wc,0), 1) > 0.18)
+                       as flagged
+            from base b
+            left join lstats l using (url)
+            left join btop t using (url)
+            left join wchars w2 using (url)
+        """,
+        "q32_url_dedup": f"""
+            with crawl as ({_VARIANT_CRAWL_SQL}),
+            n as (
+                select concat(
+                           regexp_replace(lower(regexp_extract(
+                               u3, '^([^/]*)', 1)), '^www\\.', ''),
+                           regexp_replace(regexp_replace(
+                               u3, '^[^/]*', ''), '/+$', ''))
+                           as norm_url,
+                       url, warc_ts
+                from (
+                    select regexp_replace(regexp_replace(regexp_replace(
+                               url, '#.*$', ''), '\\?.*$', ''),
+                               '^[A-Za-z][A-Za-z0-9+.-]*://', '') as u3,
+                           url, warc_ts
+                    from crawl)
+            ),
+            r as (
+                select *, row_number() over (
+                    partition by norm_url
+                    order by warc_ts asc, url asc) rn
+                from n
+            )
+            select norm_url,
+                   min(case when rn = 1 then url end) as kept_url,
+                   cast(count(*) as bigint) as n_dups
+            from r group by norm_url
+        """,
+        "q33_host_stats": f"""
+            with crawl as ({_VARIANT_CRAWL_SQL})
+            select lower(regexp_extract(regexp_replace(
+                       url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                       '^([^/]*)', 1)) as host,
+                   cast(count(*) as bigint) as n_pages,
+                   cast(sum(length(text)) as bigint) as total_chars,
+                   cast(count(distinct lang) as bigint) as n_langs
+            from crawl group by host
         """,
         "q22_tag_writeback": f"""
             with toks as ({_DOC_TOKENS_SQL}),

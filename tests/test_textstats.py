@@ -67,3 +67,45 @@ def test_top_keywords_tfidf(spark):
     assert sorted(by_doc[3])[0][1] == "durian"
     # df is corpus-wide
     assert {t: d for _, t, _, d in by_doc[1]}["banana"] == 2
+
+
+def test_repetition_profile_hand_computed(spark):
+    from tildener_spark.operators.textstats import repetition_profile
+    # doc 0: 4 lines, "aaa bbb" appears 3x -> dup_line_frac = 2/4,
+    # dup chars = 2*7 of 4*7+3... lines: aaa bbb(7)x3 + ccc(3)
+    # total=24, distinct=10, dup_char_frac=14/24
+    # bigram "aaa bbb" count 3, char cov 3*6=18; words: aaa,bbb x3 +
+    # ccc = 21 word chars -> top = 18/21
+    d = _docs(spark, [
+        (0, "aaa bbb\naaa bbb\nccc\naaa bbb"),
+        # long all-distinct doc: top-bigram coverage dilutes below
+        # the 0.18 threshold (short docs trip it structurally)
+        (1, " ".join(f"tok{i:02d}" for i in range(30)) + "\n"
+            + " ".join(f"second{i:02d}" for i in range(10))),
+        (2, ""),  # degenerate: no lines, no words
+    ])
+    rows = {r["doc_id"]: r for r in
+            repetition_profile(d).collect()}
+    r0 = rows[0]
+    assert r0["n_lines"] == 4
+    assert r0["dup_line_frac"] == 0.5
+    assert abs(r0["dup_line_char_frac"] - 14 / 24) < 1e-6
+    assert abs(r0["top_bigram_char_frac"] - 18 / 21) < 1e-6
+    assert r0["flagged"]
+    r1 = rows[1]
+    assert r1["dup_line_frac"] == 0.0
+    assert r1["dup_line_char_frac"] == 0.0
+    assert not r1["flagged"]
+    r2 = rows[2]
+    assert r2["n_lines"] == 0 and not r2["flagged"]
+    assert r2["top_bigram_char_frac"] == 0.0
+
+
+def test_repetition_profile_single_word_doc(spark):
+    from tildener_spark.operators.textstats import repetition_profile
+    # one word -> zero bigrams; one line, no dups
+    rows = repetition_profile(_docs(spark, [(0, "hello")])).collect()
+    r = rows[0]
+    assert r["n_lines"] == 1
+    assert r["top_bigram_char_frac"] == 0.0
+    assert not r["flagged"]

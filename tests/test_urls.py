@@ -1,0 +1,63 @@
+"""URL canonicalization, URL-level dedup, per-host rollup
+(operators/urls.py; webtext crawl preprocessing, no reference
+counterpart — TildeNER consumes staged files,
+ProcessDirectory.pl:28-40)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tildener_spark.operators.urls import (
+    dedup_urls, host_stats, normalize_url)
+
+
+def _norm(spark, url):
+    return spark.range(1).select(
+        normalize_url(F.lit(url)).alias("n")).collect()[0]["n"]
+
+
+def test_normalize_url_cases(spark):
+    assert _norm(spark, "https://www.Example.COM/a/b/") == \
+        "example.com/a/b"
+    assert _norm(spark, "HTTP://example.com/a?utm=1#frag") == \
+        "example.com/a"
+    assert _norm(spark, "https://example.com///") == "example.com"
+    # path case preserved (RFC 3986: only scheme/host case-insensitive)
+    assert _norm(spark, "https://EXAMPLE.com/CaseSensitive") == \
+        "example.com/CaseSensitive"
+    # scheme-less input passes through the scheme strip unharmed
+    assert _norm(spark, "www.example.com/x") == "example.com/x"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string")
+
+
+def test_dedup_urls_keeps_earliest(spark):
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    t1 = datetime.datetime(2026, 1, 1, 1, 0, 0)
+    d = _pages(spark, [
+        ("https://a.com/x", t1, "later", "en"),
+        ("http://www.A.com/x/", t0, "earliest", "en"),
+        ("https://a.com/x?utm_source=f", t1, "later2", "en"),
+        ("https://b.com/y", t0, "solo", "de"),
+    ])
+    out = {r["norm_url"]: r for r in dedup_urls(d).collect()}
+    assert out["a.com/x"]["n_dups"] == 3
+    assert out["a.com/x"]["kept_url"] == "http://www.A.com/x/"
+    assert out["b.com/y"]["n_dups"] == 1
+
+
+def test_host_stats(spark):
+    t0 = datetime.datetime(2026, 1, 1)
+    d = _pages(spark, [
+        ("https://a.com/1", t0, "xx", "en"),
+        ("https://a.com/2", t0, "yyy", "de"),
+        ("https://B.com/1", t0, "z", "en"),
+    ])
+    out = {r["host"]: r for r in host_stats(d).collect()}
+    assert out["a.com"]["n_pages"] == 2
+    assert out["a.com"]["total_chars"] == 5
+    assert out["a.com"]["n_langs"] == 2
+    assert out["b.com"]["n_pages"] == 1

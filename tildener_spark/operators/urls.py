@@ -1,0 +1,86 @@
+"""URL canonicalization + exact URL-level dedup for web crawls.
+
+Not in the reference (TildeNER consumes a staged directory of files,
+ProcessDirectory.pl:28-40); at CommonCrawl scale the same page is
+fetched under many URL spellings (scheme casing, ``www.`` prefix,
+tracking query params, fragments, trailing slashes) and URL-level
+dedup is the cheapest first pass — it needs no content comparison at
+all, only a canonical key.
+
+Everything is built-in ``regexp_replace``/``regexp_extract`` (RE2-
+compatible patterns so the DuckDB oracle runs the identical chain);
+the only shuffle is the window over the canonical key, whose groups
+are duplicate-spelling sets (tiny, bounded by crawler politeness), so
+skew is structurally impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def normalize_url(col):
+    """Canonical URL key: drop fragment and query string, drop the
+    scheme, lowercase the authority and strip a leading ``www.``,
+    strip trailing slashes from the path.
+
+    Conservative by design: path case and remaining params are
+    preserved (paths are case-sensitive per RFC 3986; only the
+    host/scheme are case-insensitive)."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    u = F.regexp_replace(u, r"\?.*$", "")
+    u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.regexp_extract(u, r"^([^/]*)", 1)
+    path = F.regexp_replace(u, r"^[^/]*", "")
+    return F.concat(
+        F.regexp_replace(F.lower(host), r"^www\.", ""),
+        F.regexp_replace(path, r"/+$", ""),
+    )
+
+
+def dedup_urls(pages: DataFrame, url_col: str = "url",
+               ts_col: str = "warc_ts") -> DataFrame:
+    """Exact URL dedup: one row per canonical URL, keeping the
+    earliest fetch (ties broken by raw URL string, deterministic).
+
+    Returns (norm_url, kept_url, n_dups)."""
+    w = Window.partitionBy("norm_url").orderBy(
+        F.asc(ts_col), F.asc(url_col))
+    ranked = pages.select(
+        normalize_url(F.col(url_col)).alias("norm_url"),
+        F.col(url_col), F.col(ts_col),
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("norm_url")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col(url_col)))
+            .alias("kept_url"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def host_stats(pages: DataFrame, url_col: str = "url",
+               text_col: str = "text",
+               lang_col: str = "lang") -> DataFrame:
+    """Per-host crawl rollup: page count, total extracted chars,
+    distinct languages.  One partial-aggregating shuffle on host;
+    host cardinality is web-scale-friendly (the head host is bounded
+    by crawl politeness budgets, and partial aggregation absorbs what
+    skew remains)."""
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col(url_col),
+                         r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"^([^/]*)", 1))
+    return (
+        pages.select(
+            host.alias("host"),
+            F.length(F.col(text_col)).cast("long").alias("_chars"),
+            F.col(lang_col).alias("_lang"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.sum("_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("_lang").cast("bigint").alias("n_langs"),
+        )
+    )
