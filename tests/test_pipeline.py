@@ -206,3 +206,47 @@ def test_checkpoint_over_hadoop_fs_uri(spark, tmp_path):
     # lineage listing works over the URI too
     lin = stage_counters(spark, ckpt)
     assert lin.agg(F.sum("rows")).collect()[0][0] == 60
+
+
+def test_crawl_prefilters(spark, tmp_path):
+    """cfg.url_dedup + cfg.repetition_filter: duplicate-URL spellings
+    and repetition-flagged pages are dropped ahead of tagging, and the
+    result equals running the pipeline on the clean subset."""
+    corpus = corpus_df(spark, 12).cache()
+    pages, *_ = split_gold(corpus)
+    gaz = gazetteer_df(spark)
+
+    # pollute: a later-fetch URL-spelling variant of every page, plus
+    # one boilerplate page that the repetition rules must flag
+    variant = pages.select(
+        F.concat(F.lit("HTTP://WWW."),
+                 F.regexp_replace("url", r"^https://", ""),
+                 F.lit("/?utm=1")).alias("url"),
+        (F.col("warc_ts") + F.expr("interval 1 hour")).alias("warc_ts"),
+        "html", "text", "lang")
+    junk = spark.createDataFrame(
+        [("https://spam.example.com/x",
+          ("buy now pay later\n" * 40).strip(), "lv")],
+        "url string, text string, lang string") \
+        .withColumn("warc_ts", F.to_timestamp(F.lit("2026-01-01"))) \
+        .withColumn("html", F.encode("text", "utf-8")) \
+        .select("url", "warc_ts", "html", "text", "lang")
+    dirty = pages.unionByName(variant).unionByName(junk)
+
+    cfg = EngineConfig(url_dedup=True, repetition_filter=True)
+    res_dirty = run_pipeline(spark, dirty, gaz, cfg)
+    res_clean = run_pipeline(spark, pages, gaz, EngineConfig())
+    assert sorted(map(tuple, res_dirty.canonical_triples.collect())) == \
+        sorted(map(tuple, res_clean.canonical_triples.collect()))
+
+    # checkpointed: the cleaned pages commit as their own stage with
+    # a rows_out counter equal to the original page count
+    ckpt = str(tmp_path / "ckpt_pref")
+    cfg2 = EngineConfig(url_dedup=True, repetition_filter=True,
+                        checkpoint_dir=ckpt)
+    res2 = run_pipeline(spark, dirty, gaz, cfg2)
+    res2.canonical_triples.count()
+    n_pages = pages.count()
+    assert res2.counters["pages_clean"]["rows_out"] == n_pages
+    assert "rows_in" not in res2.counters["pages_clean"]
+    assert res2.counters["docs"]["rows_in"] == n_pages

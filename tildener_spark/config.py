@@ -87,6 +87,14 @@ class EngineConfig:
     salt_buckets: int = 16
     # Deterministic seed for anything sampled.
     seed: int = 42
+    # Crawl-hygiene pre-filters ahead of tagging (off by default: the
+    # reference-parity corpora are already curated; a raw-crawl run
+    # turns them on).  url_dedup keeps the earliest fetch per
+    # canonical URL (operators/urls.py); repetition_filter drops
+    # pages failing the Gopher repetition rules
+    # (operators/textstats.py filter_repetitive).
+    url_dedup: bool = False
+    repetition_filter: bool = False
     # DataFrameWriter format for graph materialization ("parquet",
     # "orc", or "iceberg" when its runtime jar is on the classpath;
     # operators/graph.py materialize_graph).

@@ -214,9 +214,39 @@ def repetition_profile(docs: DataFrame, id_col: str = "doc_id",
     make the output depend on comparison order (the DuckDB oracle
     computes the same max via unnest+group by).
     """
+    staged = _stage_repetition(
+        docs.select(F.col(id_col).alias(id_col), F.col(text_col)),
+        text_col)
+    m = _repetition_exprs()
+    return staged.select(
+        id_col,
+        m["n_lines"].cast("bigint").alias("n_lines"),
+        F.round(m["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(m["dup_char_frac"], 6).alias("dup_line_char_frac"),
+        F.round(m["top_frac"], 6).alias("top_bigram_char_frac"),
+        m["flagged"].alias("flagged"),
+    )
+
+
+def filter_repetitive(docs: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Drop rows failing the Gopher repetition rules, preserving the
+    input schema — the pipeline pre-filter form of
+    :func:`repetition_profile` (same expressions, same thresholds).
+    Zero shuffle: a per-row filter the scan pushes through."""
+    staged = _stage_repetition(docs, text_col)
+    keep = ~_repetition_exprs()["flagged"]
+    return staged.filter(keep).drop("_lines", "_words", "_top_cov")
+
+
+def _stage_repetition(docs: DataFrame, text_col: str) -> DataFrame:
+    """Append the staged repetition arrays (_lines, _words, _top_cov)
+    to ``docs``.  Two projection stages: the arrays first (each is
+    consumed several times downstream — staging discipline, see
+    dedup.word_tokens), then the bigram run-length fold over _words."""
     text = F.col(text_col)
     staged = docs.select(
-        F.col(id_col).alias(id_col),
+        "*",
         F.filter(
             F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
             lambda l: l != "").alias("_lines"),
@@ -224,13 +254,7 @@ def repetition_profile(docs: DataFrame, id_col: str = "doc_id",
             F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " "),
             lambda w: w != "").alias("_words"),
     )
-    lines, words = F.col("_lines"), F.col("_words")
-    chars_of = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-    n_lines = F.size(lines)
-    n_dist = F.size(F.array_distinct(lines))
-    total_chars = chars_of(lines)
-    dist_chars = chars_of(F.array_distinct(lines))
+    words = F.col("_words")
     # bigram array -> sort -> run-length fold carrying the best
     # count*char_len seen (char_len = length minus the joining space)
     n_w = F.size(words)
@@ -259,11 +283,19 @@ def repetition_profile(docs: DataFrame, id_col: str = "doc_id",
         lambda s: F.greatest(
             s["best"], s["cnt"] * (F.length(s["prev"]) - 1)),
     )
+    return staged.select("*", run_max.alias("_top_cov"))
+
+
+def _repetition_exprs() -> dict:
+    """Raw (unrounded) repetition metrics over the staged columns."""
+    lines, words = F.col("_lines"), F.col("_words")
+    chars_of = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    total_chars = chars_of(lines)
+    dist_chars = chars_of(F.array_distinct(lines))
     word_chars = chars_of(words)
-    staged = staged.select(
-        id_col, "_lines", "_words",
-        run_max.alias("_top_cov"),
-    )
     dup_line_frac = (n_lines - n_dist) / F.greatest(n_lines, F.lit(1))
     dup_char_frac = (
         (total_chars - dist_chars)
@@ -271,12 +303,11 @@ def repetition_profile(docs: DataFrame, id_col: str = "doc_id",
     top_frac = (
         F.col("_top_cov")
         / F.greatest(word_chars, F.lit(1).cast("long")))
-    return staged.select(
-        id_col,
-        n_lines.cast("bigint").alias("n_lines"),
-        F.round(dup_line_frac, 6).alias("dup_line_frac"),
-        F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
-        F.round(top_frac, 6).alias("top_bigram_char_frac"),
-        ((dup_line_frac > 0.30) | (dup_char_frac > 0.20)
-         | (top_frac > 0.18)).alias("flagged"),
-    )
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": dup_line_frac,
+        "dup_char_frac": dup_char_frac,
+        "top_frac": top_frac,
+        "flagged": ((dup_line_frac > 0.30) | (dup_char_frac > 0.20)
+                    | (top_frac > 0.18)),
+    }

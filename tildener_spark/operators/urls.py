@@ -60,6 +60,24 @@ def dedup_urls(pages: DataFrame, url_col: str = "url",
     )
 
 
+def keep_canonical_urls(pages: DataFrame, url_col: str = "url",
+                        ts_col: str = "warc_ts") -> DataFrame:
+    """Pipeline pre-filter form of :func:`dedup_urls`: keep only the
+    earliest fetch per canonical URL, preserving the input schema.
+
+    When ``ts_col`` is absent the raw URL string is the sole order
+    key (still deterministic).  Same shuffle shape as dedup_urls —
+    one window over the canonical key with spelling-variant-sized
+    groups."""
+    order = ([F.asc(ts_col)] if ts_col in pages.columns else []) + \
+        [F.asc(url_col)]
+    w = Window.partitionBy(normalize_url(F.col(url_col))).orderBy(*order)
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
 def host_stats(pages: DataFrame, url_col: str = "url",
                text_col: str = "text",
                lang_col: str = "lang") -> DataFrame:

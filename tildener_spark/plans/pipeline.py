@@ -63,6 +63,7 @@ class PipelineResult:
 # stage -> the stage whose output it consumes (for rows_in);
 # self-mapped stages are per-row maps of the pipeline input
 _STAGE_INPUTS = {
+    "docs": "pages_clean", "tagged": "pages_clean",
     "mentions": "docs", "triples_dc": "docs",
     "links": "mentions", "entities": "mentions", "mapping": "mentions",
     "canonical_triples": "triples_dc",
@@ -102,6 +103,23 @@ def run_pipeline(
 
     if reextract_text:
         pages = pages.withColumn("text", extract_text("html"))
+
+    # crawl-hygiene pre-filters (raw-crawl runs; off for curated
+    # corpora).  Order matters: URL dedup first (cheap canonical-key
+    # window) so the repetition arrays are never built for pages the
+    # URL pass already drops; the repetition filter itself is a
+    # per-row predicate, zero shuffle.  With a checkpoint_dir the
+    # cleaned pages commit as their own resumable stage with
+    # rows_out counters like every other stage boundary.
+    if cfg.url_dedup:
+        from tildener_spark.operators.urls import keep_canonical_urls
+        pages = keep_canonical_urls(pages)
+    if cfg.repetition_filter:
+        from tildener_spark.operators.textstats import filter_repetitive
+        pages = filter_repetitive(pages)
+    if ckpt and (cfg.url_dedup or cfg.repetition_filter):
+        pages = checkpoint_stage(spark, pages, ckpt, "pages_clean",
+                                 counters=counters)
 
     initialisms = {
         r["surface"]
@@ -266,8 +284,15 @@ def run_pipeline(
     if not fused:
         inputs.update(_STAGE_INPUTS_UNFUSED)
     for st, c in counters.items():
+        if st == "pages_clean":
+            # the pre-filter stage drops rows; the raw-input count is
+            # not observed (it would cost an extra pass), so rows_in
+            # is deliberately left unset here
+            continue
         src = inputs.get(st)
-        if src is None:
+        if src is None or (src == "pages_clean" and src not in counters):
+            # no producer stage (or pre-filters off): per-row map of
+            # the pipeline input, rows_in == rows_out
             c["rows_in"] = c["rows_out"]
         elif src in counters:
             c["rows_in"] = counters[src]["rows_out"]
