@@ -1111,6 +1111,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_paragraphs(m["pages"], "url", "text").select(
             "url", "n_pars", "n_kept", "text_dedup")
 
+    def q34_boilerplate_removal(spark, sf):
+        # host-scoped boilerplate-line removal (operators/scrub.py
+        # remove_boilerplate).  The corpus' natural max line-DF is 2,
+        # below the min_docs=5 bar, so a deterministic per-host
+        # footer (nav + copyright, the classic template chrome) is
+        # appended to every page first — the DF rule then fires on
+        # exactly those lines per host while every natural DF<=2 line
+        # survives; the oracle replays the same seeding.
+        from tildener_spark.operators.scrub import remove_boilerplate
+        m = _kg_materialized(spark)
+        host = F.lower(F.regexp_extract(
+            F.regexp_replace("url", r"^https://", ""),
+            r"^([^/]*)", 1))
+        seeded = m["pages"].select(
+            "url",
+            F.concat(
+                "text",
+                F.lit("\nhome | products | contact\ncopyright "),
+                host).alias("text"))
+        return remove_boilerplate(seeded, min_docs=5).select(
+            "url", "n_lines", "n_kept", "text_clean")
+
     def q31_repetition_profile(spark, sf):
         # Gopher-style within-doc repetition rules
         # (operators/textstats.py repetition_profile) over the web
@@ -1529,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_near_dup_clusters": q29_near_dup_clusters,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
+        "q34_boilerplate_removal": q34_boilerplate_removal,
         "q32_url_dedup": q32_url_dedup,
         "q33_host_stats": q33_host_stats,
         "kg_mentions": kg_mentions,
@@ -2233,6 +2256,54 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) order by idx), '')
                        as text_dedup
             from ranked group by url
+        """,
+        "q34_boilerplate_removal": f"""
+            with base as (
+                select url,
+                       text || chr(10) || 'home | products | contact'
+                            || chr(10) || 'copyright '
+                            || lower(regexp_extract(regexp_replace(
+                                   url, '^https://', ''),
+                                   '^([^/]*)', 1)) as text
+                from read_parquet(
+                    '{_KG_CACHE}/pages.parquet/*.parquet')
+            ),
+            pl as (
+                select url,
+                       lower(regexp_extract(regexp_replace(
+                           url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                           '^([^/]*)', 1)) as host,
+                       unnest(list_transform(
+                           generate_series(1, len(ls)),
+                           i -> {{'idx': i, 'line': trim(ls[i])}})) as u
+                from (
+                    select url, string_split(text, chr(10)) as ls
+                    from base)
+            ),
+            lines as (
+                select url, host, u.idx as idx, u.line as line
+                from pl where u.line <> ''
+            ),
+            boiler as (
+                select host, line from lines
+                group by host, line
+                having count(distinct url) >= 5
+            ),
+            marked as (
+                select l.url, l.idx, l.line,
+                       (b.line is not null) as is_b
+                from lines l
+                left join boiler b
+                  on l.host = b.host and l.line = b.line
+            )
+            select url,
+                   cast(count(*) as bigint) as n_lines,
+                   cast(sum(case when not is_b then 1 else 0 end)
+                        as bigint) as n_kept,
+                   coalesce(string_agg(
+                       case when not is_b then line end,
+                       chr(10) order by idx), '') as text_clean
+            from marked group by url
         """,
         "q31_repetition_profile": f"""
             with base as (

@@ -80,11 +80,15 @@ def main() -> None:
         # convergent best-of-N: the shared-VM host shows occasional
         # 5-8x neighbor-load episodes (measured 9.7s vs 88.6s for the
         # SAME code+input in one day) — keep trialing until the two
-        # fastest agree within 20%, capped at max_trials
+        # fastest agree within 20% AND the best trial's probe window
+        # read near-idle (two trials inside the same contended episode
+        # agree with each other perfectly — measured a 2-trial "stable"
+        # 22.8 s against a clean-window 5.4 s floor — so agreement
+        # alone is false convergence), capped at max_trials
         from tildener_spark.session import noise_probe
         times: list[float] = []
         probes: list[dict] = []
-        max_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
+        max_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "6"))
         while len(times) < max_trials:
             spark.catalog.clearCache()
             pr0 = noise_probe()
@@ -94,8 +98,10 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
             pr1 = noise_probe()
             probes.append({k: max(pr0[k], pr1[k]) for k in pr0})
+            best_probe = probes[times.index(min(times))]
             if (len(times) >= 2
-                    and sorted(times)[1] <= min(times) * 1.2):
+                    and sorted(times)[1] <= min(times) * 1.2
+                    and best_probe["probe_cpu_ms"] <= 135):
                 break
         kg_sec = min(times)
         kg_probe = probes[times.index(kg_sec)]
@@ -105,18 +111,23 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    # best-of-2 per query: the shared-VM host contends the 32-thread
-    # stages even when a single-thread probe reads near-idle (round 3
-    # measured the same q21 run at 8.1 s and 44.7 s back-to-back), so
-    # a single-shot timing is a coin flip on the host, not the plan
+    # convergent best-of-N per query: the shared-VM host contends the
+    # 32-thread stages even when a single-thread probe reads near-idle
+    # (round 3 measured the same q21 run at 8.1 s and 44.7 s
+    # back-to-back, and a best-of-2 still recorded 8.8 s for a query
+    # whose floor is 4.4 s), so keep trialing until the two fastest
+    # agree within 20% (cap 4) — same discipline as the kg stage;
+    # sub-second queries converge on the first pair
     def timed(fn) -> float:
-        best = None
-        for _ in range(2):
+        times: list[float] = []
+        while len(times) < 4:
             t0 = time.perf_counter()
             fn()
-            sec = time.perf_counter() - t0
-            best = sec if best is None else min(best, sec)
-        return round(best, 3)
+            times.append(time.perf_counter() - t0)
+            if (len(times) >= 2
+                    and sorted(times)[1] <= min(times) * 1.2):
+                break
+        return round(min(times), 3)
 
     for name in BENCH_QUERIES:
         timings[name] = timed(lambda: queries[name](spark, SF_DIR).count())

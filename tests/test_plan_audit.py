@@ -117,3 +117,31 @@ def test_staged_equals_one_expression_forms(spark):
         "doc_id", dedup.simhash_bits(F.col("text"), 16).alias("sig"))
     assert staged_sig.exceptAll(plain_sig).count() == 0
     assert plain_sig.exceptAll(staged_sig).count() == 0
+
+
+def test_repetition_profile_zero_shuffle_and_dup_free(spark):
+    """The Gopher repetition metrics are per-row array folds: the
+    physical plan must contain NO Exchange (the operator's documented
+    scale contract) and no duplicated expensive subtrees."""
+    docs = _corpus(spark)
+    prof = textstats.repetition_profile(docs)
+    plan = _plan(prof)
+    assert "Exchange" not in plan, plan[:2000]
+    assert _dup_exprs(plan) == [], plan[:2000]
+    filt = textstats.filter_repetitive(docs)
+    plan_f = _plan(filt)
+    assert "Exchange" not in plan_f, plan_f[:2000]
+
+
+def test_boilerplate_exchanges_are_keyed_correctly(spark):
+    """remove_boilerplate shuffles exactly on its documented keys:
+    (host, line) for the DF count + join-back, url for reassembly —
+    no stray repartition/rebalance nodes."""
+    from tildener_spark.operators.scrub import remove_boilerplate
+    d = spark.createDataFrame(
+        [(f"https://h{i%2}.com/{i}", f"line a\nline {i}")
+         for i in range(12)], "url string, text string")
+    plan = _plan(remove_boilerplate(d, min_docs=3))
+    # hash-partitioned exchanges only (AQE may elide/convert some at
+    # runtime; the static plan must not contain round-robin shuffles)
+    assert "RoundRobinPartitioning" not in plan, plan[:2000]

@@ -57,3 +57,36 @@ def test_dedup_paragraphs_partition_invariant(spark):
     assert a == b
     # the synthetic corpus genuinely contains cross-doc duplicates
     assert sum(r[1] for r in a) > sum(r[2] for r in a)
+
+
+def test_remove_boilerplate_host_scoped(spark):
+    from tildener_spark.operators.scrub import remove_boilerplate
+    # "menu home about" appears on 3 a.com pages -> boilerplate at
+    # min_docs=3; the same line on b.com (1 page) survives there
+    rows = [
+        ("https://a.com/1", "menu home about\nunique one"),
+        ("https://a.com/2", "menu home about\nunique two"),
+        ("https://a.com/3", "menu home about\nmenu home about\nunique three"),
+        ("https://b.com/1", "menu home about\nother host line"),
+    ]
+    d = spark.createDataFrame(rows, "url string, text string")
+    out = {r["url"]: r for r in
+           remove_boilerplate(d, min_docs=3).collect()}
+    assert out["https://a.com/1"]["text_clean"] == "unique one"
+    # every occurrence goes, including intra-page repeats
+    a3 = out["https://a.com/3"]
+    assert a3["n_lines"] == 3 and a3["n_kept"] == 1
+    assert a3["text_clean"] == "unique three"
+    # df counts DISTINCT pages: 3 distinct a.com urls, not 4 copies
+    b1 = out["https://b.com/1"]
+    assert b1["n_kept"] == 2  # b.com never crosses the threshold
+    assert b1["text_clean"] == "menu home about\nother host line"
+
+
+def test_remove_boilerplate_all_boiler_page(spark):
+    from tildener_spark.operators.scrub import remove_boilerplate
+    rows = [(f"https://h.com/{i}", "footer line") for i in range(5)]
+    d = spark.createDataFrame(rows, "url string, text string")
+    out = remove_boilerplate(d, min_docs=5).collect()
+    assert len(out) == 5
+    assert all(r["n_kept"] == 0 and r["text_clean"] == "" for r in out)

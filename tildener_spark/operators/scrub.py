@@ -76,3 +76,64 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "url",
         .select(F.col("_id").alias(id_col), "n_pars", "n_kept",
                 "text_dedup")
     )
+
+
+def remove_boilerplate(pages: DataFrame, min_docs: int = 5,
+                       url_col: str = "url",
+                       text_col: str = "text") -> DataFrame:
+    """Cross-document boilerplate-line removal, host-scoped: a line
+    appearing on >= ``min_docs`` distinct pages of the SAME host is
+    template chrome (nav menus, footers, cookie banners) and is
+    dropped from every page; rarer lines keep every occurrence —
+    unlike :func:`dedup_paragraphs`, which keeps only the globally
+    first copy of anything repeated.
+
+    Line = non-empty trimmed line.  Returns (url, n_lines, n_kept,
+    text_clean) with text_clean the surviving lines rejoined in page
+    order; a page that is all boilerplate keeps an empty string.
+
+    Scale shape: one partial-agg shuffle on (host, line) for the
+    document-frequency count, one hash-join of the lines back against
+    the boilerplate set on the same key, one reassembly shuffle by
+    url.  The boilerplate set is NOT broadcast by us — at crawl scale
+    it is huge per host but the join stays co-partitioned on
+    (host, line); AQE may still broadcast it at test scale.  Skew on
+    mega-boilerplate lines is absorbed by partial aggregation
+    (countDistinct rewrites to two hash aggregates).
+    """
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col(url_col),
+                         r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"^([^/]*)", 1))
+    lines = (
+        pages.select(
+            F.col(url_col).alias("_url"), host.alias("_host"),
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("idx", "line"))
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+    boiler = (
+        lines.groupBy("_host", "line")
+        .agg(F.countDistinct("_url").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("_host", "line", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(boiler, ["_host", "line"], "left")
+    return (
+        marked.groupBy("_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_boiler").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("_boiler").isNull(),
+                        F.struct("idx", "line")))),
+                    lambda s: s["line"]),
+                "\n").alias("text_clean"),
+        )
+        .select(F.col("_url").alias(url_col), "n_lines", "n_kept",
+                "text_clean")
+    )
