@@ -19,6 +19,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _strip_url(col):
+    """Fragment / query / scheme removal — the shared prefix of the
+    canonicalization.  Both the host and the path derive from this
+    3-regexp chain, so DataFrame operators stage it as its OWN column
+    before splitting (dedup.word_tokens staging discipline; the plan
+    audit flags the unstaged form as DUP-EXPR)."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    u = F.regexp_replace(u, r"\?.*$", "")
+    return F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+
+
+def _canonical_from_stripped(u):
+    """host/path split + host normalization over an already-staged
+    stripped-URL column."""
+    host = F.regexp_extract(u, r"^([^/]*)", 1)
+    path = F.regexp_replace(u, r"^[^/]*", "")
+    return F.concat(
+        F.regexp_replace(F.lower(host), r"^www\.", ""),
+        F.regexp_replace(path, r"/+$", ""),
+    )
+
+
 def normalize_url(col):
     """Canonical URL key: drop fragment and query string, drop the
     scheme, lowercase the authority and strip a leading ``www.``,
@@ -26,16 +48,12 @@ def normalize_url(col):
 
     Conservative by design: path case and remaining params are
     preserved (paths are case-sensitive per RFC 3986; only the
-    host/scheme are case-insensitive)."""
-    u = F.regexp_replace(col, r"#.*$", "")
-    u = F.regexp_replace(u, r"\?.*$", "")
-    u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    host = F.regexp_extract(u, r"^([^/]*)", 1)
-    path = F.regexp_replace(u, r"^[^/]*", "")
-    return F.concat(
-        F.regexp_replace(F.lower(host), r"^www\.", ""),
-        F.regexp_replace(path, r"/+$", ""),
-    )
+    host/scheme are case-insensitive).
+
+    One-expression form (re-runs the strip chain for host and path);
+    inside operators prefer staging ``_strip_url`` as a column and
+    applying ``_canonical_from_stripped`` to it."""
+    return _canonical_from_stripped(_strip_url(col))
 
 
 def dedup_urls(pages: DataFrame, url_col: str = "url",
@@ -47,8 +65,11 @@ def dedup_urls(pages: DataFrame, url_col: str = "url",
     w = Window.partitionBy("norm_url").orderBy(
         F.asc(ts_col), F.asc(url_col))
     ranked = pages.select(
-        normalize_url(F.col(url_col)).alias("norm_url"),
+        _strip_url(F.col(url_col)).alias("_u3"),
         F.col(url_col), F.col(ts_col),
+    ).select(
+        _canonical_from_stripped(F.col("_u3")).alias("norm_url"),
+        url_col, ts_col,
     ).withColumn("rn", F.row_number().over(w))
     return (
         ranked.groupBy("norm_url")
@@ -71,10 +92,12 @@ def keep_canonical_urls(pages: DataFrame, url_col: str = "url",
     groups."""
     order = ([F.asc(ts_col)] if ts_col in pages.columns else []) + \
         [F.asc(url_col)]
-    w = Window.partitionBy(normalize_url(F.col(url_col))).orderBy(*order)
+    staged = pages.withColumn("_u3", _strip_url(F.col(url_col))) \
+        .withColumn("_norm", _canonical_from_stripped(F.col("_u3")))
+    w = Window.partitionBy("_norm").orderBy(*order)
     return (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1).drop("_rn")
+        staged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_u3", "_norm", "_rn")
     )
 
 
