@@ -243,3 +243,51 @@ def test_fused_equals_dataframe_adversarial(spark, texts):
     tokens.unpersist()
     op_m.unpersist()
     fused_m.unpersist()
+
+
+def _repetition_ref(text):
+    """Independent scalar implementation of the repetition metrics
+    (operators/textstats.py), ASCII-whitespace semantics matching
+    Spark's trim/\\s exactly: trim strips 0x20 only, \\s is the Java
+    default class [ \\t\\n\\x0b\\f\\r]."""
+    import re as _re
+    from collections import Counter
+    lines = [ln.strip(" ") for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    n_lines = len(lines)
+    dist = set(lines)
+    total = sum(map(len, lines))
+    distc = sum(map(len, dist))
+    words = [w for w in _re.sub("[ \t\n\x0b\f\r]+", " ", text)
+             .strip(" ").split(" ") if w]
+    bigrams = Counter(zip(words, words[1:]))
+    best = max((c * (len(a) + len(b))
+                for (a, b), c in bigrams.items()), default=0)
+    wc = sum(map(len, words))
+    dlf = (n_lines - len(dist)) / max(n_lines, 1)
+    dcf = (total - distc) / max(total, 1)
+    tbf = best / max(wc, 1)
+    return (n_lines, dlf, dcf, tbf,
+            dlf > 0.30 or dcf > 0.20 or tbf > 0.18)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_TEXT, min_size=20, max_size=20))
+def test_repetition_profile_equals_scalar_reference(spark, texts):
+    """The array-fold repetition metrics equal an independent scalar
+    implementation on arbitrary mixed-script text (incl. unicode Zs
+    spaces, which are NOT \\s in Java/RE2 — both sides must treat
+    them as word chars).  200 adversarial docs per run, batched."""
+    from tildener_spark.operators.textstats import repetition_profile
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_profile(d).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        n_lines, dlf, dcf, tbf, flag = _repetition_ref(t)
+        r = got[i]
+        assert r["n_lines"] == n_lines, (i, t)
+        assert abs(r["dup_line_frac"] - round(dlf, 6)) <= 2e-6, (i, t)
+        assert abs(r["dup_line_char_frac"] - round(dcf, 6)) <= 2e-6, (i, t)
+        assert abs(r["top_bigram_char_frac"] - round(tbf, 6)) <= 2e-6, (i, t)
+        assert r["flagged"] == flag, (i, t)
