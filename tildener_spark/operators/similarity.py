@@ -235,10 +235,22 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_bits: int = 8,
     Raise n_bits ↓ bucket size / join fan-out; raise n_tables ↑
     recall at linear candidate-generation cost.  Recall@k vs
     brute_force_topk is gated in tests/test_similarity.py and exposed
-    as the q21_lsh_recall query."""
+    as the q21_lsh_recall query.
+
+    Cosine is symmetric, so candidates are generated ORDERED (a < b,
+    half the bucket-join output and half the distinct), scored once,
+    and the scored pairs mirrored for the per-vector ranking — the
+    cosine UDF runs over half the rows the both-directions form paid
+    for.  The mirror's scores are bit-identical (elementwise product
+    and norms commute in IEEE), so ranking is unaffected."""
     cand = _lsh_candidate_pairs(
-        emb, id_col, vec_col, dim, seed, n_bits, n_tables, ordered=False)
-    pairs = _score_pairs(emb, cand, id_col, vec_col)
+        emb, id_col, vec_col, dim, seed, n_bits, n_tables, ordered=True)
+    scored = materialize_once(
+        _score_pairs(emb, cand, id_col, vec_col))
+    pairs = scored.unionByName(scored.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        "cos_sim"))
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
