@@ -1111,6 +1111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_paragraphs(m["pages"], "url", "text").select(
             "url", "n_pars", "n_kept", "text_dedup")
 
+    def q35_corpus_summary(spark, sf):
+        # per-language corpus report (operators/textstats.py
+        # corpus_summary): exact percentiles — Spark percentile()
+        # interpolates bitwise-identically to DuckDB quantile_cont
+        return textstats.corpus_summary(
+            spark.read.parquet(f"{sf}/documents.parquet"))
+
     def q34_boilerplate_removal(spark, sf):
         # host-scoped boilerplate-line removal (operators/scrub.py
         # remove_boilerplate).  The corpus' natural max line-DF is 2,
@@ -1552,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
+        "q35_corpus_summary": q35_corpus_summary,
         "q32_url_dedup": q32_url_dedup,
         "q33_host_stats": q33_host_stats,
         "kg_mentions": kg_mentions,
@@ -2256,6 +2264,24 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) order by idx), '')
                        as text_dedup
             from ranked group by url
+        """,
+        "q35_corpus_summary": """
+            with d as (
+                select lang,
+                       cast(length(text) as bigint) as chars,
+                       cast(len(string_split_regex(trim(text), '\\s+'))
+                            as bigint) as toks
+                from documents
+            )
+            select lang,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(chars) as bigint) as total_chars,
+                   cast(sum(toks) as bigint) as total_tokens,
+                   round(quantile_cont(chars, 0.5), 6) as p50_chars,
+                   round(quantile_cont(chars, 0.9), 6) as p90_chars,
+                   round(quantile_cont(toks, 0.5), 6) as p50_tokens,
+                   round(quantile_cont(toks, 0.9), 6) as p90_tokens
+            from d group by lang
         """,
         "q34_boilerplate_removal": f"""
             with base as (

@@ -109,3 +109,20 @@ def test_repetition_profile_single_word_doc(spark):
     assert r["n_lines"] == 1
     assert r["top_bigram_char_frac"] == 0.0
     assert not r["flagged"]
+
+
+def test_corpus_summary_exact_percentiles(spark):
+    from tildener_spark.operators.textstats import corpus_summary
+    rows = [("en", "a b c"), ("en", "a b c d e"), ("en", "a"),
+            ("de", "x y")]
+    d = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r for r in corpus_summary(d).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 3
+    assert en["total_tokens"] == 3 + 5 + 1
+    # exact interpolated median of [1, 3, 5] token counts
+    assert en["p50_tokens"] == 3.0
+    # p90 of [1,3,5]: 1 + 0.9*2 interpolation -> between 3 and 5
+    assert 3.0 < en["p90_tokens"] <= 5.0
+    assert out["de"]["n_docs"] == 1
+    assert out["de"]["p50_tokens"] == 2.0

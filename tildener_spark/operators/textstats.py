@@ -311,3 +311,33 @@ def _repetition_exprs() -> dict:
         "flagged": ((dup_line_frac > 0.30) | (dup_char_frac > 0.20)
                     | (top_frac > 0.18)),
     }
+
+
+def corpus_summary(docs: DataFrame, lang_col: str = "lang",
+                   text_col: str = "text") -> DataFrame:
+    """Per-language corpus report for mixture planning: document
+    count, char/token totals, and EXACT length percentiles (p50/p90
+    over chars and whitespace tokens).
+
+    Spark's exact ``percentile`` interpolates identically to DuckDB's
+    ``quantile_cont`` (bitwise, verified), which is what makes this
+    oracle-checkable.  Scale note: exact percentile buffers the
+    group's values — fine for language-cardinality groups at any doc
+    count memory-wise only via its digest merge; at 10^12 docs swap
+    in ``approx_percentile(col, p, accuracy)`` (same plan shape, no
+    exact SQL mirror — which is why the checkable form is the
+    default here)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    staged = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).cast("long").alias("_chars"),
+        ws.cast("long").alias("_toks"))
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_chars").cast("bigint").alias("total_chars"),
+        F.sum("_toks").cast("bigint").alias("total_tokens"),
+        F.round(F.expr("percentile(_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(_chars, 0.9)"), 6).alias("p90_chars"),
+        F.round(F.expr("percentile(_toks, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(_toks, 0.9)"), 6).alias("p90_tokens"),
+    )
