@@ -32,10 +32,10 @@ _ALL_LEX = sorted(w for ws in LEX.values() for w in ws)
 
 
 def _norm(col):
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0b\f\r]+", " "))
 
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 
@@ -1092,7 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.contamination import (
             flag_contaminated)
         d = _docs(spark, sf)
-        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0b\f\r]+")
         bench = (
             d.filter(F.col("doc_id") % 50 == 0)
             .select(F.col("doc_id").alias("bench_id"),
@@ -1930,7 +1930,7 @@ def oracle_sql() -> dict[str, str]:
                         ('the','and','of','to','a','in','is','that')))
                         * 1.0 / greatest(len(toks), 1), 6) as stopword_ratio,
                     round((n_chars - length(regexp_replace(text,
-                        '[^\\w\\s]', '', 'g'))) * 1.0
+                        '[^\\w \\t\\n\\x0b\\f\\r]', '', 'g'))) * 1.0
                         / greatest(n_chars, 1), 6) as punct_ratio,
                     round((n_chars - length(regexp_replace(text,
                         '[0-9]', '', 'g'))) * 1.0
@@ -1941,7 +1941,7 @@ def oracle_sql() -> dict[str, str]:
                         as uniq_ratio,
                     least(len(toks) / 50.0, 1.0) as len_score,
                     1 - least(((n_chars - length(regexp_replace(text,
-                        '[^\\w\\s]', '', 'g'))) * 1.0
+                        '[^\\w \\t\\n\\x0b\\f\\r]', '', 'g'))) * 1.0
                         / greatest(n_chars, 1)) * 5, 1.0) as punct_score
                 from t
             )
@@ -1954,10 +1954,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q16_token_counts": f"""
             select doc_id,
-                   cast(len(string_split_regex(trim(text), '\\s+')) as bigint)
+                   cast(len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) as bigint)
                        as ws_tokens,
                    cast(len(regexp_extract_all(lower(text),
-                       '[a-z]{{1,4}}|[0-9]+|[^a-z0-9\\s]')) as bigint)
+                       '[a-z]{{1,4}}|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]')) as bigint)
                        as subword_tokens
             from documents
         """,
@@ -2200,7 +2200,7 @@ def oracle_sql() -> dict[str, str]:
         "q28_decontamination": """
             with tok as (
                 select doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+')
+                       string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')
                            as toks
                 from documents
             ),
@@ -2255,21 +2255,30 @@ def oracle_sql() -> dict[str, str]:
                 select *, row_number() over (
                     partition by par order by url, idx) as rn
                 from pars
+            ),
+            agg as (
+                select url,
+                       cast(count(*) as bigint) as n_pars,
+                       cast(sum(case when rn = 1 then 1 else 0 end)
+                            as bigint) as n_kept,
+                       coalesce(string_agg(
+                           case when rn = 1 then par end,
+                           chr(10) order by idx), '') as text_dedup
+                from ranked group by url
             )
-            select url,
-                   cast(count(*) as bigint) as n_pars,
-                   cast(sum(case when rn = 1 then 1 else 0 end)
-                        as bigint) as n_kept,
-                   coalesce(string_agg(case when rn = 1 then par end,
-                                       chr(10) order by idx), '')
-                       as text_dedup
-            from ranked group by url
+            select d.url,
+                   coalesce(a.n_pars, 0) as n_pars,
+                   coalesce(a.n_kept, 0) as n_kept,
+                   coalesce(a.text_dedup, '') as text_dedup
+            from read_parquet(
+                '{_KG_CACHE}/pages.parquet/*.parquet') d
+            left join agg a on d.url = a.url
         """,
         "q35_corpus_summary": """
             with d as (
                 select lang,
                        cast(length(text) as bigint) as chars,
-                       cast(len(string_split_regex(trim(text), '\\s+'))
+                       cast(len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
                             as bigint) as toks
                 from documents
             )
@@ -2321,15 +2330,23 @@ def oracle_sql() -> dict[str, str]:
                 from lines l
                 left join boiler b
                   on l.host = b.host and l.line = b.line
+            ),
+            agg as (
+                select url,
+                       cast(count(*) as bigint) as n_lines,
+                       cast(sum(case when not is_b then 1 else 0 end)
+                            as bigint) as n_kept,
+                       coalesce(string_agg(
+                           case when not is_b then line end,
+                           chr(10) order by idx), '') as text_clean
+                from marked group by url
             )
-            select url,
-                   cast(count(*) as bigint) as n_lines,
-                   cast(sum(case when not is_b then 1 else 0 end)
-                        as bigint) as n_kept,
-                   coalesce(string_agg(
-                       case when not is_b then line end,
-                       chr(10) order by idx), '') as text_clean
-            from marked group by url
+            select b.url,
+                   coalesce(a.n_lines, 0) as n_lines,
+                   coalesce(a.n_kept, 0) as n_kept,
+                   coalesce(a.text_clean, '') as text_clean
+            from base b
+            left join agg a on b.url = a.url
         """,
         "q31_repetition_profile": f"""
             with base as (
@@ -2360,7 +2377,7 @@ def oracle_sql() -> dict[str, str]:
             words as (
                 select url,
                        list_filter(string_split(trim(regexp_replace(
-                           text, '\\s+', ' ', 'g')), ' '),
+                           text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
                            w -> w <> '') ws
                 from base
             ),
@@ -2405,14 +2422,22 @@ def oracle_sql() -> dict[str, str]:
             n as (
                 select concat(
                            regexp_replace(lower(regexp_extract(
-                               u3, '^([^/]*)', 1)), '^www\\.', ''),
-                           regexp_replace(regexp_replace(
-                               u3, '^[^/]*', ''), '/+$', ''))
+                               u3, '^([^/?]*)', 1)), '^www\\.', ''),
+                           regexp_replace(regexp_replace(regexp_replace(
+                               u3, '^[^/?]*', ''),
+                               '/+\\?', '?'), '/+$', ''))
                            as norm_url,
                        url, warc_ts
                 from (
                     select regexp_replace(regexp_replace(regexp_replace(
-                               url, '#.*$', ''), '\\?.*$', ''),
+                               regexp_replace(regexp_replace(
+                                   url, '#.*$', ''),
+                                   '&(?:utm_[^=&]*|fbclid|gclid)=[^&]*',
+                                   '', 'g'),
+                               '\\?(?:utm_[^=&]*|fbclid|gclid)=[^&]*&',
+                               '?'),
+                               '\\?(?:utm_[^=&]*|fbclid|gclid)=[^&]*$',
+                               ''),
                                '^[A-Za-z][A-Za-z0-9+.-]*://', '') as u3,
                            url, warc_ts
                     from crawl)
@@ -2425,7 +2450,7 @@ def oracle_sql() -> dict[str, str]:
             )
             select norm_url,
                    min(case when rn = 1 then url end) as kept_url,
-                   cast(count(*) as bigint) as n_dups
+                   cast(count(*) - 1 as bigint) as n_dups
             from r group by norm_url
         """,
         "q33_host_stats": f"""

@@ -90,3 +90,26 @@ def test_remove_boilerplate_all_boiler_page(spark):
     out = remove_boilerplate(d, min_docs=5).collect()
     assert len(out) == 5
     assert all(r["n_kept"] == 0 and r["text_clean"] == "" for r in out)
+
+
+def test_empty_text_pages_survive(spark):
+    """Empty / all-whitespace pages must surface in the output with
+    zero counts rather than silently dropping (the aggregate is
+    left-joined back onto the input)."""
+    from tildener_spark.operators.scrub import remove_boilerplate
+    rows = [("https://h.com/empty", ""),
+            ("https://h.com/blank", "   \n  \n"),
+            ("https://h.com/real", "a real line")]
+    d = spark.createDataFrame(rows, "url string, text string")
+    out = {r["url"]: r for r in remove_boilerplate(d, min_docs=5).collect()}
+    assert len(out) == 3
+    assert out["https://h.com/empty"]["n_lines"] == 0
+    assert out["https://h.com/empty"]["text_clean"] == ""
+    assert out["https://h.com/blank"]["n_lines"] == 0
+    assert out["https://h.com/real"]["n_kept"] == 1
+
+    ded = {r["url"]: r for r in dedup_paragraphs(d, "url", "text").collect()}
+    assert len(ded) == 3
+    assert ded["https://h.com/empty"]["n_pars"] == 0
+    assert ded["https://h.com/empty"]["text_dedup"] == ""
+    assert ded["https://h.com/blank"]["n_pars"] == 0

@@ -1,7 +1,8 @@
 """Text analysis: language-ID, quality features, counts, fingerprints."""
 
 from tildener_spark.operators.textstats import (
-    detect_language, fingerprints, quality_features, token_counts)
+    corpus_summary, detect_language, fingerprints, quality_features,
+    token_counts)
 
 
 def _docs(spark, rows):
@@ -126,3 +127,19 @@ def test_corpus_summary_exact_percentiles(spark):
     assert 3.0 < en["p90_tokens"] <= 5.0
     assert out["de"]["n_docs"] == 1
     assert out["de"]["p50_tokens"] == 2.0
+
+
+def test_whitespace_class_pins_vertical_tab(spark):
+    """Java's \\s matches \\x0b, RE2's classically does not; the
+    operators pin an explicit class so a vertical tab splits tokens
+    identically in Spark and the DuckDB oracle (ADVICE r3)."""
+    import duckdb
+    d = spark.createDataFrame(
+        [("v", "alpha\x0bbeta gamma", "en")],
+        "url string, text string, lang string")
+    row = corpus_summary(d, "lang", "text").collect()[0]
+    assert row["total_tokens"] == 3  # \x0b is a separator
+    oracle = duckdb.sql(
+        "select len(string_split_regex(trim('alpha' || chr(11) || "
+        "'beta gamma'), '[ \\t\\n\\x0b\\f\\r]+')) n").fetchone()[0]
+    assert oracle == 3

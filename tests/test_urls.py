@@ -19,7 +19,7 @@ def _norm(spark, url):
 def test_normalize_url_cases(spark):
     assert _norm(spark, "https://www.Example.COM/a/b/") == \
         "example.com/a/b"
-    assert _norm(spark, "HTTP://example.com/a?utm=1#frag") == \
+    assert _norm(spark, "HTTP://example.com/a?utm_source=1#frag") == \
         "example.com/a"
     assert _norm(spark, "https://example.com///") == "example.com"
     # path case preserved (RFC 3986: only scheme/host case-insensitive)
@@ -27,6 +27,23 @@ def test_normalize_url_cases(spark):
         "example.com/CaseSensitive"
     # scheme-less input passes through the scheme strip unharmed
     assert _norm(spark, "www.example.com/x") == "example.com/x"
+    # content-bearing query params are PRESERVED (?id=1 != ?id=2)
+    assert _norm(spark, "https://example.com/p?id=1") == \
+        "example.com/p?id=1"
+    assert _norm(spark, "https://example.com/p?id=2") == \
+        "example.com/p?id=2"
+    # only known tracking params are stripped, in any position
+    assert _norm(
+        spark,
+        "https://example.com/p?utm_source=f&id=1&fbclid=x&gclid=y"
+    ) == "example.com/p?id=1"
+    assert _norm(spark, "https://example.com/p?id=1&utm_campaign=c") \
+        == "example.com/p?id=1"
+    # query directly after the authority: host still lowercases
+    assert _norm(spark, "https://EXAMPLE.com?q=A") == "example.com?q=A"
+    # trailing path slash strips before a kept query too
+    assert _norm(spark, "https://example.com/p/?id=1") == \
+        "example.com/p?id=1"
 
 
 def _pages(spark, rows):
@@ -44,9 +61,10 @@ def test_dedup_urls_keeps_earliest(spark):
         ("https://b.com/y", t0, "solo", "de"),
     ])
     out = {r["norm_url"]: r for r in dedup_urls(d).collect()}
-    assert out["a.com/x"]["n_dups"] == 3
+    # n_dups = dropped variants, NOT group size: 3 fetches -> 2 dups
+    assert out["a.com/x"]["n_dups"] == 2
     assert out["a.com/x"]["kept_url"] == "http://www.A.com/x/"
-    assert out["b.com/y"]["n_dups"] == 1
+    assert out["b.com/y"]["n_dups"] == 0
 
 
 def test_host_stats(spark):

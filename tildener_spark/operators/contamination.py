@@ -20,11 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from tildener_spark.operators.dedup import WS_RE
+
 
 def _shingle_keys(df: DataFrame, id_col: str, text_col: str, n: int,
                   out_id: str) -> DataFrame:
     """(id, text) -> distinct (out_id, sh) n-gram window keys."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
     windows = F.when(
         F.size(toks) >= n,
         F.transform(

@@ -26,10 +26,18 @@ from tildener_spark.materialize import (
     ensure_min_parallelism, materialize_once)
 from tildener_spark.operators.linking import with_minhash_bands
 
+# Java regex \s matches vertical tab (\x0b); RE2's (DuckDB's)
+# classically does not.  Every whitespace regex an oracle mirrors is
+# pinned to this explicit class so Spark (Java) and DuckDB (RE2)
+# agree on ALL inputs, not just \x0b-free ones.  The escape
+# spellings (\t \n \x0b \f \r) are in the common Java/RE2 subset.
+WS = r" \t\n\x0b\f\r"
+WS_RE = rf"[{WS}]+"
+
 
 def normalized_text(col):
     """Dedup normalization: lowercase, collapse whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), WS_RE, " "))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",

@@ -46,8 +46,10 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "url",
     (id, line index), so the result is deterministic under any
     partitioning.  Returns (id, n_pars, n_kept, text_dedup) with
     text_dedup the surviving paragraphs rejoined in document order;
-    documents whose every paragraph is a duplicate keep an empty
-    string (they remain countable rather than vanishing).
+    documents whose every paragraph is a duplicate — and documents
+    whose text is empty or all-whitespace — keep an empty string with
+    n_pars = n_kept = 0 (every input row surfaces in the output; the
+    aggregate is left-joined back onto the input so nothing vanishes).
     """
     pars = (
         docs.select(
@@ -59,7 +61,7 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "url",
     )
     w = Window.partitionBy("par").orderBy("_id", "idx")
     ranked = pars.withColumn("rn", F.row_number().over(w))
-    return (
+    agg = (
         ranked.groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_pars"),
@@ -73,8 +75,21 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "url",
                     lambda s: s["par"]),
                 "\n").alias("text_dedup"),
         )
-        .select(F.col("_id").alias(id_col), "n_pars", "n_kept",
-                "text_dedup")
+    )
+    # left-join back onto the input so empty/all-whitespace docs
+    # surface as n_pars=0 rather than silently dropping; same shuffle
+    # key (doc id) as the reassembly aggregate, so no extra exchange
+    # shape at scale
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_pars", F.lit(0)).cast("long")
+            .alias("n_pars"),
+            F.coalesce("n_kept", F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"))
     )
 
 
@@ -90,7 +105,10 @@ def remove_boilerplate(pages: DataFrame, min_docs: int = 5,
 
     Line = non-empty trimmed line.  Returns (url, n_lines, n_kept,
     text_clean) with text_clean the surviving lines rejoined in page
-    order; a page that is all boilerplate keeps an empty string.
+    order; a page that is all boilerplate — and a page whose text is
+    empty or all-whitespace — keeps an empty string with
+    n_lines = n_kept = 0 (the aggregate is left-joined back onto the
+    input pages so every input row surfaces in the output).
 
     Scale shape: one partial-agg shuffle on (host, line) for the
     document-frequency count, one hash-join of the lines back against
@@ -120,7 +138,7 @@ def remove_boilerplate(pages: DataFrame, min_docs: int = 5,
         .select("_host", "line", F.lit(True).alias("_boiler"))
     )
     marked = lines.join(boiler, ["_host", "line"], "left")
-    return (
+    agg = (
         marked.groupBy("_url")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -134,6 +152,18 @@ def remove_boilerplate(pages: DataFrame, min_docs: int = 5,
                     lambda s: s["line"]),
                 "\n").alias("text_clean"),
         )
-        .select(F.col("_url").alias(url_col), "n_lines", "n_kept",
-                "text_clean")
+    )
+    # left-join back: empty/all-whitespace pages produced no line rows
+    # above and would otherwise vanish; join key == reassembly key, so
+    # the plan gains no new exchange shape at scale
+    return (
+        pages.select(F.col(url_col).alias("_url"))
+        .join(agg, "_url", "left")
+        .select(
+            F.col("_url").alias(url_col),
+            F.coalesce("n_lines", F.lit(0)).cast("long")
+            .alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"))
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from tildener_spark.operators.dedup import (
-    normalized_text, shingles_from_tokens, word_tokens)
+    WS, WS_RE, normalized_text, shingles_from_tokens, word_tokens)
 
 # tiny closed marker-word profiles (deterministic n-gram-heuristic
 # stand-in for a real language-ID model)
@@ -78,7 +78,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
         src.alias("_text"),
         word_tokens(src).alias("_toks"),
         (F.length(src)
-         - F.length(F.regexp_replace(src, r"[^\w\s]", "")))
+         - F.length(F.regexp_replace(src, rf"[^\w{WS}]", "")))
         .alias("_n_punct"))
     toks = F.col("_toks")
     n_tok = F.size(toks)
@@ -121,10 +121,10 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
     """Whitespace tokens + BPE-ish subword estimate (regex pieces:
     word chars split at ~4-char boundaries, digits, punctuation)."""
     text = F.col(text_col)
-    ws = F.size(F.split(F.trim(text), r"\s+"))
+    ws = F.size(F.split(F.trim(text), WS_RE))
     # BPE-ish: every run of <=4 word chars, each digit run, each punct
     pieces = F.size(
-        F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"), 0))
+        F.regexp_extract_all(F.lower(text), F.lit(rf"[a-z]{{1,4}}|[0-9]+|[^a-z0-9{WS}]"), 0))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         ws.alias("ws_tokens"),
@@ -174,7 +174,7 @@ def top_keywords(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(
             F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                    r"\s+", " ")), " ")).alias("token"),
+                                    WS_RE, " ")), " ")).alias("token"),
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf"))
@@ -251,7 +251,7 @@ def _stage_repetition(docs: DataFrame, text_col: str) -> DataFrame:
             F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
             lambda l: l != "").alias("_lines"),
         F.filter(
-            F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " "),
+            F.split(F.trim(F.regexp_replace(text, WS_RE, " ")), " "),
             lambda w: w != "").alias("_words"),
     )
     words = F.col("_words")
@@ -327,7 +327,7 @@ def corpus_summary(docs: DataFrame, lang_col: str = "lang",
     in ``approx_percentile(col, p, accuracy)`` (same plan shape, no
     exact SQL mirror — which is why the checkable form is the
     default here)."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ws = F.size(F.split(F.trim(F.col(text_col)), WS_RE))
     staged = docs.select(
         F.col(lang_col).alias("lang"),
         F.length(text_col).cast("long").alias("_chars"),

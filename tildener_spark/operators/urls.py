@@ -19,36 +19,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+# Known tracking query parameters (and ONLY these) are removed from
+# the canonical key: utm_* (Google Analytics campaign tags), fbclid
+# (Facebook click id), gclid (Google Ads click id).  Every other
+# parameter is content-bearing until proven otherwise (?id=1 vs ?id=2,
+# pagination, search terms) and stays in the key.
+_TRACKING = r"(?:utm_[^=&]*|fbclid|gclid)"
+
+
 def _strip_url(col):
-    """Fragment / query / scheme removal — the shared prefix of the
-    canonicalization.  Both the host and the path derive from this
-    3-regexp chain, so DataFrame operators stage it as its OWN column
-    before splitting (dedup.word_tokens staging discipline; the plan
-    audit flags the unstaged form as DUP-EXPR)."""
+    """Fragment / tracking-param / scheme removal — the shared prefix
+    of the canonicalization.  Both the host and the path derive from
+    this regexp chain, so DataFrame operators stage it as its OWN
+    column before splitting (dedup.word_tokens staging discipline; the
+    plan audit flags the unstaged form as DUP-EXPR).
+
+    The query string is kept except for the known tracking params:
+    first drop every ``&tracking=...`` (global), then a leading
+    ``?tracking=...&`` collapses to ``?``, then a lone ``?tracking=...``
+    disappears entirely.  All patterns are RE2-compatible so the DuckDB
+    oracle runs the identical chain."""
     u = F.regexp_replace(col, r"#.*$", "")
-    u = F.regexp_replace(u, r"\?.*$", "")
+    u = F.regexp_replace(u, rf"&{_TRACKING}=[^&]*", "")
+    u = F.regexp_replace(u, rf"\?{_TRACKING}=[^&]*&", "?")
+    u = F.regexp_replace(u, rf"\?{_TRACKING}=[^&]*$", "")
     return F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
 
 
 def _canonical_from_stripped(u):
     """host/path split + host normalization over an already-staged
-    stripped-URL column."""
-    host = F.regexp_extract(u, r"^([^/]*)", 1)
-    path = F.regexp_replace(u, r"^[^/]*", "")
+    stripped-URL column.  The host ends at the first ``/`` or ``?``
+    (a query can follow the authority directly); trailing slashes are
+    stripped both at end-of-URL and immediately before the query."""
+    host = F.regexp_extract(u, r"^([^/?]*)", 1)
+    path = F.regexp_replace(u, r"^[^/?]*", "")
     return F.concat(
         F.regexp_replace(F.lower(host), r"^www\.", ""),
-        F.regexp_replace(path, r"/+$", ""),
+        F.regexp_replace(
+            F.regexp_replace(path, r"/+\?", "?"), r"/+$", ""),
     )
 
 
 def normalize_url(col):
-    """Canonical URL key: drop fragment and query string, drop the
-    scheme, lowercase the authority and strip a leading ``www.``,
-    strip trailing slashes from the path.
+    """Canonical URL key: drop the fragment, drop known tracking query
+    params (``utm_*``, ``fbclid``, ``gclid``) but KEEP the rest of the
+    query string, drop the scheme, lowercase the authority and strip a
+    leading ``www.``, strip trailing slashes from the path.
 
-    Conservative by design: path case and remaining params are
-    preserved (paths are case-sensitive per RFC 3986; only the
-    host/scheme are case-insensitive).
+    Conservative by design: path case and all non-tracking params are
+    preserved (paths are case-sensitive per RFC 3986 and
+    ``?id=1`` / ``?id=2`` are different pages; only the host/scheme
+    are case-insensitive).
 
     One-expression form (re-runs the strip chain for host and path);
     inside operators prefer staging ``_strip_url`` as a column and
@@ -61,7 +82,9 @@ def dedup_urls(pages: DataFrame, url_col: str = "url",
     """Exact URL dedup: one row per canonical URL, keeping the
     earliest fetch (ties broken by raw URL string, deterministic).
 
-    Returns (norm_url, kept_url, n_dups)."""
+    Returns (norm_url, kept_url, n_dups) where n_dups counts the
+    DROPPED spelling variants — a URL fetched once reports
+    n_dups = 0."""
     w = Window.partitionBy("norm_url").orderBy(
         F.asc(ts_col), F.asc(url_col))
     ranked = pages.select(
@@ -76,7 +99,7 @@ def dedup_urls(pages: DataFrame, url_col: str = "url",
         .agg(
             F.min(F.when(F.col("rn") == 1, F.col(url_col)))
             .alias("kept_url"),
-            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dups"),
         )
     )
 
