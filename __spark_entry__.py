@@ -92,6 +92,11 @@ _U64 = "18446744073709551616::HUGEINT"  # 2^64 — the uint64 wrap modulus
 _KG_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".kg_oracle_cache")
 
+# In-process memo of the fused kg pipeline run (see _kg in queries()):
+# {applicationId: (PipelineResult, gold_mentions, gold_triples,
+# gold_links)}.  Cleared whenever a different Spark application asks.
+_KG_MEMO: dict = {}
+
 # DuckDB's jaro_winkler_similarity runs over UTF-8 BYTES; ours runs
 # over codepoints.  An injective map of every datagen diacritic to an
 # unused single-byte char makes byte==codepoint, so the two agree
@@ -393,7 +398,9 @@ def _kg_graph_sql(cross: bool) -> str:
     tables: doc-canonical resolution, star contraction to hub nodes,
     alias-chain hub pairs, connected components as a recursive-CTE
     transitive closure with min-label, per-component representative,
-    entity rollup.
+    entity rollup.  Multiply-referenced CTEs carry MATERIALIZED
+    so DuckDB computes each once instead of re-inlining the
+    upstream chain per reference (same fix as the q29 oracle).
 
     ``cross=True`` additionally mirrors the default-ON cross-document
     LSH linking (graph.py:150-190): vocabulary of doc-canonical
@@ -424,7 +431,7 @@ def _kg_graph_sql(cross: bool) -> str:
                        band_key as band
                 from mh_bands
             ),
-            mh_small as (
+            mh_small as materialized (
                 select ne_type, surface, band from (
                     select *, count(*) over (
                         partition by ne_type, band) as bn
@@ -452,7 +459,7 @@ def _kg_graph_sql(cross: bool) -> str:
                           translate(lower(b), '{_JW_SRC}', '{_JW_DST}'))
                       >= 0.94
             ),
-            all_pairs as (
+            all_pairs as materialized (
                 select src, dst from hub_pairs
                 union all
                 select 'g:' || ne_type || '␟' || a,
@@ -460,7 +467,7 @@ def _kg_graph_sql(cross: bool) -> str:
                 from cross_scored
             ),""" if cross else ""
     return f"""
-            with recursive links as (
+            with recursive links as materialized (
                 select url, ne_type, alias, canonical
                 from read_parquet(
                     '{_KG_CACHE}/links.parquet/*.parquet')
@@ -470,7 +477,7 @@ def _kg_graph_sql(cross: bool) -> str:
                 from read_parquet(
                     '{_KG_CACHE}/mentions.parquet/*.parquet')
             ),
-            resolved as (
+            resolved as materialized (
                 select g.url, g.ne_type, g.surface,
                        coalesce(l.canonical, g.surface) as doc_canonical
                 from groups g
@@ -478,13 +485,13 @@ def _kg_graph_sql(cross: bool) -> str:
                   on g.url = l.url and g.ne_type = l.ne_type
                  and g.surface = l.alias
             ),
-            mention_hub as (
+            mention_hub as materialized (
                 select url, ne_type, surface,
                        'g:' || ne_type || '␟' || doc_canonical
                            as hub
                 from resolved
             ),
-            hub_pairs as (
+            hub_pairs as materialized (
                 select distinct ha.hub as src, hc.hub as dst
                 from links l
                 join mention_hub ha
@@ -495,7 +502,7 @@ def _kg_graph_sql(cross: bool) -> str:
                  and l.canonical = hc.surface
                 where ha.hub <> hc.hub
             ),{cross_ctes}
-            edges as (
+            edges as materialized (
                 select src as a, dst as b from {pairs_rel}
                 union
                 select dst, src from {pairs_rel}
@@ -1264,6 +1271,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- KG pipeline queries (no DuckDB view: rows-only)
 
     def _kg(spark):
+        # Memoized per Spark application: five fused-path queries
+        # (kg_mentions/triples/links/entities/triple_parity) plus the
+        # materialization all consume the SAME deterministic pipeline
+        # run, and run_pipeline persists its stages — so the first
+        # caller pays the classifier once and the rest reuse the
+        # persisted DataFrames.  Without this the driver's correctness
+        # pass re-ran the full fused pipeline per query (~12 s each at
+        # sf0.01), which is what pushed the 53-query pass past the
+        # round-3 time budget (VERDICT r3 item 1).
+        key = spark.sparkContext.applicationId
+        if key in _KG_MEMO:
+            return _KG_MEMO[key]
         _tune_session(spark)
         from tildener_spark.config import EngineConfig
         from tildener_spark.datagen import (
@@ -1273,7 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages, gm, gt, gl = split_gold(corpus)
         gaz = gazetteer_df(spark)
         res = run_pipeline(spark, pages, gaz, EngineConfig())
-        return res, gm, gt, gl
+        _KG_MEMO.clear()
+        _KG_MEMO[key] = (res, gm, gt, gl)
+        return _KG_MEMO[key]
 
     def kg_mentions(spark, sf):
         # FUSED-path BIO span assembly (document.py doc_mentions_py)
@@ -1488,9 +1509,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_surfaces").cast("long").alias("n_surfaces"))
 
-    def kg_bootstrap(spark, sf):
-        # two self-training iterations with the positive-iteration
-        # gate (plans/bootstrap.py; BootstrapNEModel.pl:206-357)
+    def _kg_bootstrap_materialized(spark):
+        """Two self-training iterations with the positive-iteration
+        gate (plans/bootstrap.py; BootstrapNEModel.pl:206-357), run
+        once per engine edit (same stamp mechanism as
+        _kg_materialized) with every iteration's classifier outputs
+        materialized to parquet — the DuckDB oracle then REPLAYS the
+        loop's decision logic step by step (token-level dev F1, the
+        accept gate, top-file selection, gazetteer harvest and growth)
+        from those artifacts, turning the one remaining rows-only
+        query of round 3 into an exact rows+schema+hash row."""
+        import os
+        bdir = f"{_KG_CACHE}/bootstrap"
+        stamp = _kg_source_stamp()
+        marker = os.path.join(bdir, "_STAMP")
+        if os.path.exists(marker) and open(marker).read() == stamp:
+            return bdir
         from tildener_spark.config import EngineConfig
         from tildener_spark.datagen import (
             corpus_df, gazetteer_df, split_gold)
@@ -1507,19 +1541,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gold_tokens = explode_tokens(dev.select(
             "url", make_tag_pages_udf(rows, EngineConfig())(
                 F.col("text")).alias("tokens")))
+        gold_tokens.select("url", "tok_id", "ne_tag").write.mode(
+            "overwrite").parquet(f"{bdir}/gold_tokens.parquet")
         crippled = full.filter(
             ~((F.col("ne_type") == "PERS") & (F.crc32("surface") % 2 == 0)))
         res = bootstrap_loop(
             spark, unl, dev, gold_tokens, crippled,
             iterations=2, docs_per_iteration=20, metric="F",
-            cfg=EngineConfig(gazetteer_min_prob=0.90))
-        return spark.createDataFrame(
+            cfg=EngineConfig(gazetteer_min_prob=0.90),
+            artifact_dir=bdir)
+        hist = spark.createDataFrame(
             [(h["iteration"], h["accepted"], h["gazetteer_size"],
               float(h["metrics"]["F"] or 0.0),
               int(h.get("new_gazetteer_entries", 0)))
              for h in res.history],
             "iteration int, accepted boolean, gazetteer_size int, "
             "f1 double, new_entries int")
+        hist.write.mode("overwrite").parquet(f"{bdir}/history.parquet")
+        with open(marker, "w") as f:
+            f.write(stamp)
+        return bdir
+
+    def kg_bootstrap(spark, sf):
+        # the loop's own per-iteration audit rows, from the stamped
+        # artifact cache (rebuilt whenever any engine source changes);
+        # the oracle replays the identical decisions in SQL over the
+        # materialized classifier outputs — see _KG_BOOTSTRAP_SQL
+        bdir = _kg_bootstrap_materialized(spark)
+        return spark.read.parquet(f"{bdir}/history.parquet")
 
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1864,39 +1913,84 @@ def oracle_sql() -> dict[str, str]:
         # document (singletons cluster to themselves and are kept)
         "q29_near_dup_clusters": f"""
             with recursive {_minhash_bands_cte()},
-            capped as (
+            -- every multiply-referenced CTE is MATERIALIZED:
+            -- DuckDB otherwise re-inlines the whole banding
+            -- chain per reference (measured 2x worse than the
+            -- closure it was meant to replace)
+            capped as materialized (
                 select doc_id, band_idx, band_key from (
                     select *, count(*) over (
                         partition by band_idx, band_key) as bn
                     from mh_bands
                 ) where bn <= 100
             ),
-            prs as (
+            prs as materialized (
                 select distinct a.doc_id as a, b.doc_id as b
                 from capped a
                 join capped b on a.band_idx = b.band_idx
                              and a.band_key = b.band_key
                              and a.doc_id < b.doc_id
             ),
-            edges as (
+            edges as materialized (
                 select a, b from prs
                 union
                 select b, a from prs
             ),
-            reach(a, b) as (
-                select a, b from edges
-                union
-                select r.a, e.b from reach r join edges e on r.b = e.a
+            -- two star-contraction rounds before the recursive
+            -- closure: every node hooks to the minimum of its closed
+            -- neighborhood, edges re-expressed between the hooks.
+            -- Exact for ANY graph (contraction preserves components
+            -- and the component minimum is always its own hook), but
+            -- it collapses the near-clique LSH clusters immediately —
+            -- the naive all-pairs reach() closure on the raw pair
+            -- list was the single slowest oracle in the round-3
+            -- driver pass (~46 s of a ~230 s budget).
+            m1 as materialized (
+                select a as node, least(a, min(b)) as p
+                from edges group by a
             ),
-            cc as (
+            e1 as materialized (
+                select distinct ma.p as a, mb.p as b
+                from prs e
+                join m1 ma on e.a = ma.node
+                join m1 mb on e.b = mb.node
+                where ma.p <> mb.p
+            ),
+            ed1 as materialized (select a, b from e1 union select b, a from e1),
+            m2 as materialized (
+                select a as node, least(a, min(b)) as p
+                from ed1 group by a
+            ),
+            e2 as materialized (
+                select distinct ma.p as a, mb.p as b
+                from e1 e
+                join m2 ma on e.a = ma.node
+                join m2 mb on e.b = mb.node
+                where ma.p <> mb.p
+            ),
+            ed2 as materialized (select a, b from e2 union select b, a from e2),
+            reach(a, b) as (
+                select a, b from ed2
+                union
+                select r.a, e.b from reach r join ed2 e on r.b = e.a
+            ),
+            cc2 as (
                 select a as node, least(a, min(b)) as component
                 from reach group by a
+            ),
+            lab as (
+                select m1.node,
+                       coalesce(cc2.component,
+                                coalesce(m2.p, m1.p)) as component
+                from m1
+                left join m2 on m1.p = m2.node
+                left join cc2 on coalesce(m2.p, m1.p) = cc2.node
             )
             select d.doc_id,
-                   coalesce(cc.component, d.doc_id) as cluster,
-                   coalesce(cc.component, d.doc_id) = d.doc_id as keep
+                   coalesce(l.component, d.doc_id) as cluster,
+                   coalesce(l.component, d.doc_id) = d.doc_id as keep
             from documents d
-            left join cc on d.doc_id = cc.node
+            left join lab l on d.doc_id = l.node
         """,
         "q14_lang_id": f"""
             with t as (
@@ -2786,5 +2880,151 @@ def oracle_sql() -> dict[str, str]:
                    round((select count(*) from pl join gl
                           using (url, alias, canonical)) * 1.0
                          / greatest((select count(*) from gl), 1), 4)
+    """,
+        # step replay of the bootstrap loop's decision logic
+        # (plans/bootstrap.py; BootstrapNEModel.pl:206-357) over the
+        # per-iteration classifier artifacts materialized by
+        # _kg_bootstrap_materialized: token-level dev F1 exactly as
+        # evaluate.token_eval computes it, the positive-iteration
+        # accept gate (metric F, rounded values compared as the loop
+        # compares them), top_files_per_tag file selection
+        # (files_per_tag=10, min_tag_count=1), gazetteer_candidates
+        # harvest (GAZETTEER_TYPES, <=10 tokens, not all-lowercase,
+        # avg_prob >= the run's 0.90 threshold, anti-join existing)
+        # and derived gazetteer growth size_1 = size_0 + new_0.
+        "kg_bootstrap": f"""
+            with gold as materialized (
+                select url, tok_id, ne_tag from read_parquet(
+                    '{_KG_CACHE}/bootstrap/gold_tokens.parquet/*.parquet')
+            ),
+            gaz0 as materialized (
+                select ne_type, surface from read_parquet(
+                    '{_KG_CACHE}/bootstrap/it0_gaz.parquet/*.parquet')
+            ),
+            ev0 as (
+                select count(*) filter (where g.ne_tag <> 'O') as rel,
+                       count(*) filter (where p.ne_tag <> 'O') as ret,
+                       count(*) filter (where g.ne_tag = p.ne_tag
+                                        and g.ne_tag <> 'O') as rr
+                from gold g join read_parquet(
+                    '{_KG_CACHE}/bootstrap/it0_dev_pred.parquet/*.parquet'
+                    ) p using (url, tok_id)
+            ),
+            ev1 as (
+                select count(*) filter (where g.ne_tag <> 'O') as rel,
+                       count(*) filter (where p.ne_tag <> 'O') as ret,
+                       count(*) filter (where g.ne_tag = p.ne_tag
+                                        and g.ne_tag <> 'O') as rr
+                from gold g join read_parquet(
+                    '{_KG_CACHE}/bootstrap/it1_dev_pred.parquet/*.parquet'
+                    ) p using (url, tok_id)
+            ),
+            f0 as materialized (
+                select coalesce(round(case
+                    when ret > 0 and rel > 0 and rr > 0
+                    then 2.0 * (rr * 1.0 / ret) * (rr * 1.0 / rel)
+                         / (rr * 1.0 / ret + rr * 1.0 / rel) * 100
+                    end, 2), 0.0) as f1
+                from ev0
+            ),
+            f1x as materialized (
+                select coalesce(round(case
+                    when ret > 0 and rel > 0 and rr > 0
+                    then 2.0 * (rr * 1.0 / ret) * (rr * 1.0 / rel)
+                         / (rr * 1.0 / ret + rr * 1.0 / rel) * 100
+                    end, 2), 0.0) as f1
+                from ev1
+            ),
+            t0 as materialized (
+                select url, ne_tag, count(*) as tag_count,
+                       avg(ne_prob) as tag_avg
+                from read_parquet(
+                    '{_KG_CACHE}/bootstrap/it0_tokens.parquet/*.parquet')
+                group by url, ne_tag
+            ),
+            r0 as (
+                select url, avg(tag_avg) as rating from t0 group by url
+            ),
+            sel0 as materialized (
+                select distinct url from (
+                    select t.url, row_number() over (
+                        partition by t.ne_tag
+                        order by r.rating desc, t.url asc) as rk
+                    from t0 t join r0 r using (url)
+                    where t.tag_count >= 1
+                ) where rk <= 10
+            ),
+            new0x as materialized (
+                select n.ne_type, n.surface from (
+                    select m.ne_type, m.surface
+                    from read_parquet(
+                        '{_KG_CACHE}/bootstrap/it0_mentions.parquet/*.parquet'
+                        ) m
+                    join sel0 s on m.url = s.url
+                    where m.ne_type in ('PERS', 'LOC', 'ORG')
+                      and m.n_tokens between 1 and 10
+                      and m.surface <> lower(m.surface)
+                      and m.avg_prob >= 0.90
+                    group by m.ne_type, m.surface
+                ) n
+                anti join gaz0 e
+                  on n.ne_type = e.ne_type and n.surface = e.surface
+            ),
+            gaz1 as materialized (
+                select ne_type, surface from gaz0
+                union
+                select ne_type, surface from new0x
+            ),
+            t1 as materialized (
+                select url, ne_tag, count(*) as tag_count,
+                       avg(ne_prob) as tag_avg
+                from read_parquet(
+                    '{_KG_CACHE}/bootstrap/it1_tokens.parquet/*.parquet')
+                group by url, ne_tag
+            ),
+            r1 as (
+                select url, avg(tag_avg) as rating from t1 group by url
+            ),
+            sel1 as materialized (
+                select distinct url from (
+                    select t.url, row_number() over (
+                        partition by t.ne_tag
+                        order by r.rating desc, t.url asc) as rk
+                    from t1 t join r1 r using (url)
+                    where t.tag_count >= 1
+                ) where rk <= 10
+            ),
+            new1x as materialized (
+                select n.ne_type, n.surface from (
+                    select m.ne_type, m.surface
+                    from read_parquet(
+                        '{_KG_CACHE}/bootstrap/it1_mentions.parquet/*.parquet'
+                        ) m
+                    join sel1 s on m.url = s.url
+                    where m.ne_type in ('PERS', 'LOC', 'ORG')
+                      and m.n_tokens between 1 and 10
+                      and m.surface <> lower(m.surface)
+                      and m.avg_prob >= 0.90
+                    group by m.ne_type, m.surface
+                ) n
+                anti join gaz1 e
+                  on n.ne_type = e.ne_type and n.surface = e.surface
+            ),
+            acc1 as materialized (
+                select (select f1 from f1x) >= (select f1 from f0) as a
+            )
+            select 0 as iteration, true as accepted,
+                   cast((select count(*) from gaz0) as int)
+                       as gazetteer_size,
+                   (select f1 from f0) as f1,
+                   cast((select count(*) from new0x) as int)
+                       as new_entries
+            union all
+            select 1, (select a from acc1),
+                   cast((select count(*) from gaz1) as int),
+                   (select f1 from f1x),
+                   cast(case when (select a from acc1)
+                        then (select count(*) from new1x)
+                        else 0 end as int)
     """,
     }

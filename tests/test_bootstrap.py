@@ -104,15 +104,30 @@ def test_bootstrap_loop_grows_gazetteer_and_gates(spark):
     # eligible; at the reference default 0.95 only exact-gazetteer
     # matches qualify, which are by construction already present
     cfg = EngineConfig(gazetteer_min_prob=0.90)
-    res = bootstrap_loop(
-        spark, unlabeled, dev_pages, gold_tokens, crippled,
-        iterations=2, docs_per_iteration=20, metric="F", cfg=cfg)
-    assert len(res.history) == 2
-    assert res.history[0]["accepted"]  # first iteration always accepted
-    final_size = res.gazetteer.count()
-    assert final_size > crippled.count()  # gazetteer grew
-    for h in res.history:
-        assert set(h["metrics"]) == {"P", "R", "F", "A"}
+    import tempfile
+    with tempfile.TemporaryDirectory() as adir:
+        res = bootstrap_loop(
+            spark, unlabeled, dev_pages, gold_tokens, crippled,
+            iterations=2, docs_per_iteration=20, metric="F", cfg=cfg,
+            artifact_dir=adir)
+        assert len(res.history) == 2
+        # first iteration always accepted
+        assert res.history[0]["accepted"]
+        final_size = res.gazetteer.count()
+        assert final_size > crippled.count()  # gazetteer grew
+        for h in res.history:
+            assert set(h["metrics"]) == {"P", "R", "F", "A"}
+        # per-iteration classifier artifacts materialized (the DuckDB
+        # step-replay oracle's inputs; also the stage checkpoint)
+        for it in range(2):
+            for name in ("dev_pred", "tokens", "mentions", "gaz"):
+                t = spark.read.parquet(f"{adir}/it{it}_{name}.parquet")
+                assert t.count() > 0, f"it{it}_{name} empty"
+        # gazetteer growth is derivable: size_1 = size_0 + accepted
+        # harvest of iteration 0
+        g0 = spark.read.parquet(f"{adir}/it0_gaz.parquet").count()
+        g1 = spark.read.parquet(f"{adir}/it1_gaz.parquet").count()
+        assert g1 == g0 + res.history[0]["new_gazetteer_entries"]
 
 
 def test_top_files_per_tag_selection(spark):

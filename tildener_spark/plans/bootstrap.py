@@ -58,9 +58,7 @@ def _tag(spark, pages, gaz_rows, cfg):
     return pages.select("url", "lang", udf(F.col("text")).alias("doc"))
 
 
-def _dev_metrics(docs, dev_gold_tokens) -> dict:
-    pred = explode_tokens(
-        docs.select("url", F.col("doc.tokens").alias("tokens")))
+def _dev_metrics(pred, dev_gold_tokens) -> dict:
     row = (
         token_eval(dev_gold_tokens, pred)
         .filter(F.col("label") == "TOTAL_TOKEN").collect()
@@ -82,12 +80,23 @@ def bootstrap_loop(
     metric: str = "F",
     cfg: EngineConfig | None = None,
     seed: int = 42,
+    artifact_dir: str | None = None,
 ) -> BootstrapResult:
     """Run the self-training loop; returns the grown gazetteer +
     per-iteration audit history.
 
     ``metric``: one of P/R/F/A or 'all' (all four must not decrease —
     the four simultaneous comparisons of BootstrapNEModel.pl:254-258).
+
+    ``artifact_dir``: when set, each iteration's classifier outputs
+    are materialized to parquet (``it{i}_dev_pred`` dev predictions,
+    ``it{i}_tokens`` sampled-doc tokens, ``it{i}_mentions`` sampled-doc
+    mentions, ``it{i}_gaz`` iteration-start gazetteer) — the per-stage
+    checkpoint of the north rule, and the shared classifier input the
+    DuckDB step-replay oracle re-derives the metric gate / file
+    selection / gazetteer harvest from (the same contract as the
+    _kg_materialized stage queries: the classifier has no SQL form,
+    everything downstream is relational and re-derived exactly).
     """
     cfg = cfg or EngineConfig()
     gaz = gazetteer.select("ne_type", "surface").persist()
@@ -103,10 +112,29 @@ def bootstrap_loop(
             .limit(docs_per_iteration)
         )
         tagged = _tag(spark, sample, gaz_rows, cfg).persist()
+        all_tokens = explode_tokens(
+            tagged.select("url", F.col("doc.tokens").alias("tokens")))
+        mentions = explode_docs(tagged, "mentions")
 
         # 2. evaluate current model on dev
         dev_tagged = _tag(spark, dev_pages, gaz_rows, cfg)
-        metrics = _dev_metrics(dev_tagged, dev_gold_tokens)
+        dev_pred = explode_tokens(
+            dev_tagged.select("url", F.col("doc.tokens").alias("tokens")))
+        if artifact_dir:
+            dev_pred.select("url", "tok_id", "ne_tag").write.mode(
+                "overwrite").parquet(
+                f"{artifact_dir}/it{it}_dev_pred.parquet")
+            all_tokens.select(
+                "url", "tok_id", "ne_tag", "ne_prob").write.mode(
+                "overwrite").parquet(
+                f"{artifact_dir}/it{it}_tokens.parquet")
+            mentions.select(
+                "url", "ne_type", "surface", "n_tokens",
+                "avg_prob").write.mode("overwrite").parquet(
+                f"{artifact_dir}/it{it}_mentions.parquet")
+            gaz.write.mode("overwrite").parquet(
+                f"{artifact_dir}/it{it}_gaz.parquet")
+        metrics = _dev_metrics(dev_pred, dev_gold_tokens)
 
         # 3. positive-iteration gate
         keys = list(_METRIC_COLS) if metric == "all" else [metric]
@@ -123,8 +151,6 @@ def bootstrap_loop(
             # doc was round 1's shortcut; the reference-shaped
             # selection concentrates the sentence/gazetteer harvest on
             # high-confidence documents
-            all_tokens = explode_tokens(
-                tagged.select("url", F.col("doc.tokens").alias("tokens")))
             selected = (
                 top_files_per_tag(all_tokens, files_per_tag,
                                   min_tag_count)
@@ -137,9 +163,8 @@ def bootstrap_loop(
             sentences = (top if sentences is None
                          else sentences.unionByName(top).dropDuplicates(
                              ["tok_type", "sent_text"]))
-            mentions = explode_docs(tagged, "mentions").join(
-                selected, "url", "left_semi")
-            new_entries = gazetteer_candidates(mentions, gaz, cfg)
+            sel_mentions = mentions.join(selected, "url", "left_semi")
+            new_entries = gazetteer_candidates(sel_mentions, gaz, cfg)
             entry["new_gazetteer_entries"] = new_entries.count()
             grown = merge_gazetteer(gaz, new_entries).persist()
             grown.count()  # materialize before unpersisting the old one
