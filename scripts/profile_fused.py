@@ -33,6 +33,7 @@ def main() -> None:
     from tildener_spark.datagen import gen_doc, world_gazetteer
     from tildener_spark.operators.classify import build_gazetteer_index
     from tildener_spark.operators.document import process_document_py
+    from tildener_spark.operators.tokenize import batch_token_spans
 
     texts = [gen_doc(i)["text"] for i in range(n)]
     gaz_rows = world_gazetteer()
@@ -44,17 +45,21 @@ def main() -> None:
     for t in texts[:64]:
         process_document_py(t, gaz, inits, cfg, emit_tokens)
 
+    # the production UDF precomputes raw-token spans per Arrow batch
+    # (document.py process_document); mirror that shape here
     t0 = time.perf_counter()
-    for t in texts:
-        process_document_py(t, gaz, inits, cfg, emit_tokens)
+    spans = batch_token_spans(texts)
+    for t, sp in zip(texts, spans):
+        process_document_py(t, gaz, inits, cfg, emit_tokens, spans=sp)
     plain = time.perf_counter() - t0
     print(f"unprofiled: {n} docs in {plain:.2f}s "
           f"({plain / n * 1e3:.3f} ms/doc, emit_tokens={emit_tokens})")
 
     pr = cProfile.Profile()
     pr.enable()
-    for t in texts:
-        process_document_py(t, gaz, inits, cfg, emit_tokens)
+    spans = batch_token_spans(texts)
+    for t, sp in zip(texts, spans):
+        process_document_py(t, gaz, inits, cfg, emit_tokens, spans=sp)
     pr.disable()
     stats = pstats.Stats(pr)
     stats.sort_stats(sort).print_stats(30)

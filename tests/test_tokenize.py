@@ -94,3 +94,52 @@ def test_remove_empty_lines_trailing_run_and_edge_cases():
     assert remove_empty_lines_py(None, 2) == ""
     # BOM stripped per line like every reference read
     assert remove_empty_lines_py("﻿a\nb", 0) == "a\nb"
+
+
+def test_numpy_tokenizer_matches_reference_loop():
+    """The batched numpy span path must be byte-identical to the
+    original pure-Python advancing-cursor loop on every document —
+    offsets, line numbers, sentence ids, analysis columns."""
+    from tildener_spark.datagen import gen_doc
+    from tildener_spark.operators.tokenize import (
+        batch_token_spans, tokenize_table, tokenize_table_reference)
+
+    texts = [gen_doc(i)["text"] for i in range(120)]
+    texts += ["", None, "   ", "\n\n\n", "a", " a ", "a\nb", "a\n\nb",
+              "  lead ws\nand  double  space ", "tab\tsep\ttokens",
+              "«Quoted» (brackets) J. Dr. end.", "http://x.y/z?a=1 t",
+              "vert\x0btab", "nbsp\xa0word", "multi. Sent! here? ok",
+              "\nleading newline", "trailing\n", "\r\nwindows\r\n",
+              "ALL. CAPS. A.B. x.", "...", "a..b", "ā Čē ž-ū"]
+    spans = batch_token_spans(texts)
+    cols = ("sent_id", "token", "pos", "lemma", "morpho",
+            "line_from", "col_from", "line_to", "col_to")
+    for t, sp in zip(texts, spans):
+        a = tokenize_table(t, sp)
+        b = tokenize_table_reference(t)
+        for c in cols:
+            assert getattr(a, c) == getattr(b, c), (c, repr(t)[:60])
+
+
+def test_numpy_tokenizer_hypothesis_parity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tildener_spark.operators.tokenize import (
+        tokenize_table, tokenize_table_reference)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=(
+                "Lu", "Ll", "Nd", "Po", "Ps", "Pe", "Zs", "Cc")),
+        max_size=300))
+    def check(text):
+        a, b = tokenize_table(text), tokenize_table_reference(text)
+        assert a.token == b.token
+        assert a.col_from == b.col_from
+        assert a.col_to == b.col_to
+        assert a.line_from == b.line_from
+        assert a.sent_id == b.sent_id
+
+    check()

@@ -317,13 +317,14 @@ def make_tag_pages_udf(gazetteer_rows, cfg=None):
     """
     from tildener_spark.config import EngineConfig
     from tildener_spark.operators.refine import refine_table
-    from tildener_spark.operators.tokenize import tokenize_table
+    from tildener_spark.operators.tokenize import (
+        batch_token_spans, tokenize_table)
 
     cfg = cfg or EngineConfig()
     get_gaz = ship_broadcast(build_gazetteer_index(gazetteer_rows))
 
-    def tag_one(text, gaz) -> list[tuple]:
-        tt = tokenize_table(text)
+    def tag_one(text, gaz, spans) -> list[tuple]:
+        tt = tokenize_table(text, spans)
         classify_table(tt, gaz)
         refine_table(tt, cfg)
         return tt.token_tuples()
@@ -331,7 +332,10 @@ def make_tag_pages_udf(gazetteer_rows, cfg=None):
     @F.pandas_udf(TAGGED_TYPE)
     def tag_pages(text: pd.Series) -> pd.Series:
         gaz = get_gaz()
-        return text.map(lambda t: tag_one(t, gaz))
+        spans = batch_token_spans(text.tolist())
+        return pd.Series(
+            [tag_one(t, gaz, sp) for t, sp in zip(text, spans)],
+            index=text.index)
 
     return tag_pages
 

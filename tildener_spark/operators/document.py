@@ -34,7 +34,7 @@ from tildener_spark.operators.classify import (
 from tildener_spark.operators.linking import jaro_winkler_py
 from tildener_spark.operators.refine import refine_table
 from tildener_spark.operators.tokenize import (
-    TAGGED_TYPE, TokenTable, tokenize_table,
+    TAGGED_TYPE, TokenTable, batch_token_spans, tokenize_table,
 )
 
 # Field types match the DataFrame operators' output exactly (span_id
@@ -355,15 +355,19 @@ def process_document_py(text: str | None, gaz: dict,
                         initialisms: frozenset[str],
                         cfg: EngineConfig,
                         emit_tokens: bool = True,
-                        emit_mentions: bool = True) -> dict:
+                        emit_mentions: bool = True,
+                        spans=None) -> dict:
     """One document -> the DOC_STRUCT fields, columnar throughout:
     tokens live in a TokenTable (parallel lists) from tokenizer to
     Arrow hand-off; rows cross into Arrow as tuples, never dicts.
     ``emit_tokens=False`` omits the tokens key (and skips building the
     per-token tuples entirely); ``emit_mentions=False`` omits the
     mentions key (mentions are still computed internally — triples,
-    links and surfaces derive from them — but never serialized)."""
-    tt = tokenize_table(text)
+    links and surfaces derive from them — but never serialized).
+    ``spans`` is this document's entry from
+    tokenize.batch_token_spans, when the caller vectorized raw-token
+    location over the whole Arrow batch."""
+    tt = tokenize_table(text, spans)
     classify_table(tt, gaz)
     refine_table(tt, cfg)
     mentions = doc_mentions_py(tt)
@@ -406,9 +410,13 @@ def make_process_document_udf(gazetteer_rows, cfg: EngineConfig | None = None,
         # struct return type => a DataFrame whose columns are the
         # struct fields
         gaz = get_gaz()
+        # one vectorized codepoint pass locates every raw token of
+        # the batch (tokenize.batch_token_spans) before the per-doc
+        # Python loop runs
+        spans = batch_token_spans(text.tolist())
         docs = [process_document_py(t, gaz, inits, cfg, emit_tokens,
-                                    emit_mentions)
-                for t in text]
+                                    emit_mentions, sp)
+                for t, sp in zip(text, spans)]
         return pd.DataFrame(
             {k: [d[k] for d in docs] for k in fields},
             index=text.index)

@@ -197,9 +197,13 @@ class TokenTable:
 
 
 # memoized per-raw-token analysis: raw whitespace token ->
-# ((tok, pos, lemma, morpho), ...).  Offsets are NOT cached (they
-# depend on the line); everything else depends only on the raw string.
-# Bounded: cleared wholesale past ~260k distinct raws per worker.
+# ((tok, pos, lemma, morpho, rel_start), ...) where rel_start is the
+# sub-token's character offset INSIDE the raw token — _split_token
+# partitions the raw exactly (lead + core + reversed trail == raw), so
+# sub-token offsets are arithmetic, not searched.  Everything cached
+# depends only on the raw string; web text is Zipfian, so the hit rate
+# dominates.  Bounded: cleared wholesale past ~260k distinct raws per
+# worker.
 _RAW_CACHE: dict[str, tuple] = {}
 _RAW_CACHE_MAX = 1 << 18
 
@@ -209,22 +213,173 @@ def _analyze_raw(raw: str) -> tuple:
     if hit is None:
         if len(_RAW_CACHE) >= _RAW_CACHE_MAX:
             _RAW_CACHE.clear()
-        hit = tuple(
-            (tok, *_pos_lemma(tok), _shape(tok))
-            for tok in _split_token(raw)
-        )
+        out = []
+        off = 0
+        for tok in _split_token(raw):
+            out.append((tok, *_pos_lemma(tok), _shape(tok), off))
+            off += len(tok)
+        hit = tuple(out)
         _RAW_CACHE[raw] = hit
     return hit
 
 
-def tokenize_table(text: str | None) -> TokenTable:
-    """Pure-Python single-document tokenizer (FindTokenPos semantics),
-    columnar output."""
+# whitespace lookup table over codepoints, grown on demand to the
+# largest codepoint seen; mirrors Python's str semantics (str.isspace
+# == the \s class of the re module for str patterns on every
+# codepoint the corpus can contain), so the numpy path below tokenizes
+# byte-identically to the _WS.split reference path
+import numpy as _np
+
+_SPACE_LUT = _np.array([chr(c).isspace() for c in range(128)],
+                       dtype=bool)
+
+
+def _space_lut(upto: int) -> "_np.ndarray":
+    global _SPACE_LUT
+    if upto >= _SPACE_LUT.size:
+        _SPACE_LUT = _np.array(
+            [chr(c).isspace() for c in range(upto + 1)], dtype=bool)
+    return _SPACE_LUT
+
+
+def batch_token_spans(texts: list) -> list:
+    """Vectorized raw-token location for a BATCH of documents (the
+    _codepoint_matrix idea from linking.py applied to the tokenizer).
+
+    One UTF-32 decode of the newline-joined batch gives whitespace
+    runs (= raw tokens), newline positions (= line numbers) and
+    line-relative columns entirely in C; per-document numpy overhead
+    (encode, mask allocation, searchsorted) amortizes across the
+    Arrow batch, which is what makes this faster than both the
+    per-document numpy form (measured slower on ~1 KB docs — fixed
+    overhead dominates) and the pure-Python per-line scan.
+
+    Returns, per document, ``(starts, ends, lines, cols)`` lists with
+    starts/ends character offsets into that document, ends inclusive.
+    None/empty texts yield empty lists.  The \\n separator is
+    whitespace, so no token run and no line can span documents.
+    """
+    doc_texts = [t if t else "" for t in texts]
+    joined = "\n".join(doc_texts)
+    out: list = []
+    if not joined:
+        return [([], [], [], []) for _ in doc_texts]
+    arr = _np.frombuffer(joined.encode("utf-32-le"), dtype=_np.uint32)
+    space = _space_lut(int(arr.max()))[arr]
+    nonsp = ~space
+    prev = _np.empty_like(nonsp)
+    prev[0] = False
+    prev[1:] = nonsp[:-1]
+    starts = _np.flatnonzero(nonsp & ~prev)
+    nxt = _np.empty_like(nonsp)
+    nxt[-1] = False
+    nxt[:-1] = nonsp[1:]
+    ends = _np.flatnonzero(nonsp & ~nxt)
+    nl = _np.flatnonzero(arr == 10)
+    line_no = _np.searchsorted(nl, starts)
+    if nl.size:
+        line_begin = _np.where(
+            line_no > 0, nl[_np.maximum(line_no - 1, 0)] + 1, 0)
+    else:
+        line_begin = _np.zeros_like(starts)
+    cols_g = starts - line_begin
+    # document boundaries in the joined string -> slice per doc
+    doc_off = []
+    off = 0
+    for t in doc_texts:
+        doc_off.append(off)
+        off += len(t) + 1  # the joining \n
+    doc_off_a = _np.asarray(doc_off, dtype=_np.int64)
+    first_tok = _np.searchsorted(starts, doc_off_a)
+    first_line = _np.searchsorted(nl, doc_off_a)
+    for d in range(len(doc_texts)):
+        i0 = first_tok[d]
+        i1 = first_tok[d + 1] if d + 1 < len(doc_texts) else starts.size
+        if i0 == i1:
+            out.append(([], [], [], []))
+            continue
+        base = doc_off_a[d]
+        out.append((
+            (starts[i0:i1] - base).tolist(),
+            (ends[i0:i1] - base).tolist(),
+            (line_no[i0:i1] - first_line[d]).tolist(),
+            cols_g[i0:i1].tolist(),
+        ))
+    return out
+
+
+def _single_doc_spans(text: str):
+    return batch_token_spans([text])[0]
+
+
+def tokenize_table(text: str | None, spans=None) -> TokenTable:
+    """Single-document tokenizer (FindTokenPos semantics), columnar
+    output.
+
+    ``spans`` is the document's entry from :func:`batch_token_spans`
+    (computed here when absent): raw-token offsets/lines/columns come
+    from the vectorized batch pass, so the Python loop runs once per
+    RAW token with memoized analysis (``_analyze_raw``) and
+    arithmetic sub-token offsets — no per-character Python work and
+    no per-token ``str.find``.  ``tokenize_table_reference`` keeps
+    the original pure-Python loop; a differential test pins
+    byte-identical output."""
     tt = TokenTable()
     if not text:
         return tt
-    # bound-method appends: the loop body runs once per token of the
-    # corpus, and attribute lookups per append are measurable there
+    starts_l, ends_l, lines, cols = (
+        spans if spans is not None else _single_doc_spans(text))
+    if not starts_l:
+        return tt
+
+    sent_ids = tt.sent_id.append
+    toks_out = tt.token.append
+    pos_out = tt.pos.append
+    lemma_out = tt.lemma.append
+    morpho_out = tt.morpho.append
+    lf_out = tt.line_from.append
+    cf_out = tt.col_from.append
+    lt_out = tt.line_to.append
+    ct_out = tt.col_to.append
+    analyze = _analyze_raw
+    sent_id = 0
+    sent_open = False  # tokens emitted in current sentence?
+    cur_line = lines[0]
+    for i in range(len(starts_l)):
+        ln = lines[i]
+        if ln != cur_line:
+            # line change closes a sentence (BootstrapTools.pm:199)
+            if sent_open:
+                sent_id += 1
+                sent_open = False
+            cur_line = ln
+        raw = text[starts_l[i]:ends_l[i] + 1]
+        base = cols[i]
+        for tok, pos, lemma, morpho, rel in analyze(raw):
+            start = base + rel
+            sent_ids(sent_id)
+            toks_out(tok)
+            pos_out(pos)
+            lemma_out(lemma)
+            morpho_out(morpho)
+            lf_out(ln)
+            cf_out(start)
+            lt_out(ln)
+            ct_out(start + len(tok) - 1)
+            sent_open = True
+            if pos == "SENT":
+                sent_id += 1
+                sent_open = False
+    return tt
+
+
+def tokenize_table_reference(text: str | None) -> TokenTable:
+    """Original pure-Python per-line loop (first-match advancing
+    cursor, NEPreprocess.pm:391-399) — kept as the differential
+    reference for the numpy fast path above."""
+    tt = TokenTable()
+    if not text:
+        return tt
     sent_ids = tt.sent_id.append
     toks_out = tt.token.append
     pos_out = tt.pos.append
@@ -251,7 +406,7 @@ def tokenize_table(text: str | None) -> TokenTable:
         for raw in ws_split(line):
             if not raw:
                 continue
-            for tok, pos, lemma, morpho in _analyze_raw(raw):
+            for tok, pos, lemma, morpho, _rel in _analyze_raw(raw):
                 # first-match cursor advance (NEPreprocess.pm:391-399)
                 start = find(tok, cursor)
                 if start < 0:  # defensive; cannot happen for our splitter
