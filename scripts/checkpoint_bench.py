@@ -106,7 +106,10 @@ def main() -> None:
                sys.argv[4] if sys.argv[4] != "-" else None, sys.argv[5])
         return
     work = tempfile.mkdtemp(prefix="tildener_ckpt_bench_")
-    pages_path = os.path.join(work, "pages")
+    # SPARK_GRAFT_PAGES_PATH reuses a pre-generated corpus across
+    # invocations (the generator itself is untimed either way)
+    pages_path = os.environ.get(
+        "SPARK_GRAFT_PAGES_PATH", os.path.join(work, "pages"))
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "32g")
     report: dict = {"n_docs": N_DOCS, "slices": SLICES, "levels": {}}

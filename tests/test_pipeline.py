@@ -38,9 +38,14 @@ def test_pipeline_checkpoint_and_resume(spark, tmp_path):
 
     # observe() counters (SURVEY §7): every checkpointed stage
     # reports rows_out collected on its own write job, agreeing with
-    # the lineage table, plus rows_in linked from its producing stage
-    assert set(res.counters) == set(by_stage)
-    for stage, c in res.counters.items():
+    # the lineage table, plus rows_in linked from its producing stage.
+    # Non-stage guard audits (lsh_bucket_guard) ride the same dict
+    # but have no lineage table.
+    stage_rows = {k: c for k, c in res.counters.items()
+                  if "rows_out" in c}
+    assert set(stage_rows) == set(by_stage)
+    assert "lsh_bucket_guard" in res.counters  # guard audit present
+    for stage, c in stage_rows.items():
         assert c["rows_out"] == by_stage[stage], stage
         assert c["resumed"] is False, stage
     assert res.counters["docs"]["rows_in"] == \
@@ -68,7 +73,8 @@ def test_pipeline_checkpoint_and_resume(spark, tmp_path):
     # full resume: everything present -> same results again
     res3 = run_pipeline(spark, pages, gaz, cfg)
     assert res3.canonical_triples.count() == res2.canonical_triples.count()
-    assert all(c["resumed"] for c in res3.counters.values())
+    assert all(c["resumed"] for c in res3.counters.values()
+               if "resumed" in c)  # guard audits carry no resume flag
     assert res3.counters["triples_dc"]["rows_out"] == n_triples
 
 
@@ -147,6 +153,42 @@ def test_sliced_checkpoint_kill_and_resume(spark, tmp_path):
     assert os.path.exists(os.path.join(docs_dir, "_SUCCESS"))
 
 
+def test_resume_rebuilds_missing_slice_lineage(spark, tmp_path):
+    """A crash can land BETWEEN a slice's parquet commit and its
+    lineage write: the data dir has _SUCCESS but no lineage exists.
+    Resume must not crash (it did — found by the round-4
+    kill-and-resume bench) and must rebuild the lineage rows from the
+    committed data, restoring the audit trail."""
+    ckpt = str(tmp_path / "ckpt_lin")
+    cfg = EngineConfig(checkpoint_dir=ckpt, checkpoint_slices=4)
+    corpus = corpus_df(spark, 24).cache()
+    pages, *_ = split_gold(corpus)
+    gaz = gazetteer_df(spark)
+    res = run_pipeline(spark, pages, gaz, cfg)
+    n_triples = res.triples.count()
+    n_docs_rows = res.counters["docs"]["rows_out"]
+
+    # crash window: docs stage marker gone (run died mid-stage), one
+    # slice's data committed but its lineage rows never written
+    docs_dir = os.path.join(ckpt, "docs")
+    os.remove(os.path.join(docs_dir, "_SUCCESS"))
+    shutil.rmtree(os.path.join(ckpt, "_lineage", "docs", "slice_1"))
+    for stage in ("mentions", "triples_dc", "links", "entities",
+                  "mapping", "canonical_triples"):
+        shutil.rmtree(os.path.join(ckpt, stage))
+
+    res2 = run_pipeline(spark, pages, gaz, cfg)
+    assert res2.triples.count() == n_triples
+    # counters still report the full row count (slice_1's share came
+    # from the rebuilt lineage)
+    assert res2.counters["docs"]["rows_out"] == n_docs_rows
+    assert res2.counters["docs"]["resumed"] is True
+    # the audit trail is whole again
+    lin = stage_counters(spark, ckpt)
+    rebuilt = lin.filter(F.col("stage") == "docs/slice_1")
+    assert rebuilt.count() > 0
+
+
 def test_checkpoint_slice_layout_mismatch_fails_fast(spark, tmp_path):
     """ADVICE r02: resuming a checkpoint with a different slice layout
     must fail with an explicit error, not silently mis-read data."""
@@ -221,7 +263,7 @@ def test_crawl_prefilters(spark, tmp_path):
     variant = pages.select(
         F.concat(F.lit("HTTP://WWW."),
                  F.regexp_replace("url", r"^https://", ""),
-                 F.lit("/?utm=1")).alias("url"),
+                 F.lit("/?utm_source=1")).alias("url"),
         (F.col("warc_ts") + F.expr("interval 1 hour")).alias("warc_ts"),
         "html", "text", "lang")
     junk = spark.createDataFrame(

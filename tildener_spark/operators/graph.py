@@ -55,7 +55,8 @@ def build_entity_graph(mentions: DataFrame,
                        initialisms: frozenset[str] | set[str] = frozenset(),
                        links: DataFrame | None = None,
                        surfaces: DataFrame | None = None,
-                       hub_pairs: DataFrame | None = None) -> dict:
+                       hub_pairs: DataFrame | None = None,
+                       counters: dict | None = None) -> dict:
     """mentions -> {links, edges, components, entities, mapping}.
 
     ``links`` / ``surfaces`` / ``hub_pairs`` may be precomputed by the
@@ -156,7 +157,8 @@ def build_entity_graph(mentions: DataFrame,
         )
         lsh_handles: list = []
         _stage_mark("graph_plan_build")
-        cand = lsh_candidate_pairs(vocab, cfg, handles=lsh_handles)
+        cand = lsh_candidate_pairs(vocab, cfg, handles=lsh_handles,
+                                   counters=counters)
         _stage_mark("lsh_banding_materialize")
         # JVM-side prefilters BEFORE the (Python) Jaro-Winkler pass:
         # at score >= 0.94 the lengths must be close and (in practice)

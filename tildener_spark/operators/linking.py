@@ -256,16 +256,25 @@ def with_minhash_bands(df: DataFrame, text_col: str,
 def lsh_candidate_pairs(entities: DataFrame, cfg: EngineConfig | None = None,
                         id_col: str = "surface", type_col: str = "ne_type",
                         max_bucket: int = 50,
-                        handles: list | None = None) -> DataFrame:
+                        handles: list | None = None,
+                        counters: dict | None = None) -> DataFrame:
     """Global near-duplicate surface pairs via banded minhash join.
 
     entities: distinct (ne_type, surface). Returns (ne_type, a, b)
     with a < b.  Buckets larger than max_bucket are dropped (skew
-    guard; logged upstream via observe counters).
+    guard).
 
     ``handles``: optional list the internal persisted DataFrame is
     appended to so the caller can unpersist after the consuming action
-    (long-lived sessions would otherwise accumulate cached tables)."""
+    (long-lived sessions would otherwise accumulate cached tables).
+
+    ``counters``: optional dict that receives
+    ``counters["lsh_bucket_guard"] = {"rows_total", "rows_dropped",
+    "buckets_dropped_approx"}`` via an ``observe()`` riding the
+    stage's own materializing count — the dropped-bucket audit trail
+    for adversarially skewed corpora (a universal shingle produces
+    one giant bucket; the guard drops it and the counter proves it
+    fired rather than silently truncating)."""
     cfg = cfg or EngineConfig()
     # OPTIMIZER BARRIER between the banding UDF and the explode below:
     # explode makes Catalyst infer `size(bands) > 0 AND isnotnull(bands)`
@@ -282,9 +291,24 @@ def lsh_candidate_pairs(entities: DataFrame, cfg: EngineConfig | None = None,
     exploded = e.select(
         type_col, F.col(id_col), F.explode("bands").alias("band")
     )
+    staged = exploded.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy(type_col, "band")))
+    obs = None
+    if counters is not None:
+        from pyspark.sql import Observation
+        over = F.col("bucket_n") > max_bucket
+        obs = Observation(f"lsh_bucket_guard#{id(staged)}")
+        staged = staged.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_total"),
+            F.sum(over.cast("long")).alias("rows_dropped"),
+            F.approx_count_distinct(
+                F.when(over, F.concat_ws("\u241f", type_col, "band")))
+            .alias("buckets_dropped_approx"),
+        )
     small = (
-        exploded.withColumn(
-            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy(type_col, "band")))
+        staged
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
         # both sides of the self-join read this; without persist the
@@ -296,6 +320,14 @@ def lsh_candidate_pairs(entities: DataFrame, cfg: EngineConfig | None = None,
     # without sharing in-flight work (measured as a multi-x blowup in
     # round 1's cross-doc stage — BENCH/BASELINE.md)
     small.count()
+    if obs is not None:
+        m = obs.get
+        counters["lsh_bucket_guard"] = {
+            "rows_total": int(m["rows_total"] or 0),
+            "rows_dropped": int(m["rows_dropped"] or 0),
+            "buckets_dropped_approx":
+                int(m["buckets_dropped_approx"] or 0),
+        }
     if handles is not None:
         handles.append(small)
         handles.append(e)

@@ -154,6 +154,42 @@ def _lineage_rows_sum(spark: SparkSession, lineage_path: str) -> int:
     return df.agg(F.sum("rows")).collect()[0][0] or 0
 
 
+def _rebuild_lineage(spark: SparkSession, fs: "_FS", data_path: str,
+                     lineage_path: str, stage_label: str) -> int:
+    """Recreate a committed stage's lineage table from its data.
+
+    A crash can land BETWEEN a stage/slice parquet commit and its
+    lineage write (the data dir has ``_SUCCESS``, the lineage dir is
+    absent or partial — found by the kill-and-resume bench, round 4).
+    The data is the source of truth: re-derive the per-partition row
+    counts from the committed table, rewrite the lineage rows, and
+    return their sum, so resume both survives the crash window and
+    restores the audit trail."""
+    out = spark.read.parquet(data_path)
+    lineage = (
+        out.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .withColumn("stage", F.lit(stage_label))
+        .withColumn("finished_at", F.lit(time.time()))
+        .select("stage", "partition_id", "rows", "finished_at")
+    )
+    lineage.write.mode("overwrite").parquet(lineage_path)
+    return _lineage_rows_sum(spark, lineage_path)
+
+
+def _lineage_rows_sum_or_rebuild(spark: SparkSession, fs: "_FS",
+                                 data_path: str, lineage_path: str,
+                                 stage_label: str) -> int:
+    try:
+        if not fs.exists(os.path.join(lineage_path, "_SUCCESS")):
+            return _rebuild_lineage(spark, fs, data_path,
+                                    lineage_path, stage_label)
+        return _lineage_rows_sum(spark, lineage_path)
+    except Exception:
+        return _rebuild_lineage(spark, fs, data_path, lineage_path,
+                                stage_label)
+
+
 def checkpoint_stage(
     spark: SparkSession,
     df: DataFrame,
@@ -218,9 +254,14 @@ def checkpoint_stage(
         for k in range(slices):
             sdir = os.path.join(path, f"slice_{k}")
             if not force and _exists(fs, sdir):
-                # committed slice: skip (resume); its rows still count
-                rows_out += _lineage_rows_sum(
-                    spark, os.path.join(lineage_path, f"slice_{k}"))
+                # committed slice: skip (resume); its rows still
+                # count.  The lineage dir may be missing if the crash
+                # landed between the slice commit and the lineage
+                # write — rebuild it from the committed data then.
+                rows_out += _lineage_rows_sum_or_rebuild(
+                    spark, fs, sdir,
+                    os.path.join(lineage_path, f"slice_{k}"),
+                    f"{stage}/slice_{k}")
                 any_resumed = True
                 continue
             part = df.filter(slice_of == k)
@@ -276,7 +317,8 @@ def checkpoint_stage(
         return out
     if counters is not None:
         counters[stage] = {
-            "rows_out": _lineage_rows_sum(spark, lineage_path),
+            "rows_out": _lineage_rows_sum_or_rebuild(
+                spark, fs, path, lineage_path, stage),
             "resumed": True,
         }
     return spark.read.parquet(path)

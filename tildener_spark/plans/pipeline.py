@@ -242,7 +242,8 @@ def run_pipeline(
         docs.count()
         _stage_mark("docs_materialize")
     graph = build_entity_graph(mentions, cfg, initialisms, links=links,
-                               surfaces=surfaces, hub_pairs=hub_pairs)
+                               surfaces=surfaces, hub_pairs=hub_pairs,
+                               counters=counters)
     _stage_mark("graph_construct_eager_cc")
     links, entities, mapping = (
         graph["links"], graph["entities"], graph["mapping"])
@@ -284,6 +285,10 @@ def run_pipeline(
     if not fused:
         inputs.update(_STAGE_INPUTS_UNFUSED)
     for st, c in counters.items():
+        if "rows_out" not in c:
+            # guard audit entries (e.g. lsh_bucket_guard) are not
+            # stage tables — no rows_in/rows_out contract
+            continue
         if st == "pages_clean":
             # the pre-filter stage drops rows; the raw-input count is
             # not observed (it would cost an extra pass), so rows_in
