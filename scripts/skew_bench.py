@@ -126,11 +126,21 @@ def main() -> None:
               "probe_before": noise_probe()}
     corpora = {"uniform": base, "skewed": skew_corpus(base).persist()}
     corpora["skewed"].count()
+    # the kg ratio is the headline: run the two kg measurements
+    # back-to-back (same contention window) with two interleaved
+    # sweeps, min per corpus — the dedup stages run AFTER so their
+    # heat does not land between the paired kg readings
+    report.update({n: {} for n in corpora})
+    for _sweep in range(2):
+        for name, pages in corpora.items():
+            row = run_kg(spark, pages, gaz)
+            prev = report[name]
+            if not prev or row["sec"] < prev["sec"]:
+                report[name] = row
+            print(json.dumps({name: row}), flush=True)
     for name, pages in corpora.items():
-        row = run_kg(spark, pages, gaz)
-        row.update(run_dedup(spark, pages))
-        report[name] = row
-        print(json.dumps({name: row}), flush=True)
+        report[name].update(run_dedup(spark, pages))
+        print(json.dumps({name: report[name]}), flush=True)
     u, s = report["uniform"], report["skewed"]
     report["ratios"] = {
         "kg": round(s["sec"] / u["sec"], 2),

@@ -220,10 +220,10 @@ def _score_pairs(emb: DataFrame, cand: DataFrame,
     )
 
 
-def lsh_topk(emb: DataFrame, k: int = 5, n_bits: int = 8,
+def lsh_topk(emb: DataFrame, k: int = 5, n_bits: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, seed: int = 42,
-             n_tables: int = 8) -> DataFrame:
+             n_tables: int = 24) -> DataFrame:
     """Approximate top-k: exact cosine within hyperplane buckets,
     unioned over ``n_tables`` independent hash tables.
 
@@ -236,6 +236,14 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_bits: int = 8,
     recall at linear candidate-generation cost.  Recall@k vs
     brute_force_topk is gated in tests/test_similarity.py and exposed
     as the q21_lsh_recall query.
+
+    The (n_bits=5, n_tables=24) defaults are the measured knee of the
+    recall-vs-candidate-volume curve (BENCH/ANN_SWEEP.md, round 4):
+    recall@5 = 0.88 on both the clustered and the uniform mix at ~67k
+    candidates per 500 vectors — the next recall step (0.94 at L=32)
+    costs 18% more candidates, and sharper bit depths (6, 8) need
+    far more tables for the same recall because per-table survival
+    falls geometrically in n_bits.
 
     Cosine is symmetric, so candidates are generated ORDERED (a < b,
     half the bucket-join output and half the distinct), scored once,
@@ -302,7 +310,11 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 16,
     ~n_probe/n_cells of the corpus instead of n².  On clustered
     embeddings (the case IVF exists for) recall approaches 1 because
     a query's neighbors share its cells; the pytest gate plants
-    clusters and asserts recall >= 0.9.
+    clusters and asserts recall >= 0.9.  On WEAKLY clustered data the
+    sweep (BENCH/ANN_SWEEP.md) shows recall tracks ~n_probe/n_cells
+    (0.46-0.48 at the 16/4 default on the driver's embeddings table,
+    ~1.0 at 8/8) — IVF's economy only materializes when the corpus
+    is genuinely clustered; for unstructured mixes use lsh_topk.
 
     Scale shape: the probe->postings equi-join on cell id is a plain
     hash join; a hot cell is AQE-skew-split, and the per-cell posting
