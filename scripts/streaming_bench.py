@@ -56,7 +56,7 @@ def main() -> None:
     # duplicates the state must suppress
     dup_src = F.concat(
         F.lit("Dup seed text nr "),
-        ((num % 25) // 5 + 1).cast("string"),
+        (F.floor((num % 25) / 5) + 1).cast("string"),
         F.lit(". Šis teksts atkārtojas katrā paketē."))
     for b in range(N_BATCHES):
         part = base.filter(
