@@ -88,7 +88,7 @@ def load_pairs():
     return out
 
 
-def ablation_rows(spark):
+def ablation_rows(spark, prefixes=None):
     """One dict per chain prefix: label, chain, P, R, F1, n_pred."""
     from pyspark.sql import functions as F
 
@@ -115,12 +115,163 @@ def ablation_rows(spark):
         [(url, t) for url, _g, t in pairs], "url string, text string"
     ).cache()
     out = []
-    for label, chain in PREFIXES:
+    for label, chain in (prefixes or PREFIXES):
         cfg = EngineConfig(refinements=chain)
         udf = make_tag_pages_udf(gaz_rows, cfg)
         toks = explode_tokens(
             pages.select("url", udf(F.col("text")).alias("tokens")))
         pred = assemble_spans(toks).select(
+            "url", "line_from", "col_from", "line_to", "col_to",
+            "ne_type")
+        row = {r["label"]: r for r in
+               span_eval(gold_df, pred).collect()}["TOTAL_NE"]
+        out.append({
+            "label": label, "chain": chain or "(no refinement)",
+            "precision": row["precision"], "recall": row["recall"],
+            "f1": row["f1"], "retrieved": row["retrieved"],
+            "relevant": row["relevant"], "rr": row["rr"],
+        })
+    return out
+
+
+# --------------------------------------------------------------------
+# Noise-model ablation: the refinement letters repair CLASSIFIER
+# pathologies (CRF boundary slop, corruption artifacts, low-confidence
+# spam, type flips, coverage gaps, glued paragraphs — the error classes
+# NERefinements.pm was written against).  A gazetteer decision list
+# produces almost none of them, so the gold-corpus table above shows
+# R doing the work and the other letters idle.  This second experiment
+# PLANTS each pathology deterministically in synthetic classifier
+# output — one instance per class per document — so each letter's
+# repair is a measurable P/R step, and the full chain provably returns
+# to P = R = 100 (every planted error is exactly the one its letter
+# was built to fix).
+
+_FILLER = ("šodien valdība paziņoja ka jaunais projekts tiks uzsākts "
+           "nākamajā gadā pēc ilgām sarunām ministrija apstiprināja "
+           "plānu").split()
+_PERS_POOL = [("Jānis", "Bērziņš"), ("Anna", "Liepa"), ("Māris", "Ozols"),
+              ("Ilze", "Kalniņa"), ("Pēteris", "Vītols")]
+_ORG_POOL = [("Aldaris", "AS"), ("Citadele", "banka"),
+             ("Latvenergo", "AS"), ("airBaltic", "SIA"),
+             ("Grindeks", "AS")]
+_LOC_POOL = ["Rīga", "Liepāja", "Ventspils", "Daugavpils", "Jelgava"]
+
+
+def _noise_doc(doc: int):
+    """(token dicts, gold spans) for one synthetic noise-model doc.
+
+    Eight sentences: one clean + one per pathology class, each gold
+    span recorded at construction.  Seeded per doc index — fully
+    deterministic, so the per-prefix metrics are exact fractions."""
+    import random
+    rng = random.Random(doc)
+    url = f"noise://doc/{doc}"
+    toks: list[dict] = []
+    gold: list[tuple] = []
+    st = {"tok": 0, "sent": 0, "line": 0, "col": 0}
+
+    def emit(word, tag="O", prob=0.0):
+        t = {"tok_id": st["tok"], "sent_id": st["sent"], "token": word,
+             "pos": "n", "lemma": word.lower(), "morpho": "",
+             "line_from": st["line"], "col_from": st["col"],
+             "line_to": st["line"],
+             "col_to": st["col"] + len(word) - 1,
+             "ne_tag": tag, "ne_prob": prob}
+        toks.append(t)
+        st["tok"] += 1
+        st["col"] += len(word) + 1
+        return t
+
+    def end_sentence():
+        emit(".")
+        st["sent"] += 1
+        st["line"] += 1
+        st["col"] = 0
+
+    def fill(k):
+        for w in rng.sample(_FILLER, k):
+            emit(w)
+
+    def entity(words, typ, prob=0.95, tag_type=None, tagged=True,
+               is_gold=True, all_inner=False):
+        tt = tag_type or typ
+        first = last = None
+        for i, w in enumerate(words):
+            tag = "O"
+            if tagged:
+                tag = f"I-{tt}" if (i or all_inner) else f"B-{tt}"
+            t = emit(w, tag, prob if tagged else 0.0)
+            first = first or t
+            last = t
+        if is_gold:
+            gold.append((url, first["line_from"], first["col_from"],
+                         last["line_to"], last["col_to"], typ))
+
+    pers = rng.sample(_PERS_POOL, 3)   # clean / L-slop / T-gap
+    orgs = rng.sample(_ORG_POOL, 3)    # C-flip / A-merge pair
+    loc = rng.choice(_LOC_POOL)        # S-slop
+
+    # clean control: correctly tagged PERS
+    fill(2); entity(pers[0], "PERS"); fill(1); end_sentence()
+    # L: CRF boundary slop over an unbalanced opening bracket
+    fill(1); emit("(", "B-PERS", 0.95)
+    entity(pers[1], "PERS", all_inner=True); fill(2); end_sentence()
+    # N: corruption artifact falsely tagged ORG (>= 2 '/')
+    fill(2); entity(["24/7/365"], "ORG", is_gold=False)
+    fill(1); end_sentence()
+    # S: span slopped over a trailing URL token (LOC: N must not fire)
+    fill(1); entity([loc], "LOC")
+    emit("http://ex.lv/a", "I-LOC", 0.95); fill(1); end_sentence()
+    # R: low-confidence false span over plain filler
+    fill(1); entity(rng.sample(_FILLER, 2), "LOC", prob=0.4,
+                    is_gold=False)
+    fill(1); end_sentence()
+    # C: entity tagged 3x, one occurrence type-flipped to PERS
+    entity(orgs[0], "ORG"); fill(1); entity(orgs[0], "ORG"); fill(1)
+    entity(orgs[0], "ORG", tag_type="PERS"); end_sentence()
+    # T: entity tagged 2x at high prob, third occurrence missed
+    entity(pers[2], "PERS"); fill(1); entity(pers[2], "PERS"); fill(1)
+    entity(pers[2], "PERS", tagged=False); end_sentence()
+    # A: paragraph glue — span falsely continues across a 2-blank-line
+    # gap onto the next paragraph's leading entity (no tokens between)
+    fill(2); entity(orgs[1], "ORG")
+    st["sent"] += 1
+    st["line"] += 3   # two blank lines survive RemoveEmptyLines
+    st["col"] = 0
+    entity(orgs[2], "ORG", all_inner=True)  # I-ORG continuation
+    fill(2); end_sentence()
+    return toks, gold
+
+
+def noise_ablation_rows(spark, n_docs: int = 200, prefixes=None):
+    """One dict per chain prefix on the planted-pathology corpus."""
+    from pyspark.sql import functions as F, types as T
+
+    from tildener_spark.config import EngineConfig
+    from tildener_spark.operators.evaluate import span_eval
+    from tildener_spark.operators.refine import with_refinements
+    from tildener_spark.operators.spans import assemble_spans
+    from tildener_spark.operators.tokenize import (
+        TAGGED_TYPE, explode_tokens)
+
+    docs, gold_rows = [], []
+    for d in range(n_docs):
+        toks, gold = _noise_doc(d)
+        docs.append((f"noise://doc/{d}", toks))
+        gold_rows.extend(gold)
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("tokens", TAGGED_TYPE)])
+    tok_df = spark.createDataFrame(docs, schema).cache()
+    gold_df = spark.createDataFrame(
+        gold_rows, ("url string, line_from int, col_from int, "
+                    "line_to int, col_to int, ne_type string")).cache()
+    out = []
+    for label, chain in (prefixes or PREFIXES):
+        cfg = EngineConfig(refinements=chain)
+        pred = assemble_spans(
+            explode_tokens(with_refinements(tok_df, cfg))).select(
             "url", "line_from", "col_from", "line_to", "col_to",
             "ne_type")
         row = {r["label"]: r for r in
@@ -146,23 +297,9 @@ def _surface(text: str, span: tuple) -> str:
     return " ".join(p.strip() for p in parts)
 
 
-def main() -> None:
-    from tildener_spark import get_spark
-    spark = get_spark(master="local[8]")
-    spark.sparkContext.setLogLevel("ERROR")
-    rows = ablation_rows(spark)
-    lines = [
-        "# Per-letter refinement ablation (51 reference gold docs)",
-        "",
-        "Tagger: gazetteer decision list harvested from the ODD gold",
-        "docs' spans; evaluated on ALL docs with exact-span",
-        "NEEvaluation_v2.pl semantics (span_eval TOTAL_NE row).",
-        "Each row adds ONE letter of the default refinement chain;",
-        "delta_f1 is against the previous row.",
-        "",
-        "| chain | precision | recall | f1 | delta_f1 | pred spans |",
-        "|---|---|---|---|---|---|",
-    ]
+def _table(rows) -> list[str]:
+    lines = ["| chain | precision | recall | f1 | delta_f1 "
+             "| pred spans |", "|---|---|---|---|---|---|"]
     prev = None
     for r in rows:
         d = "" if prev is None else f"{(r['f1'] or 0) - (prev or 0):+.2f}"
@@ -171,6 +308,62 @@ def main() -> None:
             f"| {r['f1']} | {d} | {r['retrieved']} |")
         prev = r["f1"] or 0
         print(r, flush=True)
+    return lines
+
+
+def main() -> None:
+    from tildener_spark import get_spark
+    spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    lines = [
+        "# Per-letter refinement ablation",
+        "",
+        "## 1. Reference gold corpus (51 docs)",
+        "",
+        "Tagger: gazetteer decision list harvested from the ODD gold",
+        "docs' spans; evaluated on ALL docs with exact-span",
+        "NEEvaluation_v2.pl semantics (span_eval TOTAL_NE row).",
+        "Each row adds ONE letter of the default refinement chain;",
+        "delta_f1 is against the previous row.",
+        "",
+    ]
+    lines += _table(ablation_rows(spark))
+    lines += [
+        "",
+        "Reading: on gazetteer-decision-list output only R_0.7 fires",
+        "at scale (+11.25 F1 — cutting sub-threshold spans trades 1.9",
+        "recall for 27.8 precision) and L trims one bracket span; the",
+        "other letters are no-ops because their trigger pathologies",
+        "(CRF corruption artifacts '://'+'//', type flips, lemma",
+        "coverage gaps, glued paragraphs) do not occur in clean",
+        "dictionary-match output.  Their semantics are covered by the",
+        "per-letter differential tests (tests/test_refine.py); their",
+        "corpus-level effect is measured in experiment 2.",
+        "",
+        "## 2. Planted-pathology noise model (200 synthetic docs)",
+        "",
+        "Each doc plants exactly one instance per pathology class the",
+        "letters were built against (scripts/refinement_ablation.py::",
+        "_noise_doc): bracket boundary slop (L), '/'-corrupt false ORG",
+        "(N), URL edge slop (S), low-confidence false span (R), type",
+        "flip on 1 of 3 occurrences (C), missed 3rd occurrence of a",
+        "high-prob entity (T), span glued across a 2-blank-line",
+        "paragraph break (A).  Deterministic, so each letter's step is",
+        "an exact fraction; the full chain provably restores",
+        "P = R = 100.",
+        "",
+    ]
+    lines += _table(noise_ablation_rows(spark))
+    lines += [
+        "",
+        "Every letter contributes one visible step of exactly the",
+        "planted error mass: L +9.1 F1 (span repair: P and R move",
+        "together), N +2.6 (precision only: a false span is dropped),",
+        "S +9.5, R +3.3 (precision only), C +10.0 (a type flip is",
+        "both a FP and a FN, so both move), T +5.7 (recall only),",
+        "A +14.3 (the merged span is 1 FP + 2 FN).  Pinned by",
+        "tests/test_refinement_ablation.py.",
+    ]
     out = os.path.join(REPO, "BENCH", "REFINEMENT_ABLATION.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
