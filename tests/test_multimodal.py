@@ -25,8 +25,12 @@ def test_declared_stubs_raise():
     bytes are a ValueError, not a silent fake."""
     from tildener_spark.operators.multimodal import (
         decode_audio, decode_video)
+    # progressive JPEG is the remaining declared image stub (baseline
+    # JPEG decodes for real since round 4, functions/jpeg.py)
+    sof2 = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x02\x00\x02\x01"
+            b"\x11\x00")
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg")
+        decode_image(sof2)
     with pytest.raises(NotImplementedError):
         decode_audio(b"fLaC....")
     with pytest.raises(NotImplementedError):
@@ -35,6 +39,8 @@ def test_declared_stubs_raise():
         decode_image(b"not an image")
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG")  # bad signature tail -> not a PNG
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x02")  # truncated JPEG
 
 
 def test_frame_sample_plan(spark):

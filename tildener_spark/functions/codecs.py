@@ -4,9 +4,10 @@ The container has no imaging/audio libraries, but two widespread
 formats need none: PNG's pixel stream is zlib (stdlib) behind five
 per-scanline filters, and WAV PCM is a plain RIFF header over raw
 samples.  These decoders make the multimodal operators' *real* decode
-path exercisable end-to-end (VERDICT r02 next-round item 6) — the
-declared NotImplementedError stub now covers only formats that truly
-need an external codec (JPEG, video containers).
+path exercisable end-to-end (VERDICT r02 next-round item 6); baseline
+JPEG has its own pure-numpy codec (functions/jpeg.py), so the
+declared NotImplementedError stub now covers only progressive JPEG,
+compressed audio and video containers.
 
 Scale note: in production these UDFs would call an optimized codec
 (PIL/opencv/ffmpeg) loaded once per worker; this module is the

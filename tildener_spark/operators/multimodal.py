@@ -6,11 +6,14 @@ batch shape, UDF signatures — is real and tested here.  The decode
 layer is split by what the container can honestly do:
 
   * PNG and WAV/PCM decode for REAL through the pure-stdlib codecs in
-    :mod:`tildener_spark.functions.codecs` (zlib + struct) — the
-    non-fake feature/resize paths run end to end on them;
-  * JPEG / compressed audio / video containers raise a declared
-    ``NotImplementedError`` (they require external codecs absent in
-    this environment);
+    :mod:`tildener_spark.functions.codecs` (zlib + struct), and
+    baseline JPEG through the pure-numpy T.81 codec in
+    :mod:`tildener_spark.functions.jpeg` (conformance-tested against
+    the JVM's javax.imageio) — the non-fake feature/resize paths run
+    end to end on all three;
+  * progressive JPEG / compressed audio / video containers raise a
+    declared ``NotImplementedError`` (they require external codecs
+    absent in this environment);
   * ``fake_decode=True`` substitutes a deterministic fake whose
     outputs are pure functions of the payload bytes, for plumbing
     tests independent of any format.
@@ -34,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from tildener_spark.functions import codecs
+from tildener_spark.functions import codecs, jpeg
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
@@ -59,16 +62,17 @@ FEATURE_DIM = 16
 def decode_image(payload: bytes) -> np.ndarray:
     """Binary payload -> (H, W, C) uint8 pixels.
 
-    PNG decodes for real (stdlib zlib, functions/codecs.py); JPEG is
-    the declared stub — it needs an external codec this container
-    does not have."""
+    PNG decodes for real (stdlib zlib, functions/codecs.py) and so
+    does baseline/extended-sequential JPEG (pure-numpy T.81 codec,
+    functions/jpeg.py, conformance-tested against javax.imageio);
+    progressive JPEG raises the declared NotImplementedError from
+    the codec."""
     raw = bytes(payload or b"")
     if raw.startswith(codecs.PNG_SIG):
         return codecs.decode_png(raw)
-    if raw[:2] == b"\xff\xd8":  # pragma: no cover - declared stub
-        raise NotImplementedError(
-            "JPEG decoding requires PIL/opencv (absent in this env); "
-            "use PNG payloads or fake_decode=True")
+    if raw[:2] == jpeg.JPEG_SIG:
+        img = jpeg.decode_jpeg(raw)
+        return img if img.ndim == 3 else img[:, :, None]
     raise ValueError("unrecognized image format")
 
 
@@ -141,8 +145,8 @@ def extract_media_features(media: DataFrame,
                            fake_decode: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    ``fake_decode=False`` runs the real codecs — PNG images and WAV
-    audio produce content features; video (and JPEG/compressed audio)
+    ``fake_decode=False`` runs the real codecs — PNG/JPEG images and
+    WAV audio produce content features; video (and compressed audio)
     raise the declared NotImplementedError, so filter those rows out
     or route them to the fake path upstream."""
 
@@ -170,10 +174,12 @@ def extract_media_features(media: DataFrame,
 
 def synthetic_media(spark: SparkSession, n: int = 64,
                     seed: int = 42) -> DataFrame:
-    """Deterministic media table: REAL payloads (PNG pixels / WAV PCM
-    via functions/codecs.py) for image and audio rows — so the
-    non-fake decode paths are exercisable — and an opaque blob for
-    video (whose decode is the declared stub)."""
+    """Deterministic media table: REAL payloads (PNG or baseline-JPEG
+    pixels, WAV PCM) for image and audio rows — so the non-fake
+    decode paths are exercisable on both image codecs — and an opaque
+    blob for video (whose decode is the declared stub).  Image rows
+    alternate PNG / JPEG (quality 95, so content features stay close
+    to the source pixels)."""
     rows = []
     for i in range(n):
         digest = hashlib.sha256(f"{seed}|{i}".encode()).digest()
@@ -188,7 +194,8 @@ def synthetic_media(spark: SparkSession, n: int = 64,
                 (yy * (digest[1] + 1)) % 256,
                 (xx + yy + digest[2]) % 256,
             ], axis=-1).astype(np.uint8)
-            payload = codecs.encode_png(img)
+            payload = (codecs.encode_png(img) if (i // 3) % 2 == 0
+                       else jpeg.encode_jpeg(img, quality=95))
         elif mt == "audio":
             dur, rate = 1000 + i * 37, 8000
             t = np.arange(rate * dur // 1000, dtype=np.float32)
