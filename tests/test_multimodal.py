@@ -31,8 +31,14 @@ def test_declared_stubs_raise():
             b"\x11\x00")
     with pytest.raises(NotImplementedError):
         decode_image(sof2)
+    # FLAC decodes for real since round 4 (functions/flac.py) — the
+    # remaining audio stubs are the lossy codecs
     with pytest.raises(NotImplementedError):
-        decode_audio(b"fLaC....")
+        decode_audio(b"OggS....")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04...")
+    with pytest.raises(ValueError):
+        decode_audio(b"fLaC")  # truncated FLAC -> parse error
     with pytest.raises(NotImplementedError):
         decode_video(b"\x00\x00\x00\x18ftypmp42")
     with pytest.raises(ValueError):

@@ -6,14 +6,16 @@ batch shape, UDF signatures — is real and tested here.  The decode
 layer is split by what the container can honestly do:
 
   * PNG and WAV/PCM decode for REAL through the pure-stdlib codecs in
-    :mod:`tildener_spark.functions.codecs` (zlib + struct), and
-    baseline JPEG through the pure-numpy T.81 codec in
+    :mod:`tildener_spark.functions.codecs` (zlib + struct), baseline
+    JPEG through the pure-numpy T.81 codec in
     :mod:`tildener_spark.functions.jpeg` (conformance-tested against
-    the JVM's javax.imageio) — the non-fake feature/resize paths run
-    end to end on all three;
-  * progressive JPEG / compressed audio / video containers raise a
-    declared ``NotImplementedError`` (they require external codecs
-    absent in this environment);
+    the JVM's javax.imageio), FLAC through the pure-numpy RFC 9639
+    codec in :mod:`tildener_spark.functions.flac`, and MJPEG-AVI
+    video through :mod:`tildener_spark.functions.avi` — the non-fake
+    feature/resize paths run end to end on all of them;
+  * progressive JPEG / lossy audio (Ogg, MP3) / inter-frame video
+    (MP4, WebM) raise a declared ``NotImplementedError`` (they
+    require external codecs absent in this environment);
   * ``fake_decode=True`` substitutes a deterministic fake whose
     outputs are pure functions of the payload bytes, for plumbing
     tests independent of any format.
@@ -37,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from tildener_spark.functions import codecs, jpeg
+from tildener_spark.functions import avi, codecs, flac, jpeg
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
@@ -79,23 +81,38 @@ def decode_image(payload: bytes) -> np.ndarray:
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Binary payload -> ((frames, channels) int16, sample_rate).
 
-    WAV/PCM decodes for real (functions/codecs.py); compressed audio
-    is the declared stub."""
+    WAV/PCM decodes for real (functions/codecs.py) and so does FLAC
+    (pure-numpy RFC 9639 codec, functions/flac.py); lossy codecs
+    (Ogg/Vorbis, MP3) are the remaining declared stub."""
     raw = bytes(payload or b"")
     if raw[:4] == b"RIFF":
         return codecs.decode_wav(raw)
-    if raw[:4] in (b"fLaC", b"OggS") or raw[:3] == b"ID3":
+    if raw[:4] == flac.FLAC_SIG:
+        samples, rate = flac.decode_flac(raw)
+        return samples.astype(np.int16), rate
+    if raw[:4] == b"OggS" or raw[:3] == b"ID3":
         raise NotImplementedError(  # pragma: no cover - declared stub
-            "compressed audio requires an external codec (absent in "
-            "this env); use WAV payloads or fake_decode=True")
+            "lossy audio (Ogg/MP3) requires an external codec (absent "
+            "in this env); use WAV/FLAC payloads or fake_decode=True")
     raise ValueError("unrecognized audio format")
 
 
-def decode_video(payload: bytes):  # pragma: no cover - declared stub
-    """Video containers always need ffmpeg-class codecs."""
-    raise NotImplementedError(
-        "video decoding requires ffmpeg (absent in this env); "
-        "use frame_sample_plan + fake_decode for plumbing tests")
+def decode_video(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Binary payload -> (list of (H, W, 3) uint8 frames, fps).
+
+    MJPEG-in-AVI decodes for real (functions/avi.py: RIFF framing +
+    the conformance-tested JPEG codec per frame); inter-frame-
+    compressed containers (MP4/WebM/MKV) are the declared stub —
+    H.264-class decoding genuinely needs an external codec."""
+    raw = bytes(payload or b"")
+    if raw[:4] == avi.AVI_SIG and raw[8:12] == b"AVI ":
+        return avi.decode_avi_mjpeg(raw)
+    if raw[4:8] == b"ftyp" or raw[:4] == b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError(  # pragma: no cover - declared stub
+            "inter-frame-compressed video (MP4/WebM/MKV) requires "
+            "ffmpeg-class codecs (absent in this env); use MJPEG-AVI "
+            "payloads or fake_decode=True")
+    raise ValueError("unrecognized video format")
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -138,17 +155,27 @@ def _real_features(payload: bytes, media_type: str) -> list[float]:
              float(np.sqrt(np.mean(mono ** 2))),  # rms
              float(np.abs(mono).max()),
              float(np.abs(mono).mean()), zcr])
-    return decode_video(payload)  # declared stub
+    frames, fps = decode_video(payload)
+    stack = np.stack(frames).astype(np.float32) / 255.0
+    per_frame = stack.mean(axis=(1, 2, 3))
+    h, w = stack.shape[1:3]
+    return _pad16(
+        [0.0, 0.0, min(fps / 60.0, 1.0),
+         min(len(frames) / 1000.0, 1.0),
+         min(w / 4096, 1.0), min(h / 4096, 1.0),
+         float(stack.mean()), float(stack.std()),
+         float(per_frame.std())])  # temporal activity
 
 
 def extract_media_features(media: DataFrame,
                            fake_decode: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    ``fake_decode=False`` runs the real codecs — PNG/JPEG images and
-    WAV audio produce content features; video (and compressed audio)
-    raise the declared NotImplementedError, so filter those rows out
-    or route them to the fake path upstream."""
+    ``fake_decode=False`` runs the real codecs — PNG/JPEG images,
+    WAV/FLAC audio and MJPEG-AVI video produce content features;
+    lossy-audio / inter-frame-video payloads raise the declared
+    NotImplementedError, so filter those rows out or route them to
+    the fake path upstream."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -174,12 +201,13 @@ def extract_media_features(media: DataFrame,
 
 def synthetic_media(spark: SparkSession, n: int = 64,
                     seed: int = 42) -> DataFrame:
-    """Deterministic media table: REAL payloads (PNG or baseline-JPEG
-    pixels, WAV PCM) for image and audio rows — so the non-fake
-    decode paths are exercisable on both image codecs — and an opaque
-    blob for video (whose decode is the declared stub).  Image rows
-    alternate PNG / JPEG (quality 95, so content features stay close
-    to the source pixels)."""
+    """Deterministic media table: REAL payloads for every modality —
+    images alternate PNG / JPEG (quality 95, so content features stay
+    close to the source pixels), audio alternates FLAC / WAV over the
+    same PCM, video alternates real MJPEG-AVI clips with opaque
+    MP4-signature blobs (the declared inter-frame stub) — so the
+    non-fake decode paths are exercisable on every real codec AND the
+    stub path stays represented."""
     rows = []
     for i in range(n):
         digest = hashlib.sha256(f"{seed}|{i}".encode()).digest()
@@ -202,10 +230,24 @@ def synthetic_media(spark: SparkSession, n: int = 64,
             freq = 110.0 + digest[3] * 4
             wave = np.sin(2 * np.pi * freq * t / rate) * (
                 8000 + digest[4] * 64)
-            payload = codecs.encode_wav(wave.astype(np.int16), rate)
+            pcm = wave.astype(np.int16)
+            payload = (codecs.encode_wav(pcm, rate) if (i // 3) % 2
+                       else flac.encode_flac(pcm, rate))
         else:
             dur = 1000 + i * 37
-            payload = digest * ((i % 7) + 1)
+            if (i // 3) % 2 == 0:  # real MJPEG-AVI clip
+                w, h = 32, 24
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w),
+                                     indexing="ij")
+                clip = np.stack([np.stack([
+                    (xx * 3 + f * 11 + digest[5]) % 256,
+                    (yy * 5 + f * 7) % 256,
+                    (xx + yy + f) % 256], axis=-1)
+                    for f in range(4)]).astype(np.uint8)
+                payload = avi.encode_avi_mjpeg(clip, fps=8.0)
+            else:  # opaque inter-frame blob (declared stub)
+                payload = b"\x00\x00\x00\x18ftypmp42" + digest * (
+                    (i % 7) + 1)
         rows.append((i, mt, bytearray(payload), w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
