@@ -6,19 +6,23 @@ container — but baseline JPEG needs none: the entropy layer is
 canonical Huffman over a byte-stuffed bitstream, and the transform is
 an 8x8 DCT, both expressible with stdlib + numpy.
 
-Decoder coverage (the overwhelming majority of real-world JPEGs):
+Decoder coverage (essentially all real-world JPEGs):
 
 * baseline and extended sequential DCT, Huffman entropy coding
   (SOF0/SOF1, T.81 Annex F);
+* progressive DCT (SOF2, T.81 Annex G): spectral selection +
+  successive approximation, DC/AC first and refinement scans with
+  EOBn run codes — libjpeg's default progressive script (what the
+  web mostly serves) exercises every branch;
 * grayscale and 3-component YCbCr with any sampling factors
   (4:4:4 / 4:2:2 / 4:2:0 / ...), interleaved single-scan or
   non-interleaved single-component scans (T.81 A.2);
 * restart markers (DRI/RSTn), 8- and 16-bit quantization tables,
   APPn/COM skip.
 
-Progressive (SOF2), arithmetic coding, hierarchical and lossless
-modes raise a declared ``NotImplementedError`` — they are genuinely
-different coding pipelines, not missing glue.
+Arithmetic coding, hierarchical and lossless modes raise a declared
+``NotImplementedError`` — they are genuinely different coding
+pipelines, not missing glue.
 
 The encoder exists (a) so pipelines can write thumbnails and (b) as
 the decoder's adversary in round-trip tests: it uses formula-generated
@@ -189,6 +193,84 @@ def _decode_block(r: _BitReader, dc, ac, pred: int):
     return coef, pred
 
 
+def _huff(r: _BitReader, lut) -> int:
+    val, ln = lut
+    p = r.peek16()
+    length = ln[p]
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    r.skip(int(length))
+    return int(val[p])
+
+
+def _prog_ac_first(r: _BitReader, blk, Ss: int, Se: int, Al: int,
+                   aclut, eobrun: int) -> int:
+    """Progressive AC first scan for one block (T.81 G.1.2.2):
+    band coefficients at successive-approximation level Al, with
+    EOBn run-length codes spanning blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = _huff(r, aclut)
+        run, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << run) - 1 + (r.read(run) if run else 0)
+        k += run
+        if k > Se:
+            raise ValueError("JPEG progressive AC index overflow")
+        blk[k] = _extend(r.read(s), s) << Al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(r: _BitReader, blk, Ss: int, Se: int, Al: int,
+                    aclut, eobrun: int) -> int:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3 /
+    libjpeg jdphuff.c decode_mcu_AC_refine): correction bits for
+    already-nonzero coefficients, newly-significant ones at +-1<<Al."""
+    p1, m1 = 1 << Al, -1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = _huff(r, aclut)
+            run, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if run < 15:  # EOBn: finish block in the tail loop
+                    eobrun = (1 << run) - 1 + (
+                        r.read(run) if run else 0) + 1
+                    break
+                val = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refinement size")
+                val = p1 if r.read(1) else m1
+            while k <= Se:
+                c = int(blk[k])
+                if c != 0:
+                    if r.read(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= Se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            c = int(blk[k])
+            if c != 0 and r.read(1) and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _next_segment(data: bytes, pos: int):
     """(marker, payload, next_pos) at ``pos``; skips fill bytes."""
     n = len(data)
@@ -250,6 +332,77 @@ def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
     return np.moveaxis(out, 0, axis)
 
 
+def _progressive_scan(parts, scan, grids, dims, mcux: int, mcuy: int,
+                      ss: int, se: int, ah: int, al: int,
+                      restart: int) -> None:
+    """One progressive scan (T.81 G.1.2) into the persistent
+    coefficient grids: DC first/refinement (possibly interleaved),
+    AC first/refinement (always single-component)."""
+    ns = len(scan)
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ns == 1:
+            cid0 = scan[0][0][0]
+            n_units = dims[cid0][0] * dims[cid0][1]
+        else:
+            n_units = mcux * mcuy
+        unit = 0
+        for part in parts:
+            r = _BitReader(part)
+            preds = {s[0][0]: 0 for s in scan}
+            end = min(n_units, unit + restart) if restart else n_units
+            while unit < end:
+                if ns == 1:
+                    (cid, ch, cv, _tq), dcl, _a = scan[0]
+                    bc = dims[cid][1]
+                    targets = [(cid, dcl,
+                                grids[cid][unit // bc, unit % bc])]
+                else:
+                    my, mx = unit // mcux, unit % mcux
+                    targets = [
+                        (cid, dcl, grids[cid][my * cv + j, mx * ch + i])
+                        for (cid, ch, cv, _tq), dcl, _a in scan
+                        for j in range(cv) for i in range(ch)]
+                for cid, dcl, blk in targets:
+                    if ah == 0:  # first pass: diff-coded DC at << al
+                        s = _huff(r, dcl)
+                        preds[cid] += _extend(r.read(s), s) if s else 0
+                        blk[0] = preds[cid] << al
+                    else:        # refinement: one bit per block
+                        if r.read(1):
+                            blk[0] = int(blk[0]) | (1 << al)
+                unit += 1
+            if unit >= n_units:
+                break
+        if unit < n_units:
+            raise ValueError("truncated progressive DC scan")
+        return
+    # AC scan: always one component (T.81 B.2.3)
+    if ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    (cid, _ch, _cv, _tq), _d, acl = scan[0]
+    if acl is None:
+        raise ValueError("progressive AC scan without AC table")
+    g = grids[cid]
+    br, bc = dims[cid]
+    n_units = br * bc
+    unit = 0
+    fn = _prog_ac_first if ah == 0 else _prog_ac_refine
+    for part in parts:
+        r = _BitReader(part)
+        eobrun = 0
+        end = min(n_units, unit + restart) if restart else n_units
+        while unit < end:
+            blk = g[unit // bc, unit % bc]
+            eobrun = fn(r, blk, ss, se, al, acl, eobrun)
+            unit += 1
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError("truncated progressive AC scan")
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes -> (H, W) grayscale or (H, W, 3) RGB uint8."""
     data = bytes(payload or b"")
@@ -258,13 +411,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> LUTs
     frame = None       # (H, W, [(id, h, v, tq), ...])
+    progressive = False
     restart = 0
     planes: dict[int, np.ndarray] = {}  # component id -> coef blocks
     pos = 2
     while pos < len(data):
         marker, seg, nxt = _next_segment(data, pos)
         pos = nxt
-        if marker in (0xC0, 0xC1):  # SOF0/SOF1: same Huffman decode
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -273,11 +428,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) is a different coding "
-                "pipeline; only baseline/extended sequential is "
-                "implemented")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -316,26 +466,38 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in comps if x[0] == cs)
-                scan.append((comp, huff[(0, tt >> 4)],
-                             huff[(1, tt & 0x0F)]))
+                scan.append((comp, huff.get((0, tt >> 4)),
+                             huff.get((1, tt & 0x0F))))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
-            # per-component coefficient grids (padded to MCU size)
-            grids = {}
+            # per-component coefficient grids + real (unpadded) dims:
+            # progressive grids are always MCU-padded because DC scans
+            # may interleave; non-interleaved scans raster over the
+            # real block dims only (T.81 A.2.2)
+            grids, dims = {}, {}
             for (cid, ch, cv, _tq), _d, _a in scan:
-                if ns == 1:  # non-interleaved: own block grid
-                    cw = -(-(w * ch) // hmax)
-                    chh = -(-(h * cv) // vmax)
-                    bx, by = -(-cw // 8), -(-chh // 8)
+                cw = -(-(w * ch) // hmax)
+                chh = -(-(h * cv) // vmax)
+                dims[cid] = (-(-chh // 8), -(-cw // 8))
+                if ns == 1 and not progressive:
+                    by, bx = dims[cid]
                 else:
-                    bx, by = mcux * ch, mcuy * cv
+                    by, bx = mcuy * cv, mcux * ch
                 grids[cid] = planes.get(cid)
                 if grids[cid] is None:
                     grids[cid] = np.zeros((by, bx, 64), dtype=np.int32)
                     planes[cid] = grids[cid]
             parts, pos2 = _split_scan(data, nxt)
+            if progressive:
+                _progressive_scan(parts, scan, grids, dims, mcux,
+                                  mcuy, ss, se, ah, al, restart)
+                pos = pos2
+                continue
             n_mcus = (mcux * mcuy if ns > 1 else
                       grids[scan[0][0][0]].shape[0]
                       * grids[scan[0][0][0]].shape[1])

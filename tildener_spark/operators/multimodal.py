@@ -13,8 +13,8 @@ layer is split by what the container can honestly do:
     codec in :mod:`tildener_spark.functions.flac`, and MJPEG-AVI
     video through :mod:`tildener_spark.functions.avi` — the non-fake
     feature/resize paths run end to end on all of them;
-  * progressive JPEG / lossy audio (Ogg, MP3) / inter-frame video
-    (MP4, WebM) raise a declared ``NotImplementedError`` (they
+  * arithmetic-coded JPEG / lossy audio (Ogg, MP3) / inter-frame
+    video (MP4, WebM) raise a declared ``NotImplementedError`` (they
     require external codecs absent in this environment);
   * ``fake_decode=True`` substitutes a deterministic fake whose
     outputs are pure functions of the payload bytes, for plumbing
@@ -65,10 +65,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Binary payload -> (H, W, C) uint8 pixels.
 
     PNG decodes for real (stdlib zlib, functions/codecs.py) and so
-    does baseline/extended-sequential JPEG (pure-numpy T.81 codec,
-    functions/jpeg.py, conformance-tested against javax.imageio);
-    progressive JPEG raises the declared NotImplementedError from
-    the codec."""
+    does JPEG — baseline, extended sequential AND progressive
+    (pure-numpy T.81 codec, functions/jpeg.py, conformance-tested
+    against javax.imageio); arithmetic-coded JPEG raises the declared
+    NotImplementedError from the codec."""
     raw = bytes(payload or b"")
     if raw.startswith(codecs.PNG_SIG):
         return codecs.decode_png(raw)
