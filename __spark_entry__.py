@@ -543,6 +543,68 @@ def _kg_graph_sql(cross: bool) -> str:
         """
 
 
+def _cc_chain_ctes() -> str:
+    """Connected components in SQL, from a MATERIALIZED CTE
+    ``prs(a, b)`` (ordered pairs, a < b) to ``lab(node, component)``
+    with component = min node id.  Shared by the minhash keep-list
+    (q29) and the SemDeDup embedding keep-list (q36) oracles."""
+    return """edges as materialized (
+                select a, b from prs
+                union
+                select b, a from prs
+            ),
+            -- two star-contraction rounds before the recursive
+            -- closure: every node hooks to the minimum of its closed
+            -- neighborhood, edges re-expressed between the hooks.
+            -- Exact for ANY graph (contraction preserves components
+            -- and the component minimum is always its own hook), but
+            -- it collapses the near-clique LSH clusters immediately —
+            -- the naive all-pairs reach() closure on the raw pair
+            -- list was the single slowest oracle in the round-3
+            -- driver pass (~46 s of a ~230 s budget).
+            m1 as materialized (
+                select a as node, least(a, min(b)) as p
+                from edges group by a
+            ),
+            e1 as materialized (
+                select distinct ma.p as a, mb.p as b
+                from prs e
+                join m1 ma on e.a = ma.node
+                join m1 mb on e.b = mb.node
+                where ma.p <> mb.p
+            ),
+            ed1 as materialized (select a, b from e1 union select b, a from e1),
+            m2 as materialized (
+                select a as node, least(a, min(b)) as p
+                from ed1 group by a
+            ),
+            e2 as materialized (
+                select distinct ma.p as a, mb.p as b
+                from e1 e
+                join m2 ma on e.a = ma.node
+                join m2 mb on e.b = mb.node
+                where ma.p <> mb.p
+            ),
+            ed2 as materialized (select a, b from e2 union select b, a from e2),
+            reach(a, b) as (
+                select a, b from ed2
+                union
+                select r.a, e.b from reach r join ed2 e on r.b = e.a
+            ),
+            cc2 as (
+                select a as node, least(a, min(b)) as component
+                from reach group by a
+            ),
+            lab as (
+                select m1.node,
+                       coalesce(cc2.component,
+                                coalesce(m2.p, m1.p)) as component
+                from m1
+                left join m2 on m1.p = m2.node
+                left join cc2 on coalesce(m2.p, m1.p) = cc2.node
+            )"""
+
+
 def _signlsh_cte(n_bits: int, n_tables: int,
                  seed: int = 42, dim: int = 64) -> str:
     """DuckDB mirror of the PRODUCTION hyperplane bucketing
@@ -1090,6 +1152,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return near_dup_clusters(_docs(spark, sf)).select(
             "doc_id", "cluster", "keep")
 
+    def q36_semantic_dedup(spark, sf):
+        # SemDeDup-style embedding-cluster dedup end artifact
+        # (operators/similarity.py semantic_dedup): q19b's bucketed
+        # near-dup pairs -> connected components -> per-cluster
+        # representative keep-list; the oracle replays the q19b pair
+        # derivation and the shared star-contraction CC closure
+        return similarity.semantic_dedup(
+            _emb(spark, sf), threshold=0.45, n_bits=4,
+            n_tables=16).select("vec_id", "cluster", "keep")
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -1605,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_paragraph_dedup": q27_paragraph_dedup,
         "q28_decontamination": q28_decontamination,
         "q29_near_dup_clusters": q29_near_dup_clusters,
+        "q36_semantic_dedup": q36_semantic_dedup,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -1931,66 +2004,38 @@ def oracle_sql() -> dict[str, str]:
                              and a.band_key = b.band_key
                              and a.doc_id < b.doc_id
             ),
-            edges as materialized (
-                select a, b from prs
-                union
-                select b, a from prs
-            ),
-            -- two star-contraction rounds before the recursive
-            -- closure: every node hooks to the minimum of its closed
-            -- neighborhood, edges re-expressed between the hooks.
-            -- Exact for ANY graph (contraction preserves components
-            -- and the component minimum is always its own hook), but
-            -- it collapses the near-clique LSH clusters immediately —
-            -- the naive all-pairs reach() closure on the raw pair
-            -- list was the single slowest oracle in the round-3
-            -- driver pass (~46 s of a ~230 s budget).
-            m1 as materialized (
-                select a as node, least(a, min(b)) as p
-                from edges group by a
-            ),
-            e1 as materialized (
-                select distinct ma.p as a, mb.p as b
-                from prs e
-                join m1 ma on e.a = ma.node
-                join m1 mb on e.b = mb.node
-                where ma.p <> mb.p
-            ),
-            ed1 as materialized (select a, b from e1 union select b, a from e1),
-            m2 as materialized (
-                select a as node, least(a, min(b)) as p
-                from ed1 group by a
-            ),
-            e2 as materialized (
-                select distinct ma.p as a, mb.p as b
-                from e1 e
-                join m2 ma on e.a = ma.node
-                join m2 mb on e.b = mb.node
-                where ma.p <> mb.p
-            ),
-            ed2 as materialized (select a, b from e2 union select b, a from e2),
-            reach(a, b) as (
-                select a, b from ed2
-                union
-                select r.a, e.b from reach r join ed2 e on r.b = e.a
-            ),
-            cc2 as (
-                select a as node, least(a, min(b)) as component
-                from reach group by a
-            ),
-            lab as (
-                select m1.node,
-                       coalesce(cc2.component,
-                                coalesce(m2.p, m1.p)) as component
-                from m1
-                left join m2 on m1.p = m2.node
-                left join cc2 on coalesce(m2.p, m1.p) = cc2.node
-            )
+            {_cc_chain_ctes()}
             select d.doc_id,
                    coalesce(l.component, d.doc_id) as cluster,
                    coalesce(l.component, d.doc_id) = d.doc_id as keep
             from documents d
             left join lab l on d.doc_id = l.node
+        """,
+        # SemDeDup keep-list: q19b's pair derivation (production
+        # md5-parity hyperplanes re-derived in SQL + exact cosine at
+        # the threshold) + the shared star-contraction CC closure +
+        # left join back to every vector (singletons keep themselves)
+        "q36_semantic_dedup": f"""
+            with recursive {_signlsh_cte(n_bits=4, n_tables=16)},
+            cand as materialized (
+                select distinct a.vec_id as a, b.vec_id as b
+                from lsh_sig a
+                join lsh_sig b on a.t = b.t and a.bucket = b.bucket
+                              and a.vec_id < b.vec_id
+            ),
+            prs as materialized (
+                select c.a, c.b
+                from cand c
+                join v va on va.vec_id = c.a
+                join v vb on vb.vec_id = c.b
+                where {_cos6_sql('va.emb', 'vb.emb')} >= 0.45
+            ),
+            {_cc_chain_ctes()}
+            select e.vec_id,
+                   coalesce(l.component, e.vec_id) as cluster,
+                   coalesce(l.component, e.vec_id) = e.vec_id as keep
+            from embeddings e
+            left join lab l on e.vec_id = l.node
         """,
         "q14_lang_id": f"""
             with t as (

@@ -178,3 +178,33 @@ def test_cosine_batch_per_length_group_scoring(spark):
     assert out[1] == pytest.approx(0.0)
     assert out[2] == pytest.approx(1.0)
     assert out[3] is None
+
+
+def test_semantic_dedup_keep_list(spark):
+    """SemDeDup end artifact on planted semantic clusters: transitive
+    chains collapse to one representative, singletons keep themselves,
+    exactly one keep per cluster."""
+    import random
+    rng = random.Random(99)
+    rows, vid = [], 0
+    planted = []  # list of member-id lists
+    for _ in range(15):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        size = rng.choice([1, 1, 2, 3, 4])
+        members = []
+        for _m in range(size):
+            rows.append((vid, [x + rng.gauss(0, 0.02) for x in base]))
+            members.append(vid)
+            vid += 1
+        planted.append(members)
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    from tildener_spark.operators.similarity import semantic_dedup
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.98).collect()}
+    assert len(out) == vid  # every vector labeled
+    for members in planted:
+        labels = {out[m]["cluster"] for m in members}
+        assert labels == {min(members)}  # one cluster, min-id label
+        keeps = [m for m in members if out[m]["keep"]]
+        assert keeps == [min(members)]   # exactly the representative

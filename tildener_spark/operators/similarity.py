@@ -295,6 +295,44 @@ def embedding_near_duplicates_lsh(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   dim: int = 64, seed: int = 42,
+                   n_bits: int = 6,
+                   n_tables: int = 12) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup END ARTIFACT: cluster
+    semantically near-identical documents and pick one representative
+    per cluster (Abbas et al. 2023 'SemDeDup' shape: near-duplicate
+    pairs in embedding space -> transitive clusters -> keep one).
+
+    Pairs come from :func:`embedding_near_duplicates_lsh` (bucketed,
+    exact-cosine-verified at ``threshold``), clusters from connected
+    components (operators/components.py — same composition as the
+    minhash keep-list, operators/dedup.py near_dup_clusters, so the
+    lexicographically-smallest-id survivor rule matches).  Output:
+    (vec_id, cluster, keep); singletons are their own cluster and are
+    kept.
+
+    Scale: the pair stage is bucketed (no all-pairs path); CC input is
+    bounded by the near-duplicate pair count, not corpus size; the
+    join back to the corpus is on the id — one co-partitioned shuffle.
+    """
+    from tildener_spark.operators.components import connected_components
+    pairs = embedding_near_duplicates_lsh(
+        emb, threshold, id_col, vec_col, dim, seed, n_bits, n_tables)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(cc.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .withColumn("cluster", F.coalesce("component", F.col("vec_id")))
+        .withColumn("keep", F.col("cluster") == F.col("vec_id"))
+        .select("vec_id", "cluster", "keep")
+    )
+
+
 def ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 16,
              n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", dim: int = 64,
