@@ -1162,6 +1162,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), threshold=0.45, n_bits=4,
             n_tables=16).select("vec_id", "cluster", "keep")
 
+    def q37_host_budget(spark, sf):
+        # per-host crawl budget cap (operators/urls.py cap_per_host)
+        # over the variant crawl (www./non-www. hosts with uneven
+        # page counts), k small enough that the cap genuinely drops
+        # pages on every host
+        from tildener_spark.operators.urls import cap_per_host
+        return cap_per_host(_variant_crawl(spark), k=40).select(
+            "url", "host", "host_rank", "kept")
+
+    def q38_cross_doc_dup(spark, sf):
+        # cross-document n-gram duplication score (operators/dedup.py
+        # cross_doc_dup_score): the synthetic docs share template
+        # sentences, so shared 8-gram windows genuinely occur
+        from tildener_spark.operators.dedup import cross_doc_dup_score
+        return cross_doc_dup_score(_docs(spark, sf), n=8).select(
+            "doc_id", "n_windows", "n_shared", "dup_frac")
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -1678,6 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_decontamination": q28_decontamination,
         "q29_near_dup_clusters": q29_near_dup_clusters,
         "q36_semantic_dedup": q36_semantic_dedup,
+        "q37_host_budget": q37_host_budget,
+        "q38_cross_doc_dup": q38_cross_doc_dup,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -2010,6 +2029,72 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l.component, d.doc_id) = d.doc_id as keep
             from documents d
             left join lab l on d.doc_id = l.node
+        """,
+        # per-host budget cap: same host extraction as q33, ranked by
+        # md5(url) (url tiebreak) within host — Spark's md5 and
+        # DuckDB's md5 both emit lowercase hex, so the order and the
+        # kept set match byte-for-byte
+        "q37_host_budget": f"""
+            with crawl as ({_VARIANT_CRAWL_SQL}),
+            hosted as (
+                select url,
+                       lower(regexp_extract(regexp_replace(
+                           url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                           '^([^/]*)', 1)) as host
+                from crawl
+            ),
+            ranked as (
+                select url, host,
+                       cast(row_number() over (
+                           partition by host
+                           order by md5(url), url) as bigint)
+                           as host_rank
+                from hosted
+            )
+            select url, host, host_rank, host_rank <= 40 as kept
+            from ranked
+        """,
+        # cross-document 8-gram duplication score: q28's window
+        # derivation, then docs-per-window >= 2 joined back per doc
+        "q38_cross_doc_dup": """
+            with tok as (
+                select doc_id,
+                       string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')
+                           as toks
+                from documents
+            ),
+            doc_sh as (
+                select distinct doc_id, sh from (
+                    select doc_id,
+                           unnest(case when len(toks) >= 8 then
+                               list_transform(
+                                   generate_series(1, len(toks) - 7),
+                                   i -> md5(array_to_string(
+                                       toks[i:i+7], ' ')))
+                               else [] end) as sh
+                    from tok)
+            ),
+            shared as (
+                select sh from doc_sh group by sh having count(*) >= 2
+            ),
+            n_sh as (
+                select doc_id, cast(count(*) as bigint) as n_shared
+                from doc_sh join shared using (sh) group by doc_id
+            ),
+            n_w as (
+                select doc_id, cast(count(*) as bigint) as n_windows
+                from doc_sh group by doc_id
+            )
+            select d.doc_id,
+                   coalesce(w.n_windows, 0::bigint) as n_windows,
+                   coalesce(s.n_shared, 0::bigint) as n_shared,
+                   case when coalesce(w.n_windows, 0) > 0
+                        then round(coalesce(s.n_shared, 0)
+                                   / w.n_windows, 6)
+                        else 0.0 end as dup_frac
+            from documents d
+            left join n_w w using (doc_id)
+            left join n_sh s using (doc_id)
         """,
         # SemDeDup keep-list: q19b's pair derivation (production
         # md5-parity hyperplanes re-derived in SQL + exact cosine at

@@ -65,3 +65,27 @@ def test_near_dup_clusters_end_artifact(spark):
     from collections import Counter
     keepers = Counter(c for c, k in rows.values() if k)
     assert all(v == 1 for v in keepers.values())
+
+
+def test_cross_doc_dup_score(spark):
+    """Shared 8-gram windows across docs are counted per doc; unique
+    docs score 0; short docs get n_windows = 0, not a null/crash."""
+    from tildener_spark.operators.dedup import cross_doc_dup_score
+    shared = "viens divi tris cetri pieci sesi septini astoni"
+    rows = [
+        (0, shared + " devini desmit"),            # shares the 8-gram
+        (1, shared + " vienpadsmit divpadsmit"),   # with doc 0
+        (2, "pavisam cita lapa bez sakritibam nekur neatkartojas "
+            "nemaz vispar"),                       # unique
+        (3, "isa lapa"),                           # < 8 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cross_doc_dup_score(docs, n=8).collect()}
+    assert len(out) == 4
+    assert out[0]["n_shared"] >= 1 and out[1]["n_shared"] >= 1
+    # the shared window count is symmetric for the common prefix
+    assert out[0]["n_shared"] == out[1]["n_shared"]
+    assert out[2]["n_shared"] == 0 and out[2]["dup_frac"] == 0.0
+    assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] == 0.0
+    for r in out.values():
+        assert 0.0 <= r["dup_frac"] <= 1.0

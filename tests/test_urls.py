@@ -79,3 +79,25 @@ def test_host_stats(spark):
     assert out["a.com"]["total_chars"] == 5
     assert out["a.com"]["n_langs"] == 2
     assert out["b.com"]["n_pages"] == 1
+
+
+def test_cap_per_host(spark):
+    """Budget cap: deterministic md5 rank, exactly k kept on hosts
+    over budget, all kept under it, and the kept set is stable
+    across repartitionings."""
+    from tildener_spark.operators.urls import cap_per_host
+    rows = ([(f"https://big.example.lv/p/{i}",) for i in range(9)]
+            + [(f"https://small.example.lv/p/{i}",) for i in range(3)])
+    pages = spark.createDataFrame(rows, "url string")
+    out = cap_per_host(pages, k=5).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["big.example.lv"]) == 9
+    assert sum(r["kept"] for r in by_host["big.example.lv"]) == 5
+    assert all(r["kept"] for r in by_host["small.example.lv"])
+    ranks = sorted(r["host_rank"] for r in by_host["big.example.lv"])
+    assert ranks == list(range(1, 10))
+    # determinism under adversarial partitioning
+    again = cap_per_host(pages.repartition(7), k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

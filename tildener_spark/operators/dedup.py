@@ -199,6 +199,52 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def cross_doc_dup_score(docs: DataFrame, n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Cross-document duplication score per document: the fraction of
+    its distinct n-token windows that also occur in ANOTHER document
+    (the corpus-level cousin of the within-doc Gopher repetition
+    rules, textstats.py — a high score marks boilerplate-heavy or
+    templated pages even when no whole-document near-dup fires).
+
+    Output: (id, n_windows, n_shared, dup_frac) for every input row;
+    documents shorter than n tokens get n_windows = 0, dup_frac = 0.
+
+    Scale shape: distinct (doc, window-hash) pairs -> count docs per
+    hash (partial agg absorbs universal-window skew) -> join the
+    shared hashes back (row count bounded by windows per doc) -> one
+    per-doc aggregate.  No all-pairs path; everything keys on the
+    window hash exactly like the decontamination join
+    (operators/contamination.py)."""
+    from tildener_spark.operators.contamination import _shingle_keys
+    sh = _shingle_keys(docs, id_col, text_col, n, id_col)
+    shared = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("sh")
+    )
+    n_shared = (
+        sh.join(shared, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    n_windows = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"))
+    return (
+        docs.select(id_col)
+        .join(n_windows, id_col, "left")
+        .join(n_shared, id_col, "left")
+        .na.fill(0, ["n_windows", "n_shared"])
+        .withColumn(
+            "dup_frac",
+            F.when(F.col("n_windows") > 0,
+                   F.round(F.col("n_shared") / F.col("n_windows"), 6))
+            .otherwise(F.lit(0.0)))
+    )
+
+
 def near_dup_clusters(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       cfg: EngineConfig | None = None,

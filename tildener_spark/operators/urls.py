@@ -124,6 +124,40 @@ def keep_canonical_urls(pages: DataFrame, url_col: str = "url",
     )
 
 
+def cap_per_host(pages: DataFrame, k: int = 1000,
+                 url_col: str = "url") -> DataFrame:
+    """Per-host crawl budget: label each page with its deterministic
+    within-host rank and whether it survives a keep-at-most-``k``
+    cap — the standard anti-domination rule when one host contributes
+    a disproportionate slice of the crawl (C4/Gopher-style corpus
+    hygiene).
+
+    The rank orders by ``md5(url)`` (url as tiebreak), so the kept
+    subset is a stable uniform sample of the host's pages — not
+    crawl-order-biased — and reproducible across runs and partitions.
+    Output: (url, host, host_rank, kept); join ``kept`` back or
+    filter on it.
+
+    Scale shape: one shuffle on host for the window.  The window
+    sorts each host's rows, and the head host is bounded by crawl
+    politeness budgets; for a pathological mega-host, pre-filter by
+    an md5 threshold (keep md5(url) < t with t sized so expected
+    survivors per host >= k) to bound the window input — the rank
+    order is the SAME md5, so the pre-filter never changes the kept
+    set as long as it passes >= k rows per host."""
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col(url_col),
+                         r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"^([^/]*)", 1))
+    w = Window.partitionBy("host").orderBy(F.md5(url_col), url_col)
+    return (
+        pages.select(F.col(url_col).alias("url"), host.alias("host"))
+        .withColumn("host_rank",
+                    F.row_number().over(w).cast("bigint"))
+        .withColumn("kept", F.col("host_rank") <= k)
+    )
+
+
 def host_stats(pages: DataFrame, url_col: str = "url",
                text_col: str = "text",
                lang_col: str = "lang") -> DataFrame:
