@@ -605,6 +605,157 @@ def _cc_chain_ctes() -> str:
             )"""
 
 
+def _entity_edges_cte() -> str:
+    """DuckDB mirror of graphstats.entity_edges over the materialized
+    canonical triples (whose own derivation is oracled end-to-end by
+    kg_triples / kg_graph_stage): evidence-weighted edge list keyed by
+    the same ``type SEP canonical`` node ids."""
+    return f"""
+        ct as (
+            select * from read_parquet(
+                '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+        ),
+        edges as (
+            select subj_type || '␟' || subj_canonical as src,
+                   obj_type || '␟' || obj_canonical as dst,
+                   cast(count(*) as bigint) as n_evidence
+            from ct
+            where not (subj_type = obj_type
+                       and subj_canonical = obj_canonical)
+            group by 1, 2
+        )"""
+
+
+def _kg_pagerank_sql(iterations: int = 5, damping: float = 0.85,
+                     quantize: int = 9) -> str:
+    """Unrolled-CTE replay of graphstats.entity_pagerank's quantized
+    fixpoint: per-iteration ``round(., quantize)`` makes the rank
+    vector identical under any summation order, so the only float ops
+    that must agree bitwise are products/divisions (IEEE-deterministic
+    in both engines) and the literals (1e0/0.85e0 parse to the same
+    doubles Python computes)."""
+    d = f"{damping!r}e0"
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+        dang{i} as (
+            select coalesce(sum(rank), 0e0) as dang from {prev}
+            where node not in (select src from frac)
+        ),
+        r{i} as (
+            select n.node,
+                   round((1e0 - {d}) / (select n from nn)
+                         + {d} * (coalesce(c.c, 0e0)
+                                  + (select dang from dang{i})
+                                    / (select n from nn)),
+                         {quantize}) as rank
+            from nodes n
+            left join (
+                select f.dst, sum(r.rank * f.frac) as c
+                from {prev} r join frac f on r.node = f.src
+                group by 1
+            ) c on n.node = c.dst
+        )""")
+        prev = f"r{i}"
+    return f"""
+        with {_entity_edges_cte()},
+        nodes as (
+            select src as node from edges
+            union
+            select dst from edges
+        ),
+        nn as (select cast(count(*) as double) as n from nodes),
+        outw as (
+            select src, sum(n_evidence) as out_w
+            from edges group by 1
+        ),
+        frac as (
+            select e.src, e.dst,
+                   cast(e.n_evidence as double)
+                     / cast(o.out_w as double) as frac
+            from edges e join outw o using (src)
+        ),
+        r0 as (
+            select node, round(1e0 / (select n from nn),
+                               {quantize}) as rank
+            from nodes
+        ),{",".join(steps)}
+        select string_split(node, '␟')[1] as ne_type,
+               string_split(node, '␟')[2] as canonical,
+               rank
+        from {prev}
+    """
+
+
+def _kg_graph_stats_sql(k: int = 16) -> str:
+    """DuckDB mirror of graphstats.graph_degree_stats (same top-k
+    neighbour cap with the (w desc, dst) deterministic tie-break)."""
+    return f"""
+        with {_entity_edges_cte()},
+        und as (
+            select src, dst, cast(sum(n_evidence) as bigint) as w
+            from (
+                select src, dst, n_evidence from edges
+                union all
+                select dst as src, src as dst, n_evidence from edges
+            ) group by 1, 2
+        ),
+        outd as (
+            select src, cast(count(distinct dst) as bigint) as out_deg
+            from edges group by 1
+        ),
+        ind as (
+            select dst, cast(count(distinct src) as bigint) as in_deg
+            from edges group by 1
+        ),
+        deg as (
+            select src, cast(count(*) as bigint) as degree,
+                   cast(sum(w) as bigint) as evidence
+            from und group by 1
+        ),
+        top as (
+            select src, dst from (
+                select src, dst,
+                       row_number() over (partition by src
+                                          order by w desc, dst) as rn
+                from und
+            ) where rn <= {k}
+        ),
+        hop2 as (
+            select src, cast(count(*) as bigint) as n_2hop from (
+                select a.src, b.dst as nbr
+                from top a join top b on a.dst = b.src
+                where b.dst <> a.src
+                union
+                select src, dst as nbr from top
+            ) group by 1
+        )
+        select string_split(deg.src, '␟')[1] as ne_type,
+               string_split(deg.src, '␟')[2] as canonical,
+               coalesce(out_deg, 0) as out_deg,
+               coalesce(in_deg, 0) as in_deg,
+               degree, evidence,
+               coalesce(n_2hop, 0) as n_2hop
+        from deg
+        left join outd on deg.src = outd.src
+        left join ind on deg.src = ind.dst
+        left join hop2 on deg.src = hop2.src
+    """
+
+
+def _nfc_decompose_sql(col: str) -> str:
+    """The q40 input-synthesis chain (vowels -> precomposed
+    diacritics -> combining-mark decompositions) built from the SAME
+    scrub.NFC_PAIRS table the Spark side uses, so the two replace
+    chains cannot drift."""
+    from tildener_spark.operators.scrub import NFC_PAIRS
+    expr = f"translate({col}, 'aceiu', 'āčēīū')"
+    for pre, dec in NFC_PAIRS:
+        expr = f"replace({expr}, '{pre}', '{dec}')"
+    return expr
+
+
 def _signlsh_cte(n_bits: int, n_tables: int,
                  seed: int = 42, dim: int = 64) -> str:
     """DuckDB mirror of the PRODUCTION hyperplane bucketing
@@ -1179,6 +1330,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cross_doc_dup_score(_docs(spark, sf), n=8).select(
             "doc_id", "n_windows", "n_shared", "dup_frac")
 
+    def q39_sequence_packing(spark, sf):
+        # LM-training sequence packing (operators/packing.py):
+        # sharded concat-and-split placement, pure integer window
+        # arithmetic so the oracle hashes with no float quantization
+        from tildener_spark.operators.packing import pack_sequences
+        return pack_sequences(_docs(spark, sf), budget=256,
+                              n_shards=8)
+
+    def q40_nfc_normalize(spark, sf):
+        # Unicode NFC canonicalization (operators/scrub.py
+        # normalize_nfc, pandas-UDF unicodedata) vs DuckDB's
+        # utf8proc nfc_normalize; the corpus is ASCII, so the test
+        # surface synthesizes combining marks deterministically:
+        # vowels -> precomposed diacritics via translate, then
+        # decomposed via the shared NFC_PAIRS table (both engines
+        # run the identical replace chain)
+        from tildener_spark.operators.scrub import (
+            NFC_PAIRS, normalize_nfc)
+        col = F.translate(F.col("text"), "aceiu", "āčēīū")
+        for pre, dec in NFC_PAIRS:
+            col = F.replace(col, F.lit(pre), F.lit(dec))
+        d = _docs(spark, sf).select("doc_id", col.alias("text"))
+        return normalize_nfc(d).select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_decomposed"),
+            F.length("text_nfc").cast("long").alias("n_nfc"),
+            (F.col("text") != F.col("text_nfc")).alias("changed"),
+            "text_nfc")
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -1430,6 +1610,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_surfaces").cast("long").alias("n_surfaces"))
 
+    def kg_pagerank(spark, sf):
+        # entity-salience PageRank over the canonical entity graph
+        # (operators/graphstats.py entity_pagerank): evidence-weighted,
+        # dangling-corrected, per-iteration quantized so the fixpoint
+        # replays identically on any engine/partitioning; the oracle
+        # unrolls the 5 iterations as CTEs over the materialized
+        # canonical triples (whose derivation kg_triples /
+        # kg_graph_stage oracle end-to-end)
+        from tildener_spark.operators.graphstats import (
+            entity_edges, entity_pagerank)
+        m = _kg_materialized(spark)
+        return entity_pagerank(entity_edges(m["canon_triples"]))
+
+    def kg_graph_stats(spark, sf):
+        # per-entity graph topology (operators/graphstats.py
+        # graph_degree_stats): directed/undirected degrees, evidence
+        # mass, and capped 2-hop neighbourhood size (top-16 neighbours
+        # by evidence, deterministic tie-break — the hub-skew guard)
+        from tildener_spark.operators.graphstats import (
+            entity_edges, graph_degree_stats)
+        m = _kg_materialized(spark)
+        return graph_degree_stats(entity_edges(m["canon_triples"]),
+                                  k=16)
+
     def kg_triple_parity(spark, sf):
         # oracle: same P/R arithmetic in SQL over the independently
         # SQL-derived predicted triples/links (_kg_triples_sql /
@@ -1490,12 +1694,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("ne_type") == "ORG_INIT").select(
                 "ne_type", "surface").write.mode("overwrite").parquet(
                 f"{_KG_CACHE}/gaz_existing.parquet")
+            res.canonical_triples.select(
+                "url", "sent_id", "subj", "subj_canonical",
+                "subj_type", "pred", "obj", "obj_canonical",
+                "obj_type", "prob", "kind").write.mode(
+                "overwrite").parquet(
+                f"{_KG_CACHE}/canon_triples.parquet")
             with open(marker, "w") as f:
                 f.write(stamp)
         return {
             name: spark.read.parquet(f"{_KG_CACHE}/{name}.parquet")
             for name in ("tagged_tokens", "mentions", "links",
-                         "gold_mentions", "gaz_existing", "pages")
+                         "gold_mentions", "gaz_existing", "pages",
+                         "canon_triples")
         }
 
     def kg_token_eval(spark, sf):
@@ -1697,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_semantic_dedup": q36_semantic_dedup,
         "q37_host_budget": q37_host_budget,
         "q38_cross_doc_dup": q38_cross_doc_dup,
+        "q39_sequence_packing": q39_sequence_packing,
+        "q40_nfc_normalize": q40_nfc_normalize,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -1707,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_links": kg_links,
         "kg_entities": kg_entities,
+        "kg_pagerank": kg_pagerank,
+        "kg_graph_stats": kg_graph_stats,
         "kg_triple_parity": kg_triple_parity,
         "kg_span_eval": kg_token_eval,
         "kg_top_sentences": kg_top_sentences,
@@ -2095,6 +2310,63 @@ def oracle_sql() -> dict[str, str]:
             from documents d
             left join n_w w using (doc_id)
             left join n_sh s using (doc_id)
+        """,
+        # sharded concat-and-split placement: pure integer window
+        # arithmetic (cumsum + integer division), mirroring
+        # packing.pack_sequences(budget=256, n_shards=8)
+        "q39_sequence_packing": """
+            with d as (
+                select doc_id,
+                       cast(((doc_id % 8) + 8) % 8 as bigint) as shard,
+                       case when trim(text) = ''
+                            then cast(0 as bigint)
+                            else cast(len(string_split_regex(
+                                trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
+                                as bigint) end as n_tokens
+                from documents
+            ),
+            c as (
+                select doc_id, shard, n_tokens,
+                       sum(n_tokens) over (
+                           partition by shard order by doc_id
+                           rows between unbounded preceding
+                                    and current row) as cum
+                from d
+            ),
+            p as (
+                select doc_id, shard, n_tokens,
+                       cast(cum - n_tokens as bigint) as start_tok,
+                       cast((cum - n_tokens) // 256 as bigint)
+                           as seq_first,
+                       cast(case when n_tokens > 0
+                                 then (cum - 1) // 256
+                                 else (cum - n_tokens) // 256 end
+                            as bigint) as seq_last
+                from c
+            )
+            select doc_id, shard, n_tokens, start_tok,
+                   seq_first, seq_last,
+                   cast(case when n_tokens > 0
+                             then seq_last - seq_first + 1
+                             else 0 end as bigint) as n_seqs
+            from p
+        """,
+        # NFC canonicalization: identical input-synthesis replace
+        # chain on both sides (_nfc_decompose_sql / NFC_PAIRS), then
+        # utf8proc nfc_normalize vs CPython unicodedata
+        "q40_nfc_normalize": f"""
+            with pre as (
+                select doc_id,
+                       {_nfc_decompose_sql('text')} as text
+                from documents
+            )
+            select doc_id,
+                   cast(length(text) as bigint) as n_decomposed,
+                   cast(length(nfc_normalize(text)) as bigint)
+                       as n_nfc,
+                   text <> nfc_normalize(text) as changed,
+                   nfc_normalize(text) as text_nfc
+            from pre
         """,
         # SemDeDup keep-list: q19b's pair derivation (production
         # md5-parity hyperplanes re-derived in SQL + exact cosine at
@@ -2921,6 +3193,8 @@ def oracle_sql() -> dict[str, str]:
         # a DIFFERENT algorithm than the join path kg_graph_stage
         # checks, so both canonicalization strategies are value-gated
         "kg_entities": _kg_graph_sql(cross=True),
+        "kg_pagerank": _kg_pagerank_sql(),
+        "kg_graph_stats": _kg_graph_stats_sql(),
         # BIO span assembly over the materialized tagged tokens
         # (document.py doc_mentions_py / spans.assemble_spans
         # semantics): gaps-and-islands — a token continues a span iff

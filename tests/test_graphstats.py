@@ -1,0 +1,122 @@
+"""Entity-graph analytics (operators/graphstats.py): evidence-weighted
+PageRank with dangling correction and degree / capped-2-hop topology
+stats, both quantized/integer so the DuckDB oracle hashes exactly
+(kg_pagerank / kg_graph_stats in __spark_entry__.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tildener_spark.operators.graphstats import (
+    SEP, entity_edges, entity_pagerank, graph_degree_stats,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj_type string, subj_canonical string, "
+              "obj_type string, obj_canonical string")
+
+
+@pytest.fixture(scope="module")
+def diamond_edges(spark):
+    # a -> b (x2 evidence), a -> c, b -> d, c -> d, plus a self-loop
+    # on a (must be dropped) and a dangling sink d
+    t = _triples(spark, [
+        ("PER", "a", "ORG", "b"), ("PER", "a", "ORG", "b"),
+        ("PER", "a", "LOC", "c"),
+        ("ORG", "b", "PER", "d"),
+        ("LOC", "c", "PER", "d"),
+        ("PER", "a", "PER", "a"),
+    ])
+    return entity_edges(t).persist()
+
+
+def test_entity_edges_weights_and_self_loops(diamond_edges):
+    got = {(r["src"], r["dst"]): r["n_evidence"]
+           for r in diamond_edges.collect()}
+    assert got[(f"PER{SEP}a", f"ORG{SEP}b")] == 2
+    assert got[(f"PER{SEP}a", f"LOC{SEP}c")] == 1
+    assert len(got) == 4  # self-loop dropped
+    assert (f"PER{SEP}a", f"PER{SEP}a") not in got
+
+
+def test_pagerank_matches_dense_reference(diamond_edges):
+    """Replay the quantized fixpoint in plain Python and require
+    equality to the DataFrame implementation on every node."""
+    edges = [(r["src"], r["dst"], r["n_evidence"])
+             for r in diamond_edges.collect()]
+    nodes = sorted({s for s, _, _ in edges}
+                   | {d for _, d, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    rank = {v: round(1.0 / n, 9) for v in nodes}
+    for _ in range(5):
+        dangling = sum(rank[v] for v in nodes if v not in out_w)
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * (w / out_w[s])
+        rank = {
+            v: round((1.0 - 0.85) / n
+                     + 0.85 * (contrib[v] + dangling / n), 9)
+            for v in nodes
+        }
+    got = {f"{r['ne_type']}{SEP}{r['canonical']}": r["rank"]
+           for r in entity_pagerank(diamond_edges).collect()}
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert math.isclose(got[v], rank[v], abs_tol=2e-9), (
+            v, got[v], rank[v])
+    # mass conservation (dangling redistributed): sums to ~1
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+    # the double-evidence target b outranks the single-evidence c
+    assert got[f"ORG{SEP}b"] > got[f"LOC{SEP}c"]
+    # the sink d collects from both paths: highest rank
+    assert got[f"PER{SEP}d"] == max(got.values())
+
+
+def test_pagerank_empty_graph(spark):
+    empty = entity_edges(_triples(spark, []).limit(0))
+    assert entity_pagerank(empty).count() == 0
+
+
+def test_pagerank_partition_invariant(diamond_edges):
+    base = {(r["ne_type"], r["canonical"]): r["rank"]
+            for r in entity_pagerank(diamond_edges).collect()}
+    shuffled = {(r["ne_type"], r["canonical"]): r["rank"]
+                for r in entity_pagerank(
+                    diamond_edges.repartition(7)).collect()}
+    assert base == shuffled  # quantization makes this exact
+
+
+def test_degree_stats_diamond(diamond_edges):
+    got = {(r["ne_type"], r["canonical"]): r
+           for r in graph_degree_stats(diamond_edges).collect()}
+    a = got[("PER", "a")]
+    assert (a["out_deg"], a["in_deg"]) == (2, 0)
+    assert a["degree"] == 2 and a["evidence"] == 3
+    # a's 2-hop set over top-k neighbours: {b, c, d}
+    assert a["n_2hop"] == 3
+    d = got[("PER", "d")]
+    assert (d["out_deg"], d["in_deg"]) == (0, 2)
+    # d's 2-hop: {b, c, a}
+    assert d["n_2hop"] == 3
+
+
+def test_degree_stats_hub_cap_bounds_two_hop(spark):
+    # star: hub h -> s0..s9; with k=3 the hub expands only its top-3
+    # neighbours (all weight 1 -> tie-break by node id: s0, s1, s2)
+    rows = [("ORG", "h", "PER", f"s{i}") for i in range(10)]
+    edges = entity_edges(_triples(spark, rows))
+    got = {(r["ne_type"], r["canonical"]): r
+           for r in graph_degree_stats(edges, k=3).collect()}
+    h = got[("ORG", "h")]
+    assert h["degree"] == 10 and h["out_deg"] == 10
+    assert h["n_2hop"] == 3  # capped expansion
+    # every spoke still sees the hub plus the hub's top-3 (minus self)
+    s0 = got[("PER", "s0")]
+    assert s0["in_deg"] == 1 and s0["degree"] == 1
+    assert s0["n_2hop"] == 3  # h + {s1, s2} (s0 excluded as self)

@@ -1,0 +1,216 @@
+"""Entity-graph analytics over the canonical knowledge graph.
+
+The reference pipeline stops at tagged files / harvested gazetteers
+(TildeNER has no graph stage); these operators serve the KG-construct
+tier's downstream consumers — entity-salience ranking and topology
+stats over the nodes/edges tables that ``operators/graph.py``
+materializes — and follow the engine's oracle contract (every float
+surface quantized so a DuckDB replay hashes identically).
+
+Scale design (100 TB / 10^12 docs):
+
+* the edge list is |E|-sized but the rank/degree tables are |V|-sized
+  (canonical entities, orders of magnitude smaller than mentions);
+  every iteration shuffles only |V|+|E| keyed rows with map-side
+  partial aggregation absorbing head-entity in-degree skew;
+* PageRank's per-iteration scalar (dangling mass) is a single agg —
+  the only driver-side value, O(iterations) collects total;
+* the 2-hop expansion is the one genuinely quadratic-in-degree step,
+  so it runs over each node's top-``k`` neighbours by evidence
+  (deterministic tie-break) — fanout bounded at k per node, the same
+  guard family as linking.py's ``max_bucket``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SEP = "␟"  # unit-separator glyph, matches operators/graph.py
+
+
+def entity_edges(canon_triples: DataFrame,
+                 drop_self_loops: bool = True) -> DataFrame:
+    """Canonical triples -> evidence-weighted entity edge list.
+
+    Node id is ``ne_type SEP canonical`` (one string key so the
+    iterative joins hash one column).  One partial-agg shuffle.
+    """
+    e = (
+        canon_triples
+        .groupBy("subj_type", "subj_canonical", "obj_type",
+                 "obj_canonical")
+        .agg(F.count(F.lit(1)).alias("n_evidence"))
+    )
+    if drop_self_loops:
+        e = e.filter(~((F.col("subj_type") == F.col("obj_type"))
+                       & (F.col("subj_canonical")
+                          == F.col("obj_canonical"))))
+    return e.select(
+        F.concat_ws(SEP, "subj_type", "subj_canonical").alias("src"),
+        F.concat_ws(SEP, "obj_type", "obj_canonical").alias("dst"),
+        "n_evidence",
+    )
+
+
+def split_node(df: DataFrame, col: str = "node") -> DataFrame:
+    """node -> (ne_type, canonical) columns (canonical may itself
+    contain no SEP by construction — graph.py guarantees it)."""
+    return df.withColumn(
+        "ne_type", F.split(F.col(col), SEP).getItem(0),
+    ).withColumn(
+        "canonical", F.split(F.col(col), SEP).getItem(1),
+    )
+
+
+def entity_pagerank(edges: DataFrame, iterations: int = 5,
+                    damping: float = 0.85,
+                    quantize: int = 9) -> DataFrame:
+    """Evidence-weighted PageRank by iterative DataFrame joins.
+
+    Semantics (the quantization is part of the operator contract, not
+    an implementation detail — it is what makes the fixpoint
+    replayable on any engine and any partitioning):
+
+    * ranks start at ``round(1/N, quantize)``;
+    * each iteration:
+      ``round((1-d)/N + d * (sum_in(rank*w/out_w) + dangling/N),
+      quantize)`` where ``dangling`` is the summed rank of nodes with
+      no out-edges (redistributed uniformly, the standard correction);
+    * ``rank * w/out_w`` products are exact IEEE doubles in any
+      engine; only the in-sum's addition order is engine-dependent,
+      and its ~1e-16 wobble is absorbed by the per-iteration
+      ``round(., 9)``.
+
+    Plan shape per iteration: one |V|x|E| equi-join on ``src`` (the
+    fraction table is pre-partitioned by ``src`` once), one partial-agg
+    shuffle keyed by ``dst``, one scalar agg for the dangling mass.
+    Ranks are persisted and the previous iteration unpersisted so the
+    lineage stays one-deep.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return split_node(
+            nodes.withColumn("rank", F.lit(0.0))
+        ).select("ne_type", "canonical", "rank")
+
+    out_w = edges.groupBy("src").agg(
+        F.sum("n_evidence").alias("out_w"))
+    frac = (
+        edges.join(out_w, "src")
+        .select(
+            "src", "dst",
+            (F.col("n_evidence").cast("double")
+             / F.col("out_w").cast("double")).alias("frac"))
+        .repartition("src")
+        .persist()
+    )
+    src_nodes = frac.select("src").distinct().persist()
+    frac.count()
+
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n), quantize).alias("rank"),
+    ).persist()
+    ranks.count()
+
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(src_nodes, ranks.node == src_nodes.src,
+                       "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+        ) or 0.0
+        contrib = (
+            ranks.join(frac, ranks.node == frac.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                nodes.node,
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.lit(dangling / n)),
+                    quantize,
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+
+    out = split_node(ranks).select("ne_type", "canonical", "rank")
+    for df in (nodes, frac, src_nodes):
+        df.unpersist()
+    return out
+
+
+def graph_degree_stats(edges: DataFrame, k: int = 16) -> DataFrame:
+    """Per-entity topology: directed degrees, undirected degree /
+    evidence mass, and the size of the distinct 2-hop neighbourhood
+    computed over each node's top-``k`` neighbours by evidence
+    (ties broken by neighbour id — deterministic under any
+    partitioning).  The cap is the hub-skew guard: without it a
+    head entity with in-degree D costs D^2 in the self-join.
+    """
+    und = (
+        edges.select("src", "dst", "n_evidence")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "n_evidence"))
+        .groupBy("src", "dst")
+        .agg(F.sum("n_evidence").alias("w"))
+        .persist()
+    )
+    out_deg = edges.groupBy("src").agg(
+        F.countDistinct("dst").alias("out_deg"))
+    in_deg = edges.groupBy("dst").agg(
+        F.countDistinct("src").alias("in_deg"))
+    deg = und.groupBy("src").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("w").alias("evidence"))
+
+    top = und.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("src").orderBy(
+                F.col("w").desc(), F.col("dst"))),
+    ).filter(F.col("rn") <= k).select("src", "dst")
+    hop2 = (
+        top.alias("a")
+        .join(top.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .filter(F.col("b.dst") != F.col("a.src"))
+        .select(F.col("a.src").alias("src"),
+                F.col("b.dst").alias("nbr"))
+        .union(top.select("src", F.col("dst").alias("nbr")))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_2hop"))
+    )
+
+    stats = (
+        deg
+        .join(out_deg, "src", "left")
+        .join(in_deg, deg.src == in_deg.dst, "left")
+        .drop("dst")
+        .join(hop2, "src", "left")
+        .select(
+            "src",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            "degree", "evidence",
+            F.coalesce("n_2hop", F.lit(0)).alias("n_2hop"),
+        )
+    )
+    res = split_node(stats.withColumnRenamed("src", "node")).select(
+        "ne_type", "canonical", "out_deg", "in_deg",
+        "degree", "evidence", "n_2hop")
+    return res

@@ -17,6 +17,9 @@ rows AQE skew-join/window handling splits.
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 # Patterns kept to the common RE2/Java-regex subset so the DuckDB
@@ -167,3 +170,46 @@ def remove_boilerplate(pages: DataFrame, min_docs: int = 5,
             .alias("n_kept"),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"))
     )
+
+
+# ------------------------------------------------------------------
+# Unicode canonicalization
+
+# precomposed -> NFD decomposition pairs used by tests/oracles to
+# synthesize combining-mark input (the synthetic corpus is pure
+# ASCII); stable since Unicode 1.1, so CPython's unicodedata and
+# DuckDB's utf8proc agree on every pair.
+NFC_PAIRS = [
+    ("ā", "ā"),   # ā
+    ("č", "č"),   # č
+    ("ē", "ē"),   # ē
+    ("ī", "ī"),   # ī
+    ("ū", "ū"),   # ū
+    ("é", "é"),   # é
+]
+
+
+def normalize_nfc(docs: DataFrame, text_col: str = "text",
+                  out_col: str = "text_nfc") -> DataFrame:
+    """Unicode NFC canonicalization of a text column.
+
+    Web text mixes precomposed and combining-mark encodings of the
+    same glyph; every dedup / fingerprint / gazetteer operator keyed
+    on surface strings silently misses cross-encoding duplicates
+    unless the corpus is normalized first, so this runs as a per-row
+    map (no shuffle) ahead of them.
+
+    Implementation: Arrow-batched pandas UDF over CPython's
+    ``unicodedata.normalize`` (a C routine; the Python layer is one
+    ``str`` call per row, the sanctioned Arrow-batch pattern).  The
+    DuckDB oracle is ``nfc_normalize``; both sides implement the same
+    Unicode normalization spec and the test surface pins the
+    character set to stable pairs (NFC_PAIRS).
+    """
+    def _nfc_batch(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None else None)
+
+    _nfc = F.pandas_udf(_nfc_batch, "string")
+    return docs.withColumn(out_col, _nfc(F.col(text_col)))
