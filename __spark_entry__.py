@@ -744,6 +744,129 @@ def _kg_graph_stats_sql(k: int = 16) -> str:
     """
 
 
+_UND_CTE = """
+        und as (
+            select src, dst, cast(sum(n_evidence) as bigint) as w
+            from (
+                select src, dst, n_evidence from edges
+                union all
+                select dst as src, src as dst, n_evidence from edges
+            ) group by 1, 2
+        )"""
+
+
+def _kg_timeline_sql() -> str:
+    """DuckDB mirror of graphstats.entity_timeline (Spark union is
+    UNION ALL; endpoint occurrences counted per triple side)."""
+    return f"""
+        with ct as (
+            select * from read_parquet(
+                '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+        ),
+        p as (
+            select url, warc_ts from read_parquet(
+                '{_KG_CACHE}/pages.parquet/*.parquet')
+        ),
+        ep as (
+            select subj_type as ne_type,
+                   subj_canonical as canonical, url from ct
+            union all
+            select obj_type, obj_canonical, url from ct
+        )
+        select ne_type, canonical,
+               min(warc_ts) as first_seen,
+               max(warc_ts) as last_seen,
+               cast(count(distinct ep.url) as bigint) as n_pages,
+               cast(count(*) as bigint) as n_endpoints
+        from ep join p using (url)
+        group by 1, 2
+    """
+
+
+def _kg_communities_sql(iterations: int = 4) -> str:
+    """Unrolled-CTE replay of graphstats.entity_communities'
+    synchronous weighted label propagation (integer weights +
+    lexicographic tie-break => no float anywhere)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+        l{i} as (
+            select src as node, label from (
+                select u.src, l.label,
+                       row_number() over (
+                           partition by u.src
+                           order by sum(u.w) desc, l.label asc) as rn
+                from und u join {prev} l on u.dst = l.node
+                group by u.src, l.label
+            ) where rn = 1
+        )""")
+        prev = f"l{i}"
+    return f"""
+        with {_entity_edges_cte()},{_UND_CTE},
+        nodes as (select distinct src as node from und),
+        l0 as (select node, node as label from nodes),{",".join(steps)}
+        select string_split(l.node, '␟')[1] as ne_type,
+               string_split(l.node, '␟')[2] as canonical,
+               l.label as community, s.community_size
+        from {prev} l
+        join (
+            select label, cast(count(*) as bigint) as community_size
+            from {prev} group by 1
+        ) s using (label)
+    """
+
+
+def _kg_triangles_sql(k: int = 16) -> str:
+    """DuckDB mirror of graphstats.graph_triangles: mutual top-k
+    adjacency, a<b<c triangle enumeration, round(.,9) coefficient.
+    String '<' is byte-wise in both engines."""
+    return f"""
+        with {_entity_edges_cte()},{_UND_CTE},
+        top as (
+            select src, dst from (
+                select src, dst,
+                       row_number() over (partition by src
+                                          order by w desc, dst) as rn
+                from und
+            ) where rn <= {k}
+        ),
+        mutual as (
+            select a.src, a.dst
+            from top a join top b
+              on a.src = b.dst and a.dst = b.src
+        ),
+        mdeg as (
+            select src, cast(count(*) as bigint) as m_deg
+            from mutual group by 1
+        ),
+        e as (select src, dst from mutual where src < dst),
+        tri as (
+            select ab.src as a, ab.dst as b, bc.dst as c
+            from e ab
+            join e bc on ab.dst = bc.src
+            join e ac on ac.src = ab.src and ac.dst = bc.dst
+        ),
+        pn as (
+            select x as src, cast(count(*) as bigint) as n_tri
+            from (
+                select a as x from tri
+                union all select b from tri
+                union all select c from tri
+            ) group by 1
+        )
+        select string_split(mdeg.src, '␟')[1] as ne_type,
+               string_split(mdeg.src, '␟')[2] as canonical,
+               m_deg,
+               cast(coalesce(n_tri, 0) as bigint) as n_tri,
+               case when m_deg >= 2
+                    then round(2e0 * coalesce(n_tri, 0)
+                               / (m_deg * (m_deg - 1)), 9)
+                    else 0e0 end as clustering
+        from mdeg left join pn using (src)
+    """
+
+
 def _nfc_decompose_sql(col: str) -> str:
     """The q40 input-synthesis chain (vowels -> precomposed
     diacritics -> combining-mark decompositions) built from the SAME
@@ -1634,6 +1757,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph_degree_stats(entity_edges(m["canon_triples"]),
                                   k=16)
 
+    def kg_timeline(spark, sf):
+        # per-entity temporal profile (operators/graphstats.py
+        # entity_timeline): every triple endpoint joined back to its
+        # page's warc_ts — first/last sighting, distinct pages,
+        # endpoint occurrences; the freshness signal for aging out
+        # stale entities
+        from tildener_spark.operators.graphstats import entity_timeline
+        m = _kg_materialized(spark)
+        return entity_timeline(m["canon_triples"], m["pages"])
+
+    def kg_communities(spark, sf):
+        # deterministic synchronous label propagation
+        # (operators/graphstats.py entity_communities): integer
+        # weights + lexicographic tie-break, so the 4-iteration
+        # fixpoint replays exactly as unrolled DuckDB CTEs
+        from tildener_spark.operators.graphstats import (
+            entity_communities, entity_edges)
+        m = _kg_materialized(spark)
+        return entity_communities(entity_edges(m["canon_triples"]))
+
+    def kg_triangles(spark, sf):
+        # triangle count + local clustering over the MUTUAL top-16
+        # graph (operators/graphstats.py graph_triangles): capped,
+        # intersection-symmetrized adjacency bounds the triangle
+        # join fanout at k per node
+        from tildener_spark.operators.graphstats import (
+            entity_edges, graph_triangles)
+        m = _kg_materialized(spark)
+        return graph_triangles(entity_edges(m["canon_triples"]), k=16)
+
     def kg_triple_parity(spark, sf):
         # oracle: same P/R arithmetic in SQL over the independently
         # SQL-derived predicted triples/links (_kg_triples_sql /
@@ -1922,6 +2075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": kg_entities,
         "kg_pagerank": kg_pagerank,
         "kg_graph_stats": kg_graph_stats,
+        "kg_timeline": kg_timeline,
+        "kg_communities": kg_communities,
+        "kg_triangles": kg_triangles,
         "kg_triple_parity": kg_triple_parity,
         "kg_span_eval": kg_token_eval,
         "kg_top_sentences": kg_top_sentences,
@@ -3195,6 +3351,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": _kg_graph_sql(cross=True),
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_graph_stats": _kg_graph_stats_sql(),
+        "kg_timeline": _kg_timeline_sql(),
+        "kg_communities": _kg_communities_sql(),
+        "kg_triangles": _kg_triangles_sql(),
         # BIO span assembly over the materialized tagged tokens
         # (document.py doc_mentions_py / spans.assemble_spans
         # semantics): gaps-and-islands — a token continues a span iff

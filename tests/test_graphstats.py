@@ -120,3 +120,89 @@ def test_degree_stats_hub_cap_bounds_two_hop(spark):
     s0 = got[("PER", "s0")]
     assert s0["in_deg"] == 1 and s0["degree"] == 1
     assert s0["n_2hop"] == 3  # h + {s1, s2} (s0 excluded as self)
+
+
+def test_entity_timeline_aggregates(spark):
+    from datetime import datetime
+
+    from tildener_spark.operators.graphstats import entity_timeline
+
+    t = spark.createDataFrame(
+        [("PER", "a", "ORG", "b", "u1"),
+         ("PER", "a", "ORG", "b", "u1"),   # same page twice
+         ("PER", "a", "LOC", "c", "u2")],
+        "subj_type string, subj_canonical string, "
+        "obj_type string, obj_canonical string, url string")
+    pages = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1)), ("u2", datetime(2024, 1, 3))],
+        "url string, warc_ts timestamp")
+    got = {(r["ne_type"], r["canonical"]): r
+           for r in entity_timeline(t, pages).collect()}
+    a = got[("PER", "a")]
+    assert a["n_pages"] == 2 and a["n_endpoints"] == 3
+    assert a["first_seen"] == datetime(2024, 1, 1)
+    assert a["last_seen"] == datetime(2024, 1, 3)
+    b = got[("ORG", "b")]
+    assert b["n_pages"] == 1 and b["n_endpoints"] == 2
+    assert b["first_seen"] == b["last_seen"] == datetime(2024, 1, 1)
+
+
+def test_communities_two_cliques(spark):
+    """Two triangles joined by one weak bridge: LPA must separate
+    them, labels deterministic under repartitioning."""
+    from tildener_spark.operators.graphstats import entity_communities
+
+    rows = []
+    for x, y in [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+                 ("b1", "b2"), ("b2", "b3"), ("b1", "b3")]:
+        rows += [("PER", x, "PER", y)] * 3  # strong intra-clique
+    rows += [("PER", "a1", "PER", "b1")]    # weak bridge
+    edges = entity_edges(_triples(spark, rows)).persist()
+    got = {r["canonical"]: r for r in
+           entity_communities(edges).collect()}
+    a_lbls = {got[x]["community"] for x in ("a1", "a2", "a3")}
+    b_lbls = {got[x]["community"] for x in ("b1", "b2", "b3")}
+    assert len(a_lbls) == 1 and len(b_lbls) == 1
+    assert a_lbls != b_lbls
+    assert all(got[x]["community_size"] == 3 for x in got)
+    again = {r["canonical"]: r["community"] for r in
+             entity_communities(edges.repartition(5)).collect()}
+    assert again == {k: v["community"] for k, v in got.items()}
+
+
+def test_triangles_clique_plus_pendant(spark):
+    """K3 plus a pendant: clique nodes have 1 triangle each; the
+    pendant and its attachment point get the right coefficients."""
+    from tildener_spark.operators.graphstats import graph_triangles
+
+    rows = [("PER", "a", "PER", "b"), ("PER", "b", "PER", "c"),
+            ("PER", "a", "PER", "c"), ("PER", "c", "PER", "p")]
+    got = {r["canonical"]: r for r in
+           graph_triangles(entity_edges(_triples(spark, rows))).collect()}
+    assert got["a"]["n_tri"] == got["b"]["n_tri"] == 1
+    assert got["a"]["clustering"] == 1.0
+    # c: mutual degree 3 (a, b, p), 1 triangle -> 2/(3*2) = 1/3
+    assert got["c"]["m_deg"] == 3 and got["c"]["n_tri"] == 1
+    assert got["c"]["clustering"] == round(1 / 3, 9)
+    assert got["p"]["m_deg"] == 1 and got["p"]["n_tri"] == 0
+    assert got["p"]["clustering"] == 0.0
+
+
+def test_triangles_mutual_cap_prunes_hub(spark):
+    """Hub h in a triangle with (x, y) plus 10 spokes; with k=2 the
+    hub keeps only its top-2 neighbours, so edges to the spokes are
+    not mutual and the spokes drop out of the capped graph."""
+    from tildener_spark.operators.graphstats import graph_triangles
+
+    rows = [("PER", "h", "PER", "x"), ("PER", "h", "PER", "x"),
+            ("PER", "h", "PER", "y"), ("PER", "h", "PER", "y"),
+            ("PER", "x", "PER", "y")]
+    rows += [("PER", "h", "PER", f"s{i}") for i in range(10)]
+    got = {r["canonical"]: r for r in
+           graph_triangles(entity_edges(_triples(spark, rows)),
+                           k=2).collect()}
+    assert got["h"]["m_deg"] == 2 and got["h"]["n_tri"] == 1
+    assert got["h"]["clustering"] == 1.0
+    # spokes keep h in their top-2 but h dropped them: not mutual,
+    # so they vanish from the capped graph entirely
+    assert set(got) == {"h", "x", "y"}

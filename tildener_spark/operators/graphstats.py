@@ -155,6 +155,170 @@ def entity_pagerank(edges: DataFrame, iterations: int = 5,
     return out
 
 
+def entity_timeline(canon_triples: DataFrame,
+                    pages: DataFrame) -> DataFrame:
+    """Per-entity temporal profile from crawl timestamps.
+
+    Joins every triple endpoint back to its page's ``warc_ts`` and
+    aggregates per canonical entity: first/last crawl sighting,
+    distinct pages, and total endpoint occurrences.  This is the
+    freshness signal a KG consumer uses to age out stale entities.
+
+    Scale shape: the endpoint projection is 2|triples| rows with two
+    columns; the equi-join on ``url`` is shuffle-hash (both sides
+    large at crawl scale, co-partitioned on url), and the final agg
+    is one partial-agg shuffle keyed by entity — head entities are
+    absorbed map-side.
+    """
+    endpoints = (
+        canon_triples.select(
+            F.col("subj_type").alias("ne_type"),
+            F.col("subj_canonical").alias("canonical"), "url")
+        .union(canon_triples.select(
+            F.col("obj_type").alias("ne_type"),
+            F.col("obj_canonical").alias("canonical"), "url"))
+    )
+    return (
+        endpoints.join(pages.select("url", "warc_ts"), "url")
+        .groupBy("ne_type", "canonical")
+        .agg(F.min("warc_ts").alias("first_seen"),
+             F.max("warc_ts").alias("last_seen"),
+             F.countDistinct("url").alias("n_pages"),
+             F.count(F.lit(1)).cast("long").alias("n_endpoints"))
+    )
+
+
+def entity_communities(edges: DataFrame,
+                       iterations: int = 4) -> DataFrame:
+    """Deterministic synchronous label propagation over the
+    evidence-weighted undirected entity graph.
+
+    Each node starts labeled with its own id; every iteration each
+    node adopts the label carrying the largest total incident edge
+    weight among its neighbours' PREVIOUS labels, ties broken by
+    lexicographically smallest label.  Synchronous updates + integer
+    weights + a total tie-break make the fixpoint identical on any
+    engine and any partitioning (the same replayability contract as
+    ``entity_pagerank``, with no float at all).
+
+    Plan shape per iteration: one |E| join on ``dst`` against the
+    |V| label table, one partial-agg shuffle keyed by
+    ``(src, label)``, one window argmax per node.
+    """
+    und = (
+        edges.select("src", "dst", "n_evidence")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "n_evidence"))
+        .groupBy("src", "dst")
+        .agg(F.sum("n_evidence").alias("w"))
+        .persist()
+    )
+    und.count()
+    labels = und.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node")).persist()
+    labels.count()
+
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("sw").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        new_labels = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("sw"))
+            .withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .persist()
+        )
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
+
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size"))
+    out = split_node(labels).join(sizes, "label").select(
+        "ne_type", "canonical",
+        F.col("label").alias("community"), "community_size")
+    und.unpersist()
+    return out
+
+
+def graph_triangles(edges: DataFrame, k: int = 16) -> DataFrame:
+    """Per-entity triangle count and local clustering coefficient
+    over the MUTUAL top-``k`` graph.
+
+    The adjacency is first capped at each node's top-``k`` neighbours
+    by evidence (ties by neighbour id), then symmetrized by
+    INTERSECTION — an edge survives only if each endpoint keeps the
+    other.  Mutual-top-k bounds every degree at k, so the triangle
+    join is at most k|V| x k|V| on a key with fanout <= k: the same
+    hub-skew guard family as ``graph_degree_stats``, and the
+    coefficient stays well-defined (degree = mutual degree).
+
+    ``clustering = round(2T / (d(d-1)), 9)`` (0 when d < 2); the
+    division is one IEEE op per row, deterministic everywhere.
+    """
+    und = (
+        edges.select("src", "dst", "n_evidence")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "n_evidence"))
+        .groupBy("src", "dst")
+        .agg(F.sum("n_evidence").alias("w"))
+    )
+    top = und.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("src").orderBy(
+                F.col("w").desc(), F.col("dst"))),
+    ).filter(F.col("rn") <= k).select("src", "dst")
+    mutual = (
+        top.alias("a")
+        .join(top.alias("b"),
+              (F.col("a.src") == F.col("b.dst"))
+              & (F.col("a.dst") == F.col("b.src")))
+        .select(F.col("a.src").alias("src"),
+                F.col("a.dst").alias("dst"))
+        .persist()
+    )
+    mutual.count()
+
+    mdeg = mutual.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("m_deg"))
+    # each undirected mutual edge once, oriented src < dst
+    e = mutual.filter(F.col("src") < F.col("dst"))
+    tri = (
+        e.alias("ab")
+        .join(e.alias("bc"), F.col("ab.dst") == F.col("bc.src"))
+        .join(e.alias("ac"),
+              (F.col("ac.src") == F.col("ab.src"))
+              & (F.col("ac.dst") == F.col("bc.dst")))
+        .select(F.col("ab.src").alias("a"),
+                F.col("ab.dst").alias("b"),
+                F.col("bc.dst").alias("c"))
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    stats = (
+        mdeg.join(per_node, "src", "left")
+        .select(
+            "src", "m_deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("m_deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("m_deg") * (F.col("m_deg") - 1)), 9),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )
+    out = split_node(stats.withColumnRenamed("src", "node")).select(
+        "ne_type", "canonical", "m_deg", "n_tri", "clustering")
+    mutual.unpersist()
+    return out
+
+
 def graph_degree_stats(edges: DataFrame, k: int = 16) -> DataFrame:
     """Per-entity topology: directed degrees, undirected degree /
     evidence mass, and the size of the distinct 2-hop neighbourhood
