@@ -127,3 +127,97 @@ def test_watermarked_window_aggregation(spark, tmp_path):
     assert (5, "c") in got2        # late-but-in-horizon counted
     assert (6, "z") in got2        # previously open window now closed
     assert not any(et == "late" for _h, et in got2)  # dropped
+
+
+def test_streaming_triples_match_batch_pipeline(spark, tmp_path):
+    """The stateless triple chain streamed under AvailableNow emits
+    exactly the batch pipeline's triples on the same pages."""
+    from tildener_spark.config import EngineConfig
+    from tildener_spark.datagen import gazetteer_df
+    from tildener_spark.plans.pipeline import run_pipeline
+    from tildener_spark.streaming.incremental import (
+        run_available_now, stream_pages)
+    from tildener_spark.streaming.triples import (
+        TRIPLE_COLS, triple_stream)
+
+    corpus = corpus_df(spark, 12)
+    pages, *_ = split_gold(corpus)
+    in_dir = str(tmp_path / "in")
+    pages.write.parquet(in_dir)
+    gaz_rows = [(r["ne_type"], r["surface"])
+                for r in gazetteer_df(spark).collect()]
+
+    streamed = triple_stream(stream_pages(spark, in_dir), gaz_rows)
+    assert streamed.isStreaming
+    out_dir = str(tmp_path / "out")
+    run_available_now(streamed, out_dir, str(tmp_path / "ck"))
+
+    cols = ["url", *TRIPLE_COLS]
+    got = sorted(map(tuple, spark.read.parquet(out_dir)
+                     .select(*cols).collect()))
+    res = run_pipeline(spark, pages, gazetteer_df(spark),
+                       EngineConfig())
+    want = sorted(map(tuple, res.triples.select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_streaming_entity_stats_accumulate_across_batches(
+        spark, tmp_path):
+    """applyInPandasWithState running totals: after two drains the
+    latest row per (ne_type, surface) equals the batch groupBy over
+    everything ingested so far."""
+    import pyspark.sql.functions as F
+    from tildener_spark.datagen import gazetteer_df
+    from tildener_spark.streaming.incremental import stream_pages
+    from tildener_spark.streaming.triples import (
+        entity_stats_stream, run_update_available_now, triple_stream)
+
+    corpus = corpus_df(spark, 10)
+    pages, *_ = split_gold(corpus)
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    rows = pages.select(*cols).orderBy("url").collect()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    gaz_rows = [(r["ne_type"], r["surface"])
+                for r in gazetteer_df(spark).collect()]
+
+    def drain():
+        stats = entity_stats_stream(
+            triple_stream(stream_pages(spark, in_dir), gaz_rows))
+        run_update_available_now(stats, out_dir, ck_dir)
+
+    def latest():
+        out = spark.read.parquet(out_dir)
+        w_max = out.groupBy("ne_type", "surface").agg(
+            F.max("batch_id").alias("batch_id"))
+        return {(r["ne_type"], r["surface"]):
+                (r["first_seen"], r["last_seen"], r["n_endpoints"])
+                for r in out.join(
+                    w_max, ["ne_type", "surface", "batch_id"]).collect()}
+
+    def expected(n_pages):
+        batch = triple_stream(
+            spark.createDataFrame(rows[:n_pages],
+                                  pages.select(*cols).schema),
+            gaz_rows)
+        ep = (batch.select(F.col("subj_type").alias("ne_type"),
+                           F.col("subj").alias("surface"), "warc_ts")
+              .union(batch.select("obj_type", "obj", "warc_ts")))
+        return {(r["ne_type"], r["surface"]):
+                (r["first_seen"], r["last_seen"], r["n_endpoints"])
+                for r in ep.groupBy("ne_type", "surface").agg(
+                    F.min("warc_ts").alias("first_seen"),
+                    F.max("warc_ts").alias("last_seen"),
+                    F.count(F.lit(1)).alias("n_endpoints")).collect()}
+
+    schema = pages.select(*cols).schema
+    spark.createDataFrame(rows[:6], schema).write.mode(
+        "overwrite").parquet(in_dir)
+    drain()
+    assert latest() == expected(6)
+
+    spark.createDataFrame(rows[6:], schema).write.mode(
+        "append").parquet(in_dir)
+    drain()
+    assert latest() == expected(10)
