@@ -1482,6 +1482,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("text") != F.col("text_nfc")).alias("changed"),
             "text_nfc")
 
+    def q41_lm_perplexity(spark, sf):
+        # CCNet-style LM quality filter (operators/lm.py): Stupid-
+        # Backoff bigram LM trained on the deterministic doc_id%5==0
+        # slice, scoring every doc in mean nats/token; probabilities
+        # are integer-count ratios (IEEE-exact), ln/avg wobble
+        # absorbed by round(.,6) — the kg_pagerank absorption argument
+        from tildener_spark.operators.lm import (
+            perplexity_score, train_ngram_lm)
+        d = _docs(spark, sf)
+        return perplexity_score(d, train_ngram_lm(d))
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -2063,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_cross_doc_dup": q38_cross_doc_dup,
         "q39_sequence_packing": q39_sequence_packing,
         "q40_nfc_normalize": q40_nfc_normalize,
+        "q41_lm_perplexity": q41_lm_perplexity,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -2506,6 +2518,77 @@ def oracle_sql() -> dict[str, str]:
                              then seq_last - seq_first + 1
                              else 0 end as bigint) as n_seqs
             from p
+        """,
+        # Stupid-Backoff bigram LM (lm.py): probabilities are
+        # integer-count ratios; ln/avg wobble << the round(.,6)
+        # quantum (kg_pagerank absorption argument)
+        "q41_lm_perplexity": r"""
+            with tk as (
+                select doc_id,
+                       case when trim(text) = ''
+                            then cast([] as varchar[])
+                            else string_split_regex(
+                                lower(trim(text)),
+                                '[ \t\n\x0b\f\r]+') end as ws
+                from documents
+            ),
+            toks as (
+                select doc_id, cast(i - 1 as int) as pos, ws[i] as w
+                from (select doc_id, ws,
+                             unnest(generate_series(1, len(ws))) as i
+                      from tk)
+            ),
+            uni as (
+                select w, cast(count(*) as bigint) as c1
+                from toks where doc_id % 5 = 0 group by 1
+            ),
+            tot as (
+                select cast(sum(c1) as double)
+                       + cast(count(*) as double) as tv
+                from uni
+            ),
+            bi as (
+                select w_prev, w, cast(count(*) as bigint) as c2
+                from (
+                    select w,
+                           lag(w) over (partition by doc_id
+                                        order by pos) as w_prev
+                    from toks where doc_id % 5 = 0
+                ) where w_prev is not null
+                group by 1, 2
+            ),
+            score_toks as (
+                select doc_id, pos, w from toks
+                union all
+                select doc_id, cast(null as int), cast(null as varchar)
+                from tk where len(ws) = 0
+            ),
+            sc as (
+                select doc_id, w,
+                       lag(w) over (partition by doc_id
+                                    order by pos) as w_prev
+                from score_toks
+            ),
+            s as (
+                select sc.doc_id,
+                       case when sc.w is null then null
+                            when sc.w_prev is null
+                            then (coalesce(u1.c1, 0) + 1)
+                                 / (select tv from tot)
+                            when b.c2 is not null
+                            then cast(b.c2 as double) / u2.c1
+                            else 0.4e0 * ((coalesce(u1.c1, 0) + 1)
+                                 / (select tv from tot)) end as s
+                from sc
+                left join uni u1 on sc.w = u1.w
+                left join uni u2 on sc.w_prev = u2.w
+                left join bi b on sc.w_prev = b.w_prev
+                              and sc.w = b.w
+            )
+            select doc_id, cast(count(s) as bigint) as n_tokens,
+                   round(coalesce(-avg(ln(s)), 0e0), 6)
+                       as nats_per_tok
+            from s group by 1
         """,
         # NFC canonicalization: identical input-synthesis replace
         # chain on both sides (_nfc_decompose_sql / NFC_PAIRS), then
