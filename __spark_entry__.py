@@ -1493,6 +1493,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return perplexity_score(d, train_ngram_lm(d))
 
+    def q42_contrastive_mining(spark, sf):
+        # (anchor, positive, negative) triplets for contrastive
+        # embedding training (operators/similarity.py
+        # contrastive_triplets): positives from the q19b LSH near-dup
+        # derivation, negatives a deterministic md5-keyed pool sample
+        # (anchor-independent ranking — the join stays linear)
+        return similarity.contrastive_triplets(
+            _emb(spark, sf), threshold=0.45, n_bits=4, n_tables=16)
+
+    def q43_link_graph(spark, sf):
+        # hyperlink extraction + host-level web graph
+        # (operators/links.py): real JVM-regex extraction over an
+        # html column; the corpus html carries no anchors, so the
+        # test surface synthesizes them deterministically from
+        # doc_id arithmetic (the q40 input-synthesis pattern) —
+        # including a mailto link (host-parse drop) and link-free
+        # pages (sparse outlink table)
+        from tildener_spark.operators.links import (
+            extract_links, host_link_graph)
+        d = _docs(spark, sf)
+        hosts = F.array(F.lit("news.example.lv"),
+                        F.lit("blog.example.com"),
+                        F.lit("wiki.example.org"))
+        src = F.concat(
+            F.lit("https://"),
+            F.element_at(hosts, (F.pmod("doc_id", F.lit(3)) + 1)
+                         .cast("int")),
+            F.lit("/doc/"), F.col("doc_id").cast("string"))
+        a1 = F.concat(
+            F.lit('<a href="https://crawl.example.lv/doc/'),
+            F.pmod(F.col("doc_id") * 31 + 7, F.lit(1000))
+            .cast("string"),
+            F.lit('">ref</a>'))
+        a2 = F.concat(
+            F.lit('<a href="https://'),
+            F.element_at(hosts, (F.pmod(F.col("doc_id") * 17 + 3,
+                                        F.lit(3)) + 1).cast("int")),
+            F.lit("/d/"),
+            F.pmod("doc_id", F.lit(50)).cast("string"),
+            F.lit('" rel="nofollow">mirror</a>'))
+        a3 = F.when(F.pmod("doc_id", F.lit(7)) == 0,
+                    F.lit('<a href="mailto:x@example.com">mail</a>')) \
+             .otherwise(F.lit(""))
+        html = F.when(
+            F.pmod("doc_id", F.lit(11)) == 0,
+            F.lit("<html><body><p>no links</p></body></html>")) \
+            .otherwise(F.concat(
+                F.lit("<html><body><p>s</p>"), a1, a2, a3,
+                F.lit("</body></html>")))
+        pages = d.select(src.alias("url"), html.alias("html"))
+        return host_link_graph(extract_links(pages))
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -2075,6 +2127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_sequence_packing": q39_sequence_packing,
         "q40_nfc_normalize": q40_nfc_normalize,
         "q41_lm_perplexity": q41_lm_perplexity,
+        "q42_contrastive_mining": q42_contrastive_mining,
+        "q43_link_graph": q43_link_graph,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -2518,6 +2572,144 @@ def oracle_sql() -> dict[str, str]:
                              then seq_last - seq_first + 1
                              else 0 end as bigint) as n_seqs
             from p
+        """,
+        # contrastive triplet mining: q19b's pair derivation +
+        # hardest-positive rank + md5-pool negative sampling, all
+        # replayed relationally (md5 parity = the q30 pattern)
+        "q42_contrastive_mining": f"""
+            with {_signlsh_cte(n_bits=4, n_tables=16)},
+            cand as (
+                select distinct a.vec_id as doc_a, b.vec_id as doc_b
+                from lsh_sig a
+                join lsh_sig b on a.t = b.t and a.bucket = b.bucket
+                              and a.vec_id < b.vec_id
+            ),
+            pairs as (
+                select c.doc_a, c.doc_b,
+                       {_cos6_sql('va.emb', 'vb.emb')} as cos_sim
+                from cand c
+                join v va on va.vec_id = c.doc_a
+                join v vb on vb.vec_id = c.doc_b
+                where {_cos6_sql('va.emb', 'vb.emb')} >= 0.45
+            ),
+            sym as (
+                select doc_a as anchor, doc_b as pos_id, cos_sim
+                from pairs
+                union all
+                select doc_b, doc_a, cos_sim from pairs
+            ),
+            pos as (
+                select anchor, pos_id, cos_sim as pos_cos from (
+                    select *, row_number() over (
+                        partition by anchor
+                        order by cos_sim desc, pos_id asc) as prn
+                    from sym
+                ) where prn = 1
+            ),
+            ranked as (
+                select vec_id as nid,
+                       substring(md5('negb:'
+                                     || cast(vec_id as varchar)),
+                                 1, 1) as bucket,
+                       md5('negr:' || cast(vec_id as varchar)) as rk
+                from embeddings
+            ),
+            top as (
+                select bucket, nid, rn from (
+                    select *, row_number() over (
+                        partition by bucket order by rk, nid) as rn
+                    from ranked
+                ) where rn <= 4
+            ),
+            probe as (
+                select p.*,
+                       substring(md5('probe:'
+                                     || cast(anchor as varchar)),
+                                 1, 1) as bucket
+                from pos p
+            ),
+            neg as (
+                select anchor, pos_id, pos_cos, nid as neg_id from (
+                    select pr.anchor, pr.pos_id, pr.pos_cos,
+                           t.nid,
+                           row_number() over (
+                               partition by pr.anchor
+                               order by t.rn) as nrn
+                    from probe pr
+                    join top t using (bucket)
+                    where t.nid <> pr.anchor
+                      and not exists (
+                          select 1 from sym s
+                          where s.anchor = pr.anchor
+                            and s.pos_id = t.nid)
+                ) where nrn = 1
+            )
+            select n.anchor, n.pos_id, n.pos_cos, n.neg_id,
+                   {_cos6_sql('va.emb', 'vb.emb')} as neg_cos
+            from neg n
+            join v va on va.vec_id = n.anchor
+            join v vb on vb.vec_id = n.neg_id
+        """,
+        # link extraction + host graph (links.py): the html
+        # synthesis is replayed arithmetically from doc_id, then the
+        # IDENTICAL regexes run under RE2 (patterns kept to the
+        # common Java/RE2 subset by construction; both engines
+        # return '' on no match, so the mailto row drops the same
+        # way)
+        "q43_link_graph": """
+            with hosts(h, i) as (values
+                ('news.example.lv', 0), ('blog.example.com', 1),
+                ('wiki.example.org', 2)),
+            pages as (
+                select
+                    'https://' || hs.h || '/doc/'
+                        || cast(d.doc_id as varchar) as src_url,
+                    case when d.doc_id % 11 = 0 then
+                        '<html><body><p>no links</p></body></html>'
+                    else
+                        '<html><body><p>s</p>'
+                        || '<a href="https://crawl.example.lv/doc/'
+                        || cast((d.doc_id * 31 + 7) % 1000 as varchar)
+                        || '">ref</a>'
+                        || '<a href="https://' || ha.h || '/d/'
+                        || cast(d.doc_id % 50 as varchar)
+                        || '" rel="nofollow">mirror</a>'
+                        || case when d.doc_id % 7 = 0 then
+                            '<a href="mailto:x@example.com">mail</a>'
+                           else '' end
+                        || '</body></html>'
+                    end as html
+                from documents d
+                join hosts hs on hs.i = d.doc_id % 3
+                join hosts ha on ha.i = (d.doc_id * 17 + 3) % 3
+            ),
+            tags as (
+                select src_url, unnest(regexp_extract_all(html,
+                    '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) as tag
+                from pages
+            ),
+            links as (
+                select src_url,
+                       regexp_extract(tag, 'href="([^"]*)"', 1)
+                           as dst_url
+                from tags
+            ),
+            hosted as (
+                select
+                    lower(regexp_extract(src_url,
+                        '^https?://([^/?#]+)', 1)) as src_host,
+                    lower(regexp_extract(dst_url,
+                        '^https?://([^/?#]+)', 1)) as dst_host,
+                    dst_url
+                from links
+            )
+            select src_host, dst_host,
+                   cast(count(*) as bigint) as n_links,
+                   cast(count(distinct dst_url) as bigint)
+                       as n_unique_dst
+            from hosted
+            where src_host <> '' and dst_host <> ''
+            group by src_host, dst_host
         """,
         # Stupid-Backoff bigram LM (lm.py): probabilities are
         # integer-count ratios; ln/avg wobble << the round(.,6)

@@ -208,3 +208,55 @@ def test_semantic_dedup_keep_list(spark):
         assert labels == {min(members)}  # one cluster, min-id label
         keeps = [m for m in members if out[m]["keep"]]
         assert keeps == [min(members)]   # exactly the representative
+
+
+def test_contrastive_triplets_properties(spark):
+    """Triplet mining on planted near-dups: anchors come from real
+    near-dup pairs, the positive is the hardest (highest-cos) one,
+    the negative is never the anchor or any of its positives, and
+    the whole derivation is partition-invariant."""
+    import hashlib
+    import random
+
+    from tildener_spark.operators.similarity import (
+        contrastive_triplets, embedding_near_duplicates_lsh)
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((vid, base)); vid += 1
+        if rng.random() < 0.5:
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in base]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    thr = 0.95
+    got = contrastive_triplets(emb, threshold=thr).collect()
+    assert len(got) >= 10
+
+    pos_pairs = {(r["doc_a"], r["doc_b"]): r["cos_sim"] for r in
+                 embedding_near_duplicates_lsh(emb, thr).collect()}
+    sym = {}
+    for (a, b), c in pos_pairs.items():
+        sym.setdefault(a, {})[b] = c
+        sym.setdefault(b, {})[a] = c
+    for r in got:
+        a = r["anchor"]
+        # positive is this anchor's max-cos partner (tie: min id)
+        best = max(sym[a].items(), key=lambda kv: (kv[1], -kv[0]))
+        assert r["pos_id"] == best[0] and r["pos_cos"] == best[1]
+        # negative constraints
+        assert r["neg_id"] != a and r["neg_id"] not in sym[a]
+        # negative drawn from the anchor's md5 probe pool
+        probe = hashlib.md5(f"probe:{a}".encode()).hexdigest()[0]
+        nb = hashlib.md5(
+            f"negb:{r['neg_id']}".encode()).hexdigest()[0]
+        assert nb == probe
+        # and negatives are (on this corpus) far less similar
+        assert r["neg_cos"] < r["pos_cos"]
+
+    again = contrastive_triplets(emb.repartition(9), threshold=thr)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, got))

@@ -295,6 +295,101 @@ def embedding_near_duplicates_lsh(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+def contrastive_triplets(emb: DataFrame, threshold: float = 0.45,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int = 64, seed: int = 42,
+                         n_bits: int = 4, n_tables: int = 16,
+                         probe_k: int = 4) -> DataFrame:
+    """Mine (anchor, positive, negative) triplets for contrastive
+    embedding training.
+
+    * **Positives**: LSH near-dup pairs (:func:`embedding_near_
+      duplicates_lsh`), symmetrized so either member anchors; each
+      anchor keeps its hardest positive — rank 1 by (cos desc, id).
+    * **Negatives**: a deterministic keyed sample, NOT an
+      anchor-dependent search.  Every vector is assigned one of 16
+      pools by ``md5('negb:'||id)`` and ranked INSIDE its pool once
+      by ``md5('negr:'||id)`` (anchor-independent — this is what
+      keeps the join linear); the anchor probes the pool
+      ``md5('probe:'||anchor)`` and takes the best-ranked member
+      that is neither itself nor one of its positives, looking at
+      most ``probe_k`` deep.  An anchor whose whole probe window
+      conflicts (or whose sampled negative has an invalid vector)
+      is dropped — both rare and deterministic.
+
+    Scale shape: pool ranking is one window over 16 groups of the
+    id table; the probe join has fanout ``probe_k`` per anchor; the
+    anti-join against the positive set is key-partitioned.  Nothing
+    is anchor × pool quadratic.  md5-keyed choices make the oracle
+    replay exact (the q30 mixing parity pattern).
+
+    Output: (anchor, pos_id, pos_cos, neg_id, neg_cos), cosines
+    round(.,6).
+    """
+    pairs = embedding_near_duplicates_lsh(
+        emb, threshold, id_col, vec_col, dim, seed, n_bits, n_tables)
+    sym = (
+        pairs.select(F.col("doc_a").alias("anchor"),
+                     F.col("doc_b").alias("pos_id"), "cos_sim")
+        .union(pairs.select(F.col("doc_b").alias("anchor"),
+                            F.col("doc_a").alias("pos_id"), "cos_sim"))
+    )
+    # consumed twice (hardest-positive rank + negative anti-join):
+    # cut the LSH/cosine lineage once, mode-aware
+    sym = materialize_once(sym)
+    w_pos = Window.partitionBy("anchor").orderBy(
+        F.col("cos_sim").desc(), F.col("pos_id").asc())
+    pos = (
+        sym.withColumn("prn", F.row_number().over(w_pos))
+        .filter(F.col("prn") == 1)
+        .select("anchor", "pos_id", F.col("cos_sim").alias("pos_cos"))
+    )
+
+    ranked = emb.select(
+        F.col(id_col).alias("nid"),
+        F.substring(F.md5(F.concat(
+            F.lit("negb:"), F.col(id_col).cast("string"))), 1, 1)
+        .alias("bucket"),
+        F.md5(F.concat(
+            F.lit("negr:"), F.col(id_col).cast("string"))).alias("rk"),
+    )
+    w_b = Window.partitionBy("bucket").orderBy("rk", "nid")
+    top = (
+        ranked.withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= probe_k)
+        .select("bucket", "nid", "rn")
+    )
+    probe = pos.withColumn(
+        "bucket",
+        F.substring(F.md5(F.concat(
+            F.lit("probe:"), F.col("anchor").cast("string"))), 1, 1))
+    cand = (
+        probe.join(top, "bucket")
+        .filter(F.col("nid") != F.col("anchor"))
+        .join(sym.select("anchor", F.col("pos_id").alias("nid"))
+              .distinct(),
+              ["anchor", "nid"], "left_anti")
+    )
+    w_neg = Window.partitionBy("anchor").orderBy("rn")
+    neg = (
+        cand.withColumn("nrn", F.row_number().over(w_neg))
+        .filter(F.col("nrn") == 1)
+        .select("anchor", "pos_id", "pos_cos",
+                F.col("nid").alias("neg_id"))
+    )
+    neg_scored = _score_pairs(
+        emb,
+        neg.select(F.col("anchor").alias("vec_id"),
+                   F.col("neg_id").alias("neighbor_id")),
+        id_col, vec_col,
+    ).select(F.col("vec_id").alias("anchor"),
+             F.col("neighbor_id").alias("neg_id"),
+             F.col("cos_sim").alias("neg_cos"))
+    return neg.join(neg_scored, ["anchor", "neg_id"]).select(
+        "anchor", "pos_id", "pos_cos", "neg_id", "neg_cos")
+
+
 def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
