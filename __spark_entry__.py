@@ -626,14 +626,20 @@ def _entity_edges_cte() -> str:
         )"""
 
 
-def _kg_pagerank_sql(iterations: int = 5, damping: float = 0.85,
-                     quantize: int = 9) -> str:
-    """Unrolled-CTE replay of graphstats.entity_pagerank's quantized
+def _pagerank_sql(edges_cte: str, final_select: str,
+                  weight: str = "n_evidence",
+                  iterations: int = 5, damping: float = 0.85,
+                  quantize: int = 9) -> str:
+    """Unrolled-CTE replay of graphstats.weighted_pagerank's quantized
     fixpoint: per-iteration ``round(., quantize)`` makes the rank
     vector identical under any summation order, so the only float ops
     that must agree bitwise are products/divisions (IEEE-deterministic
     in both engines) and the literals (1e0/0.85e0 parse to the same
-    doubles Python computes)."""
+    doubles Python computes).
+
+    ``edges_cte`` must leave a CTE named ``edges(src, dst, weight)``
+    in scope; ``final_select`` is a format string receiving ``prev``
+    (the last rank CTE's name)."""
     d = f"{damping!r}e0"
     steps = []
     prev = "r0"
@@ -659,7 +665,7 @@ def _kg_pagerank_sql(iterations: int = 5, damping: float = 0.85,
         )""")
         prev = f"r{i}"
     return f"""
-        with {_entity_edges_cte()},
+        with {edges_cte},
         nodes as (
             select src as node from edges
             union
@@ -667,12 +673,12 @@ def _kg_pagerank_sql(iterations: int = 5, damping: float = 0.85,
         ),
         nn as (select cast(count(*) as double) as n from nodes),
         outw as (
-            select src, sum(n_evidence) as out_w
+            select src, sum({weight}) as out_w
             from edges group by 1
         ),
         frac as (
             select e.src, e.dst,
-                   cast(e.n_evidence as double)
+                   cast(e.{weight} as double)
                      / cast(o.out_w as double) as frac
             from edges e join outw o using (src)
         ),
@@ -681,11 +687,142 @@ def _kg_pagerank_sql(iterations: int = 5, damping: float = 0.85,
                                {quantize}) as rank
             from nodes
         ),{",".join(steps)}
-        select string_split(node, '␟')[1] as ne_type,
-               string_split(node, '␟')[2] as canonical,
-               rank
-        from {prev}
+        {final_select.format(prev=prev)}
     """
+
+
+def _kg_pagerank_sql(iterations: int = 5, damping: float = 0.85,
+                     quantize: int = 9) -> str:
+    """Entity-salience instance of :func:`_pagerank_sql` (mirrors
+    graphstats.entity_pagerank)."""
+    return _pagerank_sql(
+        _entity_edges_cte(),
+        """select string_split(node, '␟')[1] as ne_type,
+                  string_split(node, '␟')[2] as canonical,
+                  rank
+           from {prev}""",
+        "n_evidence", iterations, damping, quantize)
+
+
+# deterministic synthetic crawl pages for the link-family queries
+# (q43-q46): the corpus text carries no anchors, so (url, html) are
+# synthesized arithmetically from doc_id — same expressions on both
+# engines (the q40 input-synthesis pattern).  Includes a mailto link
+# (host-parse drop), link-free pages (sparse outlink table), and a
+# never-crawled host (crawl.example.lv, frontier-only).
+_LINK_PAGES_CTE = """hosts(h, i) as (values
+            ('news.example.lv', 0), ('blog.example.com', 1),
+            ('wiki.example.org', 2)),
+        pages as (
+            select
+                'https://' || hs.h || '/doc/'
+                    || cast(d.doc_id as varchar) as src_url,
+                case when d.doc_id % 11 = 0 then
+                    '<html><body><p>no links</p></body></html>'
+                else
+                    '<html><body><p>s</p>'
+                    || '<a href="https://crawl.example.lv/doc/'
+                    || cast((d.doc_id * 31 + 7) % 1000 as varchar)
+                    || '">ref</a>'
+                    || '<a href="https://' || ha.h || '/d/'
+                    || cast(d.doc_id % 50 as varchar)
+                    || '" rel="nofollow">mirror</a>'
+                    || case when d.doc_id % 7 = 0 then
+                        '<a href="mailto:x@example.com">mail</a>'
+                       else '' end
+                    || '</body></html>'
+                end as html
+            from documents d
+            join hosts hs on hs.i = d.doc_id % 3
+            join hosts ha on ha.i = (d.doc_id * 17 + 3) % 3
+        )"""
+
+# ... through extract_links: one row per <a> tag
+_LINK_EDGES_CTE = _LINK_PAGES_CTE + """,
+        tags as (
+            select src_url, unnest(regexp_extract_all(html,
+                '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) as tag
+            from pages
+        ),
+        links as (
+            select src_url,
+                   regexp_extract(tag, 'href="([^"]*)"', 1)
+                       as dst_url,
+                   regexp_extract(tag, '>([^<]*)<', 1)
+                       as anchor_text
+            from tags
+        )"""
+
+# ... through host_link_graph (mailto/relative dst and unparsable
+# src drop here, matching links.host_link_graph)
+_HOST_GRAPH_CTE = _LINK_EDGES_CTE + """,
+        hosted as (
+            select
+                lower(regexp_extract(src_url,
+                    '^https?://([^/?#]+)', 1)) as src_host,
+                lower(regexp_extract(dst_url,
+                    '^https?://([^/?#]+)', 1)) as dst_host,
+                dst_url
+            from links
+        ),
+        hostgraph as (
+            select src_host, dst_host,
+                   cast(count(*) as bigint) as n_links,
+                   cast(count(distinct dst_url) as bigint)
+                       as n_unique_dst
+            from hosted
+            where src_host <> '' and dst_host <> ''
+            group by src_host, dst_host
+        )"""
+
+
+def _host_pagerank_sql(iterations: int = 5, damping: float = 0.85,
+                       quantize: int = 9) -> str:
+    """Host-quality instance of :func:`_pagerank_sql` (mirrors
+    links.host_pagerank: self-edges dropped, weighted by n_links)."""
+    return _pagerank_sql(
+        _HOST_GRAPH_CTE + """,
+        edges as (
+            select src_host as src, dst_host as dst, n_links
+            from hostgraph where src_host <> dst_host
+        )""",
+        "select node as host, rank from {prev}",
+        "n_links", iterations, damping, quantize)
+
+
+def _link_pages(d: DataFrame) -> DataFrame:
+    """Spark side of the q43-q46 synthetic crawl corpus — the exact
+    arithmetic of ``_LINK_PAGES_CTE`` over the documents table."""
+    hosts = F.array(F.lit("news.example.lv"),
+                    F.lit("blog.example.com"),
+                    F.lit("wiki.example.org"))
+    src = F.concat(
+        F.lit("https://"),
+        F.element_at(hosts, (F.pmod("doc_id", F.lit(3)) + 1)
+                     .cast("int")),
+        F.lit("/doc/"), F.col("doc_id").cast("string"))
+    a1 = F.concat(
+        F.lit('<a href="https://crawl.example.lv/doc/'),
+        F.pmod(F.col("doc_id") * 31 + 7, F.lit(1000))
+        .cast("string"),
+        F.lit('">ref</a>'))
+    a2 = F.concat(
+        F.lit('<a href="https://'),
+        F.element_at(hosts, (F.pmod(F.col("doc_id") * 17 + 3,
+                                    F.lit(3)) + 1).cast("int")),
+        F.lit("/d/"),
+        F.pmod("doc_id", F.lit(50)).cast("string"),
+        F.lit('" rel="nofollow">mirror</a>'))
+    a3 = F.when(F.pmod("doc_id", F.lit(7)) == 0,
+                F.lit('<a href="mailto:x@example.com">mail</a>')) \
+         .otherwise(F.lit(""))
+    html = F.when(
+        F.pmod("doc_id", F.lit(11)) == 0,
+        F.lit("<html><body><p>no links</p></body></html>")) \
+        .otherwise(F.concat(
+            F.lit("<html><body><p>s</p>"), a1, a2, a3,
+            F.lit("</body></html>")))
+    return d.select(src.alias("url"), html.alias("html"))
 
 
 def _kg_graph_stats_sql(k: int = 16) -> str:
@@ -1507,43 +1644,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (operators/links.py): real JVM-regex extraction over an
         # html column; the corpus html carries no anchors, so the
         # test surface synthesizes them deterministically from
-        # doc_id arithmetic (the q40 input-synthesis pattern) —
-        # including a mailto link (host-parse drop) and link-free
-        # pages (sparse outlink table)
+        # doc_id arithmetic (_link_pages — the q40 input-synthesis
+        # pattern), including a mailto link (host-parse drop) and
+        # link-free pages (sparse outlink table)
         from tildener_spark.operators.links import (
             extract_links, host_link_graph)
-        d = _docs(spark, sf)
-        hosts = F.array(F.lit("news.example.lv"),
-                        F.lit("blog.example.com"),
-                        F.lit("wiki.example.org"))
-        src = F.concat(
-            F.lit("https://"),
-            F.element_at(hosts, (F.pmod("doc_id", F.lit(3)) + 1)
-                         .cast("int")),
-            F.lit("/doc/"), F.col("doc_id").cast("string"))
-        a1 = F.concat(
-            F.lit('<a href="https://crawl.example.lv/doc/'),
-            F.pmod(F.col("doc_id") * 31 + 7, F.lit(1000))
-            .cast("string"),
-            F.lit('">ref</a>'))
-        a2 = F.concat(
-            F.lit('<a href="https://'),
-            F.element_at(hosts, (F.pmod(F.col("doc_id") * 17 + 3,
-                                        F.lit(3)) + 1).cast("int")),
-            F.lit("/d/"),
-            F.pmod("doc_id", F.lit(50)).cast("string"),
-            F.lit('" rel="nofollow">mirror</a>'))
-        a3 = F.when(F.pmod("doc_id", F.lit(7)) == 0,
-                    F.lit('<a href="mailto:x@example.com">mail</a>')) \
-             .otherwise(F.lit(""))
-        html = F.when(
-            F.pmod("doc_id", F.lit(11)) == 0,
-            F.lit("<html><body><p>no links</p></body></html>")) \
-            .otherwise(F.concat(
-                F.lit("<html><body><p>s</p>"), a1, a2, a3,
-                F.lit("</body></html>")))
-        pages = d.select(src.alias("url"), html.alias("html"))
-        return host_link_graph(extract_links(pages))
+        return host_link_graph(
+            extract_links(_link_pages(_docs(spark, sf))))
+
+    def q44_anchor_text(spark, sf):
+        # per-target anchor-text profile (operators/links.py
+        # anchor_text_stats): inlink counts, distinct referring
+        # hosts, and the majority anchor text per dst url
+        from tildener_spark.operators.links import (
+            anchor_text_stats, extract_links)
+        return anchor_text_stats(
+            extract_links(_link_pages(_docs(spark, sf))))
+
+    def q45_host_pagerank(spark, sf):
+        # host-quality PageRank over the link graph
+        # (operators/links.py host_pagerank -> shared
+        # graphstats.weighted_pagerank quantized fixpoint); the
+        # frontier-only host (crawl.example.lv) is a pure rank sink
+        from tildener_spark.operators.links import (
+            extract_links, host_link_graph, host_pagerank)
+        return host_pagerank(host_link_graph(
+            extract_links(_link_pages(_docs(spark, sf)))))
+
+    def q46_crawl_frontier(spark, sf):
+        # frontier scheduling (operators/links.py crawl_frontier):
+        # never-crawled http(s) targets ranked by inlink count,
+        # capped per host, carrying the host-PageRank prior
+        from tildener_spark.operators.links import (
+            crawl_frontier, extract_links, host_link_graph,
+            host_pagerank)
+        links = extract_links(_link_pages(_docs(spark, sf)))
+        ranks = host_pagerank(host_link_graph(links))
+        return crawl_frontier(links, ranks, per_host=10)
 
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
@@ -2129,6 +2266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_lm_perplexity": q41_lm_perplexity,
         "q42_contrastive_mining": q42_contrastive_mining,
         "q43_link_graph": q43_link_graph,
+        "q44_anchor_text": q44_anchor_text,
+        "q45_host_pagerank": q45_host_pagerank,
+        "q46_crawl_frontier": q46_crawl_frontier,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -2656,60 +2796,85 @@ def oracle_sql() -> dict[str, str]:
         # common Java/RE2 subset by construction; both engines
         # return '' on no match, so the mailto row drops the same
         # way)
-        "q43_link_graph": """
-            with hosts(h, i) as (values
-                ('news.example.lv', 0), ('blog.example.com', 1),
-                ('wiki.example.org', 2)),
-            pages as (
-                select
-                    'https://' || hs.h || '/doc/'
-                        || cast(d.doc_id as varchar) as src_url,
-                    case when d.doc_id % 11 = 0 then
-                        '<html><body><p>no links</p></body></html>'
-                    else
-                        '<html><body><p>s</p>'
-                        || '<a href="https://crawl.example.lv/doc/'
-                        || cast((d.doc_id * 31 + 7) % 1000 as varchar)
-                        || '">ref</a>'
-                        || '<a href="https://' || ha.h || '/d/'
-                        || cast(d.doc_id % 50 as varchar)
-                        || '" rel="nofollow">mirror</a>'
-                        || case when d.doc_id % 7 = 0 then
-                            '<a href="mailto:x@example.com">mail</a>'
-                           else '' end
-                        || '</body></html>'
-                    end as html
-                from documents d
-                join hosts hs on hs.i = d.doc_id % 3
-                join hosts ha on ha.i = (d.doc_id * 17 + 3) % 3
+        "q43_link_graph": f"""
+            with {_HOST_GRAPH_CTE}
+            select * from hostgraph
+        """,
+        # anchor-text profile: (dst, anchor) majority vote with the
+        # (count desc, text asc) tie-break replayed via row_number
+        "q44_anchor_text": f"""
+            with {_LINK_EDGES_CTE},
+            per as (
+                select dst_url, anchor_text,
+                       cast(count(*) as bigint) as n
+                from links where anchor_text <> ''
+                group by 1, 2
             ),
-            tags as (
-                select src_url, unnest(regexp_extract_all(html,
-                    '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) as tag
-                from pages
+            top as (
+                select dst_url, anchor_text as top_anchor,
+                       n as top_anchor_refs
+                from (
+                    select *, row_number() over (
+                        partition by dst_url
+                        order by n desc, anchor_text asc) as rn
+                    from per
+                ) where rn = 1
             ),
-            links as (
-                select src_url,
-                       regexp_extract(tag, 'href="([^"]*)"', 1)
-                           as dst_url
-                from tags
-            ),
-            hosted as (
-                select
-                    lower(regexp_extract(src_url,
-                        '^https?://([^/?#]+)', 1)) as src_host,
-                    lower(regexp_extract(dst_url,
-                        '^https?://([^/?#]+)', 1)) as dst_host,
-                    dst_url
-                from links
+            tot as (
+                select dst_url,
+                       cast(count(*) as bigint) as n_refs,
+                       cast(count(distinct
+                           lower(regexp_extract(src_url,
+                               '^https?://([^/?#]+)', 1)))
+                           as bigint) as n_src_hosts
+                from links group by 1
             )
-            select src_host, dst_host,
-                   cast(count(*) as bigint) as n_links,
-                   cast(count(distinct dst_url) as bigint)
-                       as n_unique_dst
-            from hosted
-            where src_host <> '' and dst_host <> ''
-            group by src_host, dst_host
+            select t.dst_url, t.n_refs, t.n_src_hosts,
+                   coalesce(top.top_anchor, '') as top_anchor,
+                   cast(coalesce(top.top_anchor_refs, 0) as bigint)
+                       as top_anchor_refs
+            from tot t left join top using (dst_url)
+        """,
+        # host PageRank: the shared quantized-fixpoint replay over
+        # the host graph (self-edges dropped, n_links weights)
+        "q45_host_pagerank": _host_pagerank_sql(),
+        # crawl frontier: anti-join against the fetched set + the
+        # per-host (n_refs desc, url) priority window; host ranks
+        # come from the nested pagerank replay (left join keeps
+        # rankless frontier hosts at 0.0)
+        "q46_crawl_frontier": f"""
+            with {_LINK_EDGES_CTE},
+            fetched as (select distinct src_url as dst_url
+                        from links),
+            cand as (
+                select lower(regexp_extract(dst_url,
+                           '^https?://([^/?#]+)', 1)) as host,
+                       dst_url,
+                       cast(count(*) as bigint) as n_refs
+                from links
+                where lower(regexp_extract(dst_url,
+                          '^https?://([^/?#]+)', 1)) <> ''
+                group by 1, 2
+            ),
+            front as (
+                select c.* from cand c
+                where not exists (select 1 from fetched f
+                                  where f.dst_url = c.dst_url)
+            ),
+            pr as ({_host_pagerank_sql()}),
+            scored as (
+                select f.host, f.dst_url, f.n_refs,
+                       coalesce(pr.rank, 0e0) as host_rank
+                from front f left join pr on pr.host = f.host
+            )
+            select host, dst_url, n_refs, host_rank,
+                   cast(priority as int) as priority
+            from (
+                select *, row_number() over (
+                    partition by host
+                    order by n_refs desc, dst_url asc) as priority
+                from scored
+            ) where priority <= 10
         """,
         # Stupid-Backoff bigram LM (lm.py): probabilities are
         # integer-count ratios; ln/avg wobble << the round(.,6)

@@ -62,10 +62,16 @@ def split_node(df: DataFrame, col: str = "node") -> DataFrame:
     )
 
 
-def entity_pagerank(edges: DataFrame, iterations: int = 5,
-                    damping: float = 0.85,
-                    quantize: int = 9) -> DataFrame:
-    """Evidence-weighted PageRank by iterative DataFrame joins.
+def weighted_pagerank(edges: DataFrame,
+                      weight_col: str = "n_evidence",
+                      iterations: int = 5,
+                      damping: float = 0.85,
+                      quantize: int = 9) -> DataFrame:
+    """Weighted PageRank by iterative DataFrame joins over any
+    ``(src, dst, weight)`` edge list -> ``(node, rank)``.
+
+    Shared core for :func:`entity_pagerank` (KG salience) and
+    ``links.host_pagerank`` (host-quality prior over the web graph).
 
     Semantics (the quantization is part of the operator contract, not
     an implementation detail — it is what makes the fixpoint
@@ -95,17 +101,16 @@ def entity_pagerank(edges: DataFrame, iterations: int = 5,
     )
     n = nodes.count()
     if n == 0:
-        return split_node(
-            nodes.withColumn("rank", F.lit(0.0))
-        ).select("ne_type", "canonical", "rank")
+        return nodes.withColumn("rank", F.lit(0.0)) \
+            .select("node", "rank")
 
     out_w = edges.groupBy("src").agg(
-        F.sum("n_evidence").alias("out_w"))
+        F.sum(weight_col).alias("out_w"))
     frac = (
         edges.join(out_w, "src")
         .select(
             "src", "dst",
-            (F.col("n_evidence").cast("double")
+            (F.col(weight_col).cast("double")
              / F.col("out_w").cast("double")).alias("frac"))
         .repartition("src")
         .persist()
@@ -149,10 +154,21 @@ def entity_pagerank(edges: DataFrame, iterations: int = 5,
         ranks.unpersist()
         ranks = new_ranks
 
-    out = split_node(ranks).select("ne_type", "canonical", "rank")
+    out = ranks.select("node", "rank")
     for df in (nodes, frac, src_nodes):
         df.unpersist()
     return out
+
+
+def entity_pagerank(edges: DataFrame, iterations: int = 5,
+                    damping: float = 0.85,
+                    quantize: int = 9) -> DataFrame:
+    """Evidence-weighted entity-salience PageRank over the canonical
+    KG edge list (:func:`entity_edges`) -> (ne_type, canonical,
+    rank).  Thin wrapper over :func:`weighted_pagerank`."""
+    pr = weighted_pagerank(edges, "n_evidence", iterations, damping,
+                           quantize)
+    return split_node(pr).select("ne_type", "canonical", "rank")
 
 
 def entity_timeline(canon_triples: DataFrame,
