@@ -1682,6 +1682,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranks = host_pagerank(host_link_graph(links))
         return crawl_frontier(links, ranks, per_host=10)
 
+    def q47_warc_roundtrip(spark, sf):
+        # WARC source/sink round trip (sources/warc.py): pages are
+        # packed into Common-Crawl-layout WARC bytes (one gzip member
+        # per record: response w/ HTTP headers + WET conversion)
+        # executor-side, parsed back by the streaming parser, and the
+        # payloads re-emitted — the oracle rebuilds the expected
+        # payload digests straight from documents, so any framing,
+        # Content-Length, gzip-member, or date-format defect breaks
+        # the hash.  Epoch seconds (not timestamps) cross the Arrow
+        # boundary, so the check is session-timezone-proof.
+        import pandas as pd  # noqa: F811 (worker-side import)
+
+        from tildener_spark.sources.tables import pages_from_documents
+        from tildener_spark.sources import warc as W
+
+        pages = pages_from_documents(spark, sf).select(
+            "url", F.col("warc_ts").cast("long").alias("epoch"),
+            "html", "text",
+            F.pmod(F.xxhash64("url"), F.lit(16)).alias("file_id"))
+
+        def roundtrip(pdf: pd.DataFrame) -> pd.DataFrame:
+            from datetime import datetime, timezone as tz
+            import calendar
+            recs = []
+            for r in pdf.sort_values("url").itertuples(index=False):
+                when = datetime.fromtimestamp(int(r.epoch), tz.utc) \
+                    .replace(tzinfo=None)
+                recs.append(W.response_record(r.url, bytes(r.html), when))
+                recs.append(W.conversion_record(r.url, r.text, when))
+            blob = W.build_warc(recs, gz=True)
+            rows = []
+            for rec in W.iter_warc_records(blob):
+                if rec.warc_type == "warcinfo":
+                    continue
+                body = (rec.http_body() if rec.warc_type == "response"
+                        else rec.payload)
+                rows.append((rec.target_uri, rec.warc_type,
+                             calendar.timegm(rec.date.timetuple()), body))
+            return pd.DataFrame(
+                rows, columns=["url", "kind", "epoch", "payload"])
+
+        parsed = pages.groupBy("file_id").applyInPandas(
+            roundtrip,
+            schema="url string, kind string, epoch long, payload binary")
+        return parsed.select(
+            "url", "kind", "epoch",
+            F.length("payload").alias("n_bytes"),
+            F.md5("payload").alias("payload_md5"))
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -2269,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_anchor_text": q44_anchor_text,
         "q45_host_pagerank": q45_host_pagerank,
         "q46_crawl_frontier": q46_crawl_frontier,
+        "q47_warc_roundtrip": q47_warc_roundtrip,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -2875,6 +2925,31 @@ def oracle_sql() -> dict[str, str]:
                     order by n_refs desc, dst_url asc) as priority
                 from scored
             ) where priority <= 10
+        """,
+        # WARC round trip (sources/warc.py): the oracle rebuilds the
+        # expected record payloads (html wrap per
+        # sources/tables.py pages_from_documents, WET text verbatim)
+        # directly from documents — the Spark side must survive
+        # build→gzip-members→parse to produce the same digests.
+        "q47_warc_roundtrip": """
+            with p as (
+                select 'doc://' || source || '/' || doc_id as url,
+                       cast(1704067200 + doc_id as bigint) as epoch,
+                       '<html><head><title>d</title></head><body><p>'
+                         || replace(text, '&', '&amp;')
+                         || '</p></body></html>' as html_str,
+                       text
+                from documents
+            )
+            select url, 'response' as kind, epoch,
+                   cast(octet_length(encode(html_str)) as int) as n_bytes,
+                   md5(html_str) as payload_md5
+            from p
+            union all
+            select url, 'conversion' as kind, epoch,
+                   cast(octet_length(encode(text)) as int) as n_bytes,
+                   md5(text) as payload_md5
+            from p
         """,
         # Stupid-Backoff bigram LM (lm.py): probabilities are
         # integer-count ratios; ln/avg wobble << the round(.,6)
