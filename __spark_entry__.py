@@ -1731,6 +1731,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("payload").alias("n_bytes"),
             F.md5("payload").alias("payload_md5"))
 
+    def q48_dup_span_removal(spark, sf):
+        # ExactSubstr-style cross-doc duplicated-span removal (Lee
+        # et al. 2022) at token granularity (operators/dedup.py
+        # dup_span_removal): shared 5-token windows mark ranges,
+        # ranges merge into maximal spans, spans are cut out and the
+        # unique remainder re-emitted.  Spark detects duplicates on
+        # 8-byte xxhash64 window keys (the 100 TB shuffle shape); the
+        # oracle joins literal grams — outputs agree because no gram
+        # key reaches the output.
+        from tildener_spark.operators.dedup import dup_span_removal
+        return dup_span_removal(_docs(spark, sf), n=5)
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -2319,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_host_pagerank": q45_host_pagerank,
         "q46_crawl_frontier": q46_crawl_frontier,
         "q47_warc_roundtrip": q47_warc_roundtrip,
+        "q48_dup_span_removal": q48_dup_span_removal,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -2950,6 +2963,85 @@ def oracle_sql() -> dict[str, str]:
                    cast(octet_length(encode(text)) as int) as n_bytes,
                    md5(text) as payload_md5
             from p
+        """,
+        # ExactSubstr dup-span removal (dedup.py dup_span_removal):
+        # literal 5-grams here vs xxhash64 keys Spark-side — equal
+        # outputs because gram keys never reach the output columns
+        "q48_dup_span_removal": r"""
+            with tk as (
+                select doc_id,
+                       case when trim(text) = ''
+                            then cast([] as varchar[])
+                            else string_split_regex(
+                                trim(text), '[ \t\n\x0b\f\r]+')
+                       end as toks
+                from documents
+            ),
+            grams as (
+                select doc_id, cast(i - 1 as int) as pos,
+                       array_to_string(toks[i:i+4], ' ') as gram
+                from (select doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) as i
+                      from tk)
+            ),
+            shared as (
+                select gram from grams group by gram
+                having count(distinct doc_id) >= 2
+            ),
+            hits as (select g.doc_id, g.pos
+                     from grams g join shared s using (gram)),
+            marked as (
+                select doc_id, pos,
+                       case when pos > coalesce(max(pos + 5) over (
+                                partition by doc_id order by pos
+                                rows between unbounded preceding
+                                         and 1 preceding), -1)
+                            then 1 else 0 end as is_start
+                from hits
+            ),
+            islands as (
+                select doc_id, pos,
+                       sum(is_start) over (
+                           partition by doc_id order by pos
+                           rows between unbounded preceding
+                                    and current row) as isl
+                from marked
+            ),
+            spans as (
+                select doc_id, min(pos) as s, max(pos) + 5 as e
+                from islands group by doc_id, isl
+            ),
+            doc_spans as (
+                select doc_id, cast(count(*) as bigint) as n_spans,
+                       cast(sum(e - s) as bigint) as dup_tokens
+                from spans group by doc_id
+            ),
+            toks_pos as (
+                select doc_id, cast(i - 1 as int) as pos, toks[i] as tok
+                from (select doc_id, toks,
+                             unnest(generate_series(1, len(toks))) as i
+                      from tk)
+            ),
+            kept as (
+                select t.doc_id,
+                       string_agg(t.tok, ' ' order by t.pos) as kt
+                from toks_pos t
+                where not exists (select 1 from spans sp
+                                  where sp.doc_id = t.doc_id
+                                    and t.pos >= sp.s and t.pos < sp.e)
+                group by t.doc_id
+            )
+            select tk.doc_id,
+                   cast(len(tk.toks) as bigint) as n_tokens,
+                   coalesce(ds.n_spans, 0) as n_spans,
+                   coalesce(ds.dup_tokens, 0) as dup_tokens,
+                   case when len(tk.toks) > 0
+                        then round(coalesce(ds.dup_tokens, 0)
+                                   / len(tk.toks), 6)
+                        else 0.0 end as dup_ratio,
+                   coalesce(k.kt, '') as kept_text
+            from tk left join doc_spans ds using (doc_id)
+                    left join kept k using (doc_id)
         """,
         # Stupid-Backoff bigram LM (lm.py): probabilities are
         # integer-count ratios; ln/avg wobble << the round(.,6)

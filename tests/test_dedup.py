@@ -89,3 +89,50 @@ def test_cross_doc_dup_score(spark):
     assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] == 0.0
     for r in out.values():
         assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_dup_span_removal(spark):
+    """ExactSubstr-style span cutting (Lee et al. 2022): shared
+    5-token windows merge into maximal spans and are removed; the
+    unique remainder survives token-exactly; within-doc repeats of a
+    cross-doc gram are all removed; empty/short docs pass through."""
+    from tildener_spark.operators.dedup import dup_span_removal
+    rows = [
+        (1, "SHARED HEADER LINE ONE TWO unique alpha beta gamma delta"),
+        (2, "SHARED HEADER LINE ONE TWO other content here now ok"),
+        (3, "totally unique document with no overlap at all whatsoever"),
+        (4, ""),
+        (5, "short doc"),
+        (6, "x y SHARED HEADER LINE ONE TWO z SHARED HEADER "
+            "LINE ONE TWO tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_removal(docs, n=5).collect()}
+    assert len(out) == 6
+    assert out[1]["kept_text"] == "unique alpha beta gamma delta"
+    assert out[2]["kept_text"] == "other content here now ok"
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 5
+    assert out[1]["dup_ratio"] == 0.5
+    # unique doc untouched
+    assert out[3]["kept_text"] == rows[2][1] and out[3]["n_spans"] == 0
+    # empty + shorter-than-n docs survive unchanged
+    assert out[4]["kept_text"] == "" and out[4]["n_tokens"] == 0
+    assert out[5]["kept_text"] == "short doc" and out[5]["dup_ratio"] == 0.0
+    # both occurrences inside doc 6 are cut; spans don't merge across
+    # the 'z' gap
+    assert out[6]["kept_text"] == "x y z tail"
+    assert out[6]["n_spans"] == 2 and out[6]["dup_tokens"] == 10
+
+
+def test_dup_span_removal_overlap_merge(spark):
+    """Overlapping windows coalesce into ONE maximal span: a 7-token
+    run shared between two docs yields three 5-gram hits (pos 0,1,2)
+    merging to a single [0,7) span, not three."""
+    from tildener_spark.operators.dedup import dup_span_removal
+    run = "a b c d e f g"
+    rows = [(1, run + " uniq1 uniq2"), (2, run + " cits gals te")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_removal(docs, n=5).collect()}
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 7
+    assert out[1]["kept_text"] == "uniq1 uniq2"
+    assert out[2]["kept_text"] == "cits gals te"

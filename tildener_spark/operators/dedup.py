@@ -356,3 +356,103 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_span_removal(docs: DataFrame, n: int = 5,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-SPAN removal (the ExactSubstr dedup
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", at token granularity): any n-token window that
+    also appears in another document marks its token range as
+    duplicated; overlapping/adjacent ranges merge into maximal spans;
+    the document is re-emitted with those spans cut out.
+
+    Where :func:`cross_doc_dup_score` only *measures* cross-doc
+    duplication and :func:`near_dup_clusters` drops whole documents,
+    this is the surgical variant that keeps the unique remainder of
+    every document — the form actually used for LLM training corpora
+    (a boilerplate header shared by 10k pages disappears from all of
+    them, the articles underneath survive).
+
+    Output, one row per input doc:
+      (doc_id, n_tokens, n_spans, dup_tokens, dup_ratio, kept_text)
+    kept_text is the space-join of surviving tokens (token-granular
+    reconstruction; original inter-token whitespace is not kept).
+
+    Scale shape: windows carry an 8-byte xxhash64 key, not the gram
+    string, so the duplicate-detection shuffle moves fixed-width keys
+    (the DuckDB oracle joins the literal grams — the output contains
+    no gram keys, so the two agree unless xxhash64 collides, ~n²/2⁶⁴).
+    Cost: one hash aggregate over windows, one join back, two
+    doc-local ordered-window passes; span merge and reconstruction
+    are higher-order array ops on the doc row — no per-token shuffle,
+    no UDF.  Tokens are case-sensitive (exact-substring semantics);
+    the whitespace class is the pinned WS_RE."""
+    toks_col = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), WS_RE))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       toks_col.alias("toks"))
+
+    grams = (
+        base.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(0, size(toks) - {n}), "
+                f"i -> struct(i as pos, "
+                f"xxhash64(concat_ws(' ', slice(toks, i + 1, {n}))) as gk))"
+            )).alias("g"))
+        .select("doc_id", "g.pos", "g.gk")
+    )
+    shared = (
+        grams.groupBy("gk")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gk")
+    )
+    hits = grams.join(shared, "gk").select("doc_id", "pos")
+
+    # gaps-and-islands: a hit opens a new span iff it starts past the
+    # furthest end seen so far in this doc (adjacent spans merge)
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    islands = (
+        hits
+        .withColumn("_new", (F.col("pos") > F.coalesce(
+            F.max(F.col("pos") + n).over(w_prev), F.lit(-1))).cast("int"))
+        .withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
+    )
+    doc_spans = (
+        islands.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+             .alias("spans"),
+             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+             F.sum(F.col("e") - F.col("s")).cast("bigint")
+             .alias("dup_tokens"))
+    )
+
+    out = base.join(doc_spans, "doc_id", "left")
+    kept_text = F.expr(
+        "concat_ws(' ', transform(filter("
+        "  transform(toks, (t, i) -> struct(t as t, i as i)),"
+        "  x -> spans is null or"
+        "       not exists(spans, sp -> x.i >= sp.s and x.i < sp.e)"
+        "), x -> x.t))")
+    return out.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.when(F.size("toks") > 0,
+               F.round(F.coalesce("dup_tokens", F.lit(0))
+                       / F.size("toks"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_ratio"),
+        kept_text.alias("kept_text"),
+    )
