@@ -825,6 +825,80 @@ def _link_pages(d: DataFrame) -> DataFrame:
     return d.select(src.alias("url"), html.alias("html"))
 
 
+# q49 synthetic robots corpus: four hosts exercising the RFC 9309
+# surface — comments, blank lines, case-insensitive fields, multi-UA
+# groups, non-star groups (ignored), empty Disallow (dropped), ``*``
+# wildcards, ``$`` anchors, longest-match precedence and the
+# equal-length allow-beats-disallow tie (blog's /public pair), a host
+# whose only group is agent-specific (wiki → everything allowed), and
+# a host with no robots.txt at all (crawl → left-join allow).
+_ROBOTS_TXT = {
+    "news.example.lv": "\n".join([
+        "# news site robots",
+        "user-Agent: Googlebot",
+        "Disallow: /private/",
+        "",
+        "User-agent: *",
+        "User-Agent: tildebot",
+        "Disallow: /tmp/",
+        "Allow: /tmp/public*",
+        "Disallow: /*.pdf$",
+        "Disallow:",
+        "Allow: /doc/",
+        "Disallow: /doc/4",
+        "Crawl-delay: 2",
+    ]),
+    "blog.example.com": "\n".join([
+        "User-agent: *",
+        "Disallow: /",
+        "Allow: /public",
+        "Disallow: /public",
+    ]),
+    "wiki.example.org": "\n".join([
+        "User-agent: bingbot",
+        "Disallow: /",
+    ]),
+}
+
+_ROBOTS_HOSTS = ["news.example.lv", "blog.example.com",
+                 "wiki.example.org", "crawl.example.lv"]
+
+
+def _robots_urls(d: DataFrame) -> DataFrame:
+    """Spark side of the q49 synthetic URL set — host from
+    ``doc_id div 8 mod 4``, path class from ``doc_id mod 8`` (every
+    host sees every path class), doc_id embedded for uniqueness."""
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _ROBOTS_HOSTS]),
+        (F.pmod(F.expr("doc_id div 8"), F.lit(4)) + 1).cast("int"))
+    did = F.col("doc_id").cast("string")
+    m = F.pmod("doc_id", F.lit(8))
+    path = (
+        F.when(m == 0, F.concat(F.lit("/doc/"), did))
+        .when(m == 1, F.concat(F.lit("/tmp/file"), did))
+        .when(m == 2, F.concat(F.lit("/tmp/public"), did))
+        .when(m == 3, F.concat(F.lit("/report"), did, F.lit(".pdf")))
+        .when(m == 4, F.concat(F.lit("/report"), did,
+                               F.lit(".pdf?dl=1")))
+        .when(m == 5, F.concat(F.lit("/public/post/"), did))
+        .when(m == 6, F.concat(F.lit("/p"), did))
+        .otherwise(F.concat(F.lit("/private/x"), did)))
+    return d.select(
+        F.concat(F.lit("https://"), host, path).alias("url"))
+
+
+def _robots_values_sql() -> str:
+    """DuckDB VALUES clause holding the identical robots corpus
+    (newlines rebuilt with chr(10) — no escape-string dialects)."""
+    rows = []
+    for h, txt in _ROBOTS_TXT.items():
+        body = " || chr(10) || ".join(
+            "'" + ln.replace("'", "''") + "'" if ln else "''"
+            for ln in txt.split("\n"))
+        rows.append(f"('{h}', {body})")
+    return "robots(host, txt) as (values " + ", ".join(rows) + ")"
+
+
 def _kg_graph_stats_sql(k: int = 16) -> str:
     """DuckDB mirror of graphstats.graph_degree_stats (same top-k
     neighbour cap with the (w desc, dst) deterministic tie-break)."""
@@ -1743,6 +1817,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.dedup import dup_span_removal
         return dup_span_removal(_docs(spark, sf), n=5)
 
+    def q49_robots_filter(spark, sf):
+        # RFC 9309 robots.txt parse + crawl-allow verdicts
+        # (operators/robots.py): window-function group detection over
+        # the raw robots text, rule→LIKE-pattern translation, and the
+        # longest-match / allow-tie precedence pick — all pure
+        # DataFrame ops, so the whole parse→match pipeline is exactly
+        # oracled.  The synthetic corpus (_ROBOTS_TXT / _robots_urls)
+        # covers wildcards, $ anchors, multi-UA groups, agent-scoped
+        # groups, empty rules and robots-less hosts.
+        from tildener_spark.operators.robots import (
+            parse_robots, robots_filter)
+        robots = spark.createDataFrame(
+            sorted(_ROBOTS_TXT.items()),
+            "host string, robots_txt string")
+        return robots_filter(_robots_urls(_docs(spark, sf)),
+                             parse_robots(robots))
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -2332,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_crawl_frontier": q46_crawl_frontier,
         "q47_warc_roundtrip": q47_warc_roundtrip,
         "q48_dup_span_removal": q48_dup_span_removal,
+        "q49_robots_filter": q49_robots_filter,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -3042,6 +3134,125 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.kt, '') as kept_text
             from tk left join doc_spans ds using (doc_id)
                     left join kept k using (doc_id)
+        """,
+        # robots.txt parse + crawl-allow (operators/robots.py): the
+        # raw robots corpus is inlined as VALUES, then the SAME
+        # line→group→star-group→rule pipeline runs as window SQL, the
+        # SAME rule→LIKE translation (escape '\', * → %, terminal $
+        # anchors), and the SAME longest-rule / allow-beats-disallow
+        # row_number pick — LIKE and binary string order agree across
+        # engines, so the match is exactly replayable
+        "q49_robots_filter": r"""
+            with """ + _robots_values_sql() + r""",
+            lines as (
+                select host, cast(i - 1 as int) as idx, parts[i] as raw
+                from (select host, string_split(txt, chr(10)) as parts
+                      from robots),
+                     unnest(generate_series(1, len(parts))) as t(i)
+            ),
+            fields as (
+                select host, idx, line,
+                       lower(regexp_extract(line,
+                           '^([A-Za-z-]+)[ \t\n\x0b\f\r]*:', 1)) as field,
+                       trim(regexp_extract(line,
+                           '^[A-Za-z-]+[ \t\n\x0b\f\r]*:' ||
+                           '[ \t\n\x0b\f\r]*(.*)$', 1)) as value
+                from (select host, idx,
+                             trim(regexp_replace(raw, '#.*$', '')) as line
+                      from lines)
+            ),
+            runs as (
+                select *, case when is_ua = 1 and coalesce(
+                           lag(is_ua) over (partition by host
+                                            order by idx), 0) = 0
+                      then 1 else 0 end as run_start
+                from (select *, case when field = 'user-agent'
+                                     then 1 else 0 end as is_ua
+                      from fields)
+            ),
+            gnum as (
+                select *, sum(run_start) over (
+                    partition by host order by idx
+                    rows between unbounded preceding and current row)
+                    as grp
+                from runs
+            ),
+            star_groups as (
+                select distinct host, grp from gnum
+                where is_ua = 1 and lower(value) = '*'
+            ),
+            rules as (
+                select distinct g.host, g.field as verdict,
+                       g.value as rule
+                from gnum g join star_groups s using (host, grp)
+                where g.field in ('allow', 'disallow')
+                  and g.value <> '' and g.grp >= 1
+            ),
+            pats as (
+                select host, verdict, rule,
+                       case when rule like '%$'
+                            then replace(replace(replace(replace(
+                                 substr(rule, 1, length(rule) - 1),
+                                 '\', '\\'), '%', '\%'), '_', '\_'),
+                                 '*', '%')
+                            else replace(replace(replace(replace(
+                                 rule,
+                                 '\', '\\'), '%', '\%'), '_', '\_'),
+                                 '*', '%') || '%'
+                       end as pattern
+                from rules
+            ),
+            hostlist(hid, host) as (values
+                (0, 'news.example.lv'), (1, 'blog.example.com'),
+                (2, 'wiki.example.org'), (3, 'crawl.example.lv')
+            ),
+            u as (
+                select url,
+                       lower(regexp_extract(url,
+                           '^https?://([^/?#]+)', 1)) as host,
+                       coalesce(nullif(regexp_extract(url,
+                           '^https?://[^/?#]+([^#]*)', 1), ''), '/')
+                           as path
+                from (
+                    select 'https://' || h.host ||
+                        case d.doc_id % 8
+                            when 0 then '/doc/' || d.doc_id
+                            when 1 then '/tmp/file' || d.doc_id
+                            when 2 then '/tmp/public' || d.doc_id
+                            when 3 then '/report' || d.doc_id || '.pdf'
+                            when 4 then '/report' || d.doc_id
+                                        || '.pdf?dl=1'
+                            when 5 then '/public/post/' || d.doc_id
+                            when 6 then '/p' || d.doc_id
+                            else '/private/x' || d.doc_id
+                        end as url
+                    from documents d
+                    join hostlist h on h.hid = (d.doc_id // 8) % 4
+                )
+            ),
+            cand as (
+                select u.url, p.rule, p.verdict
+                from u join pats p using (host)
+                where u.path like p.pattern escape '\'
+            ),
+            best as (
+                select url, rule as matched_rule, verdict
+                from (
+                    select *, row_number() over (
+                        partition by url
+                        order by length(rule) desc,
+                                 case when verdict = 'allow'
+                                      then 0 else 1 end,
+                                 rule asc) as rk
+                    from cand
+                ) where rk = 1
+            )
+            select u.url, u.host, u.path,
+                   coalesce(b.matched_rule, '') as matched_rule,
+                   coalesce(b.verdict, '') as verdict,
+                   coalesce(b.verdict, 'allow') <> 'disallow'
+                       as allowed
+            from u left join best b using (url)
         """,
         # Stupid-Backoff bigram LM (lm.py): probabilities are
         # integer-count ratios; ln/avg wobble << the round(.,6)
