@@ -1834,6 +1834,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return robots_filter(_robots_urls(_docs(spark, sf)),
                              parse_robots(robots))
 
+    def q50_quality_classifier(spark, sf):
+        # FineWeb/DCLM-style hashed-ngram quality classifier
+        # (operators/quality_clf.py): linear model over hashed word
+        # uni+bigram features; per-feature weights are exact integers
+        # derived from md5(seed|feature), so the document margin is
+        # an order-independent integer sum and keep ⇔ margin >= 0 is
+        # integer-exact.  Map-only (no shuffle, no UDF, no explode):
+        # the feature array, weight fold and sigmoid all run as
+        # whole-stage-codegen expressions.
+        from tildener_spark.operators.quality_clf import classify_quality
+        return classify_quality(_docs(spark, sf))
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -2424,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_warc_roundtrip": q47_warc_roundtrip,
         "q48_dup_span_removal": q48_dup_span_removal,
         "q49_robots_filter": q49_robots_filter,
+        "q50_quality_classifier": q50_quality_classifier,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -3253,6 +3266,54 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.verdict, 'allow') <> 'disallow'
                        as allowed
             from u left join best b using (url)
+        """,
+        # hashed-ngram quality classifier (quality_clf.py): the SAME
+        # md5-derived integer weights are re-derived in SQL
+        # (('0x'||hex)::bigint == Spark conv(hex,16,10) for 8 hex
+        # chars), the margin is an exact integer sum, and only the
+        # reported sigmoid touches floats — one division and one exp
+        # over bitwise-identical inputs under round(.,6)
+        "q50_quality_classifier": r"""
+            with tk as (
+                select doc_id,
+                       case when trim(text) = ''
+                            then cast([] as varchar[])
+                            else string_split_regex(
+                                lower(trim(text)), '[ \t\n\x0b\f\r]+')
+                       end as toks
+                from documents
+            ),
+            feats as (
+                select doc_id,
+                       list_concat(
+                           list_transform(toks, t -> 'u:' || t),
+                           case when len(toks) >= 2 then
+                               list_transform(
+                                   generate_series(1, len(toks) - 1),
+                                   i -> 'b:' || toks[i] || '_'
+                                        || toks[i + 1])
+                           else cast([] as varchar[]) end
+                       ) as fs
+                from tk
+            ),
+            scored as (
+                select doc_id,
+                       cast(len(fs) as bigint) as n_features,
+                       cast(coalesce(list_sum(list_transform(fs,
+                           f -> ('0x' || substring(
+                                     md5('qc50' || '|' || f), 1, 8)
+                                )::bigint - 2147483648)), 0)
+                            as bigint) as margin
+                from feats
+            )
+            select doc_id, n_features, margin,
+                   case when n_features > 0
+                        then round(1.0 / (1.0 + exp(
+                            -6.0 * (margin / (n_features
+                                              * 2147483648.0)))), 6)
+                        else 0.5 end as score,
+                   margin >= 0 as keep
+            from scored
         """,
         # Stupid-Backoff bigram LM (lm.py): probabilities are
         # integer-count ratios; ln/avg wobble << the round(.,6)
