@@ -1846,6 +1846,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.quality_clf import classify_quality
         return classify_quality(_docs(spark, sf))
 
+    def q51_bm25_topk(spark, sf):
+        # Inverted-index build + BM25 top-k retrieval
+        # (operators/retrieval.py): postings are the wordcount shape
+        # (explode + map-side-combined hash aggregate), the df table
+        # drops head terms with df > 0.5*N (the stopword skew guard —
+        # at crawl scale "the" owns a corpus-sized posting list), the
+        # mined query set broadcasts against postings, and ranking
+        # orders by the ROUNDED score with doc_id tie-break so ranks
+        # are engine- and partitioning-independent.  The synthetic
+        # corpus has a ~31-word vocabulary with df/N ≈ 0.8, so the
+        # guard runs at 0.8 here (it observably drops the head term
+        # 'batch', df=402/500) — crawl-scale default stays 0.5.
+        from tildener_spark.operators.retrieval import bm25_search
+        return bm25_search(_docs(spark, sf), max_df_ratio=0.8)
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -2437,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_dup_span_removal": q48_dup_span_removal,
         "q49_robots_filter": q49_robots_filter,
         "q50_quality_classifier": q50_quality_classifier,
+        "q51_bm25_topk": q51_bm25_topk,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -3314,6 +3330,73 @@ def oracle_sql() -> dict[str, str]:
                         else 0.5 end as score,
                    margin >= 0 as keep
             from scored
+        """,
+        # BM25 top-k retrieval (retrieval.py): the SAME tokenization,
+        # tf/df/n_docs/avgdl statistics, 0.8*N head-term guard (the
+        # synthetic corpus' ~31-word vocabulary sits at df/N ~ 0.8),
+        # mined query set (every 50th doc's tokens 5..7), and the SAME
+        # idf*tfn formula with literals in the same order — per-term
+        # products are ulp-identical (ln wobble absorbed by
+        # round(.,6)), and rank orders by the rounded score with
+        # doc_id tie-break, so ranks replay exactly
+        "q51_bm25_topk": r"""
+            with tk as (
+                select doc_id,
+                       case when trim(text) = ''
+                            then cast([] as varchar[])
+                            else string_split_regex(
+                                lower(trim(text)), '[ \t\n\x0b\f\r]+')
+                       end as toks
+                from documents
+            ),
+            tf as (
+                select doc_id, dl, term,
+                       cast(count(*) as bigint) as tf
+                from (select doc_id, len(toks) as dl,
+                             unnest(toks) as term from tk)
+                group by 1, 2, 3
+            ),
+            dfv as (
+                select term, cast(count(*) as bigint) as df
+                from tf group by 1
+            ),
+            stats as (
+                select cast(count(*) as bigint) as n_docs,
+                       avg(len(toks)) as avgdl
+                from tk
+            ),
+            postings as (
+                select t.term, t.doc_id, t.tf, t.dl,
+                       d.df, s.n_docs, s.avgdl
+                from tf t join dfv d using (term), stats s
+                where d.df <= 0.8 * s.n_docs
+            ),
+            q as (
+                select distinct doc_id as query_id, term
+                from (select doc_id, unnest(toks[5:7]) as term
+                      from tk
+                      where doc_id % 50 = 0 and len(toks) >= 7)
+            ),
+            hits as (
+                select q.query_id, p.doc_id,
+                       round(sum(
+                           ln(1.0 + (p.n_docs - p.df + 0.5)
+                                    / (p.df + 0.5))
+                           * (p.tf * (1.2 + 1.0))
+                           / (p.tf + 1.2 * (1.0 - 0.75
+                                            + 0.75 * p.dl / p.avgdl))
+                       ), 6) as score,
+                       cast(count(*) as bigint) as n_hit
+                from postings p join q using (term)
+                group by 1, 2
+            )
+            select query_id, doc_id,
+                   cast(row_number() over (
+                       partition by query_id
+                       order by score desc, doc_id asc) as int) as rank,
+                   score, n_hit
+            from hits
+            qualify rank <= 10
         """,
         # Stupid-Backoff bigram LM (lm.py): probabilities are
         # integer-count ratios; ln/avg wobble << the round(.,6)
