@@ -1861,6 +1861,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.retrieval import bm25_search
         return bm25_search(_docs(spark, sf), max_df_ratio=0.8)
 
+    def q52_dsir_resample(spark, sf):
+        # DSIR-style hashed-ngram importance resampling
+        # (operators/importance.py): target/raw bucket distributions
+        # are vocabulary-bounded count tables (1024 buckets) broadcast
+        # back as a log-ratio lookup, so scoring is a map-side join +
+        # one partial-agg shuffle; selection is deterministic Gumbel
+        # top-k (md5-derived noise, TakeOrderedAndProject — never a
+        # single-partition window).
+        from tildener_spark.operators.importance import resample_topk
+        return resample_topk(_docs(spark, sf), k=100)
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -2453,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_robots_filter": q49_robots_filter,
         "q50_quality_classifier": q50_quality_classifier,
         "q51_bm25_topk": q51_bm25_topk,
+        "q52_dsir_resample": q52_dsir_resample,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -3397,6 +3409,92 @@ def oracle_sql() -> dict[str, str]:
                    score, n_hit
             from hits
             qualify rank <= 10
+        """,
+        # DSIR importance resampling (importance.py): identical q50
+        # feature extraction, md5-derived hash buckets, Laplace
+        # log-ratios quantized to 9 decimals (both engines sum
+        # bitwise-identical addends), md5-derived Gumbel noise, and a
+        # kept set = top-100 by (round(lw+g,6) desc, doc_id) — the
+        # whole selection replays exactly
+        "q52_dsir_resample": r"""
+            with tk as (
+                select doc_id,
+                       case when trim(text) = ''
+                            then cast([] as varchar[])
+                            else string_split_regex(
+                                lower(trim(text)), '[ \t\n\x0b\f\r]+')
+                       end as toks
+                from documents
+            ),
+            feats as (
+                select doc_id,
+                       list_concat(
+                           list_transform(toks, t -> 'u:' || t),
+                           case when len(toks) >= 2 then
+                               list_transform(
+                                   generate_series(1, len(toks) - 1),
+                                   i -> 'b:' || toks[i] || '_'
+                                        || toks[i + 1])
+                           else cast([] as varchar[]) end
+                       ) as fs
+                from tk
+            ),
+            occ as (
+                select doc_id,
+                       ('0x' || substring(md5(f), 1, 8))::bigint
+                           % 1024 as bucket
+                from (select doc_id, unnest(fs) as f from feats)
+            ),
+            raw as (
+                select bucket, cast(count(*) as bigint) as rc
+                from occ group by 1
+            ),
+            tgt as (
+                select bucket, cast(count(*) as bigint) as tc
+                from occ where doc_id % 5 = 0 group by 1
+            ),
+            tot as (
+                select (select sum(rc) from raw) as tq,
+                       (select sum(tc) from tgt) as tp
+            ),
+            lam as (
+                select bucket,
+                       round(ln((coalesce(tc, 0) + 1) / (tp + 1024))
+                             - ln((rc + 1) / (tq + 1024)), 9) as lam
+                from raw left join tgt using (bucket), tot
+            ),
+            persum as (
+                select o.doc_id,
+                       cast(count(*) as bigint) as n_feats,
+                       sum(l.lam) as lw
+                from occ o join lam l using (bucket)
+                group by 1
+            ),
+            scored as (
+                select d.doc_id,
+                       coalesce(p.n_feats, 0) as n_feats,
+                       coalesce(p.lw, 0.0) as lw
+                from (select doc_id from documents) d
+                left join persum p using (doc_id)
+            ),
+            final as (
+                select doc_id, n_feats,
+                       round(lw, 6) as log_w,
+                       round(lw - ln(-ln(
+                           (('0x' || substring(
+                               md5('dsir|' || doc_id), 1, 8))::bigint
+                            + 1) / 4294967297.0)), 6) as g_key
+                from scored
+            )
+            select f.doc_id, f.n_feats, f.log_w, f.g_key,
+                   coalesce(k.kept, false) as kept
+            from final f
+            left join (
+                select doc_id, true as kept
+                from final
+                order by g_key desc, doc_id asc
+                limit 100
+            ) k using (doc_id)
         """,
         # Stupid-Backoff bigram LM (lm.py): probabilities are
         # integer-count ratios; ln/avg wobble << the round(.,6)
