@@ -1872,6 +1872,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.importance import resample_topk
         return resample_topk(_docs(spark, sf), k=100)
 
+    def q53_perplexity_buckets(spark, sf):
+        # CCNet head/middle/tail partitioning (operators/lm.py
+        # perplexity_buckets): q41's LM scores cut at exact
+        # per-language terciles (percentile == quantile_cont bitwise,
+        # the q35 contract) over already-round(.,6)-quantized scores,
+        # thresholds broadcast back; kept ⇔ head/middle.
+        from tildener_spark.operators.lm import (
+            perplexity_buckets, train_ngram_lm)
+        d = _docs(spark, sf)
+        return perplexity_buckets(d, train_ngram_lm(d))
+
     def q28_decontamination(spark, sf):
         # benchmark decontamination (operators/contamination.py):
         # the "benchmark" is a deterministic slice of the corpus
@@ -2465,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_quality_classifier": q50_quality_classifier,
         "q51_bm25_topk": q51_bm25_topk,
         "q52_dsir_resample": q52_dsir_resample,
+        "q53_perplexity_buckets": q53_perplexity_buckets,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -3566,6 +3578,105 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(-avg(ln(s)), 0e0), 6)
                        as nats_per_tok
             from s group by 1
+        """,
+        # CCNet perplexity buckets (lm.py perplexity_buckets): q41's
+        # scoring chain verbatim, then per-language terciles via
+        # quantile_cont (bitwise == Spark percentile, q35 contract)
+        # over the round(.,6)-quantized scores, bucket by threshold
+        "q53_perplexity_buckets": r"""
+            with tk as (
+                select doc_id,
+                       case when trim(text) = ''
+                            then cast([] as varchar[])
+                            else string_split_regex(
+                                lower(trim(text)),
+                                '[ \t\n\x0b\f\r]+') end as ws
+                from documents
+            ),
+            toks as (
+                select doc_id, cast(i - 1 as int) as pos, ws[i] as w
+                from (select doc_id, ws,
+                             unnest(generate_series(1, len(ws))) as i
+                      from tk)
+            ),
+            uni as (
+                select w, cast(count(*) as bigint) as c1
+                from toks where doc_id % 5 = 0 group by 1
+            ),
+            tot as (
+                select cast(sum(c1) as double)
+                       + cast(count(*) as double) as tv
+                from uni
+            ),
+            bi as (
+                select w_prev, w, cast(count(*) as bigint) as c2
+                from (
+                    select w,
+                           lag(w) over (partition by doc_id
+                                        order by pos) as w_prev
+                    from toks where doc_id % 5 = 0
+                ) where w_prev is not null
+                group by 1, 2
+            ),
+            score_toks as (
+                select doc_id, pos, w from toks
+                union all
+                select doc_id, cast(null as int), cast(null as varchar)
+                from tk where len(ws) = 0
+            ),
+            sc as (
+                select doc_id, w,
+                       lag(w) over (partition by doc_id
+                                    order by pos) as w_prev
+                from score_toks
+            ),
+            s as (
+                select sc.doc_id,
+                       case when sc.w is null then null
+                            when sc.w_prev is null
+                            then (coalesce(u1.c1, 0) + 1)
+                                 / (select tv from tot)
+                            when b.c2 is not null
+                            then cast(b.c2 as double) / u2.c1
+                            else 0.4e0 * ((coalesce(u1.c1, 0) + 1)
+                                 / (select tv from tot)) end as s
+                from sc
+                left join uni u1 on sc.w = u1.w
+                left join uni u2 on sc.w_prev = u2.w
+                left join bi b on sc.w_prev = b.w_prev
+                              and sc.w = b.w
+            ),
+            ppl as (
+                select doc_id, cast(count(s) as bigint) as n_tokens,
+                       round(coalesce(-avg(ln(s)), 0e0), 6)
+                           as nats_per_tok
+                from s group by 1
+            ),
+            jl as (
+                select p.doc_id, d.lang, p.n_tokens, p.nats_per_tok
+                from ppl p join documents d using (doc_id)
+            ),
+            thr as (
+                select lang,
+                       quantile_cont(nats_per_tok,
+                                     0.3333333333333333) as t_head,
+                       quantile_cont(nats_per_tok,
+                                     0.6666666666666666) as t_mid
+                from jl where n_tokens > 0 group by 1
+            ),
+            b as (
+                select j.doc_id, j.lang, j.n_tokens, j.nats_per_tok,
+                       case when j.n_tokens = 0 then 'empty'
+                            when j.nats_per_tok <= t.t_head
+                            then 'head'
+                            when j.nats_per_tok <= t.t_mid
+                            then 'middle'
+                            else 'tail' end as bucket
+                from jl j left join thr t using (lang)
+            )
+            select doc_id, lang, n_tokens, nats_per_tok, bucket,
+                   bucket in ('head', 'middle') as kept
+            from b
         """,
         # NFC canonicalization: identical input-synthesis replace
         # chain on both sides (_nfc_decompose_sql / NFC_PAIRS), then

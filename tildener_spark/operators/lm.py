@@ -123,3 +123,50 @@ def perplexity_score(docs: DataFrame, lm: NGramLM,
              F.round(F.coalesce(-F.avg(F.log("s")), F.lit(0.0)), 6)
              .alias("nats_per_tok"))
     )
+
+
+def perplexity_buckets(docs: DataFrame, lm: NGramLM,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       lang_col: str = "lang",
+                       cuts: tuple[float, float] = (1 / 3, 2 / 3)
+                       ) -> DataFrame:
+    """CCNet head/middle/tail partitioning: bucket every document by
+    where its LM score falls within its LANGUAGE's score distribution
+    (Wenzek et al. 2020 keep the low-perplexity head/middle per
+    language; a global cut would just rank languages).
+
+    Thresholds are exact per-language percentiles of ``nats_per_tok``
+    over scoreable (n_tokens > 0) docs — Spark ``percentile``
+    interpolates bitwise-identically to DuckDB ``quantile_cont`` (the
+    q35 contract), and the scores being compared are already
+    round(.,6)-quantized, so bucket assignment replays exactly.
+    Empty docs bucket as 'empty' and are never kept.
+
+    Output: (doc_id, lang, n_tokens, nats_per_tok, bucket, kept) with
+    kept ⇔ bucket in (head, middle) — the CCNet keep rule.
+
+    Scale shape: scoring is q41's (two broadcast-able count-table
+    joins + one doc-keyed partial agg); thresholds add ONE language-
+    keyed aggregate whose output is language-cardinality and is
+    broadcast back.  Exact percentile buffers each language's scores
+    in the agg — swap approx_percentile at 10^12 docs (same plan
+    shape, no exact mirror; same note as corpus_summary).
+    """
+    scored = perplexity_score(docs, lm, text_col, id_col)
+    langs = docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(lang_col).alias("lang"))
+    j = scored.join(langs, "doc_id")
+    c1, c2 = (repr(float(c)) for c in cuts)
+    thr = (j.filter(F.col("n_tokens") > 0)
+           .groupBy("lang")
+           .agg(F.expr(f"percentile(nats_per_tok, {c1})").alias("t_head"),
+                F.expr(f"percentile(nats_per_tok, {c2})").alias("t_mid")))
+    bucket = (
+        F.when(F.col("n_tokens") == 0, F.lit("empty"))
+        .when(F.col("nats_per_tok") <= F.col("t_head"), F.lit("head"))
+        .when(F.col("nats_per_tok") <= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail")))
+    return (j.join(F.broadcast(thr), "lang", "left")
+            .select("doc_id", "lang", "n_tokens", "nats_per_tok",
+                    bucket.alias("bucket"))
+            .withColumn("kept", F.col("bucket").isin("head", "middle")))
