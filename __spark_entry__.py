@@ -1637,6 +1637,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return near_dup_clusters(_docs(spark, sf)).select(
             "doc_id", "cluster", "keep")
 
+    def q54_leakage_safe_splits(spark, sf):
+        # leakage-safe train/val/test split (operators/mixing.py
+        # leakage_safe_splits): q29's near-dup clusters, then the
+        # keyed-md5 split rule applied to the CLUSTER label so every
+        # member of a near-dup cluster lands in the same split and
+        # train/eval contamination is impossible by construction; the
+        # oracle replays the q29 closure and shares the thresholds
+        # via mixing.hex_threshold
+        from tildener_spark.operators.mixing import leakage_safe_splits
+        return leakage_safe_splits(_docs(spark, sf))
+
     def q36_semantic_dedup(spark, sf):
         # SemDeDup-style embedding-cluster dedup end artifact
         # (operators/similarity.py semantic_dedup): q19b's bucketed
@@ -2477,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_bm25_topk": q51_bm25_topk,
         "q52_dsir_resample": q52_dsir_resample,
         "q53_perplexity_buckets": q53_perplexity_buckets,
+        "q54_leakage_safe_splits": q54_leakage_safe_splits,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -2814,6 +2826,44 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l.component, d.doc_id) = d.doc_id as keep
             from documents d
             left join lab l on d.doc_id = l.node
+        """,
+        # leakage-safe splits: the q29 cluster derivation, then the
+        # keyed-md5 split rule on the CLUSTER label (thresholds shared
+        # via mixing.hex_threshold) so near-dups co-locate in a split
+        "q54_leakage_safe_splits": f"""
+            with recursive {_minhash_bands_cte()},
+            capped as materialized (
+                select doc_id, band_idx, band_key from (
+                    select *, count(*) over (
+                        partition by band_idx, band_key) as bn
+                    from mh_bands
+                ) where bn <= 100
+            ),
+            prs as materialized (
+                select distinct a.doc_id as a, b.doc_id as b
+                from capped a
+                join capped b on a.band_idx = b.band_idx
+                             and a.band_key = b.band_key
+                             and a.doc_id < b.doc_id
+            ),
+            {_cc_chain_ctes()},
+            cl as (
+                select d.doc_id,
+                       coalesce(l.component, d.doc_id) as cluster
+                from documents d
+                left join lab l on d.doc_id = l.node
+            )
+            select doc_id, cluster,
+                   case when substr(md5('split:'
+                                        || cast(cluster as varchar)),
+                                    1, 8) < '{hex_threshold(0.8)}'
+                        then 'train'
+                        when substr(md5('split:'
+                                        || cast(cluster as varchar)),
+                                    1, 8) < '{hex_threshold(0.9)}'
+                        then 'val'
+                        else 'test' end as split
+            from cl
         """,
         # per-host budget cap: same host extraction as q33, ranked by
         # md5(url) (url tiebreak) within host — Spark's md5 and

@@ -3,7 +3,8 @@
 from pyspark.sql import functions as F
 
 from tildener_spark.operators.mixing import (
-    deterministic_sample, hex_threshold, stratified_mix)
+    cluster_splits, deterministic_sample, hex_threshold,
+    leakage_safe_splits, stratified_mix)
 
 
 def _docs(spark, n=2000):
@@ -52,3 +53,45 @@ def test_stratified_rates_and_isolation(spark):
     de1 = {r["doc_id"] for r in out.filter("lang = 'de'").collect()}
     de2 = {r["doc_id"] for r in out2.filter("lang = 'de'").collect()}
     assert de1 == de2
+
+
+def test_cluster_splits_rates_and_partition_invariance(spark):
+    cl = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        # ~3-member clusters: the split must key on this label
+        (F.col("id") - F.col("id") % 3).cast("string").alias("cluster"))
+    out = cluster_splits(cl, fractions=(0.8, 0.1))
+    rows = out.collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], 0)
+        by_split[r["split"]] += 1
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.7 < by_split["train"] / 3000 < 0.9
+    assert by_split["val"] / 3000 < 0.2
+    # every cluster lives in exactly one split
+    n_mixed = (out.groupBy("cluster")
+               .agg(F.countDistinct("split").alias("k"))
+               .filter("k > 1").count())
+    assert n_mixed == 0
+    # partition-invariant
+    again = {(r["doc_id"], r["split"])
+             for r in cluster_splits(
+                 cl.repartition(13), fractions=(0.8, 0.1)).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_leakage_safe_splits_co_locates_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight") * 3
+    rows = []
+    for i in range(40):
+        rows.append((f"d{i:03d}", base + f" unique marker {i}"))
+        # near-duplicate of each: must land in the SAME split
+        rows.append((f"d{i:03d}x", base + f" unique marker {i}!"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_splits(docs)
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split_of) == 80
+    for i in range(40):
+        assert split_of[f"d{i:03d}"] == split_of[f"d{i:03d}x"], i

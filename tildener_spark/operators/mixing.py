@@ -42,6 +42,50 @@ def deterministic_sample(df: DataFrame, fraction: float,
         _bucket(F.col(key_col), seed) < F.lit(hex_threshold(fraction)))
 
 
+def cluster_splits(clusters: DataFrame, fractions: tuple = (0.8, 0.1),
+                   cluster_col: str = "cluster",
+                   seed: str = "split") -> DataFrame:
+    """Assign train/val/test by CLUSTER, not by document.
+
+    Splitting unit = the near-dup cluster label, so every member of a
+    cluster lands in the same split and near-duplicate leakage across
+    the train/eval boundary is impossible BY CONSTRUCTION (the
+    standard failure mode of doc-level splits over a crawl: the val
+    set is full of near-copies of training pages and eval loss lies).
+    ``fractions`` = (train, val); test gets the rest.  Assignment is
+    the mixing.py keyed-md5 rule on the cluster label — deterministic,
+    partition-invariant, resumable, SQL-mirrorable.
+
+    Scale: one md5 map over a column — zero shuffle on top of
+    whatever produced the cluster labels.
+    """
+    t_train = hex_threshold(fractions[0])
+    t_val = hex_threshold(fractions[0] + fractions[1])
+    return (clusters
+            .withColumn("_b", _bucket(F.col(cluster_col), seed))
+            .withColumn(
+                "split",
+                F.when(F.col("_b") < t_train, F.lit("train"))
+                .when(F.col("_b") < t_val, F.lit("val"))
+                .otherwise(F.lit("test")))
+            .drop("_b"))
+
+
+def leakage_safe_splits(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        fractions: tuple = (0.8, 0.1),
+                        seed: str = "split") -> DataFrame:
+    """End-to-end leakage-safe corpus split: LSH near-dup clusters
+    (operators/dedup.py near_dup_clusters) -> per-cluster md5 split.
+
+    Output: (doc_id, cluster, split)."""
+    from tildener_spark.operators.dedup import near_dup_clusters
+    return cluster_splits(
+        near_dup_clusters(docs, id_col, text_col),
+        fractions=fractions, seed=seed,
+    ).select("doc_id", "cluster", "split")
+
+
 def stratified_mix(df: DataFrame, strata_col: str,
                    fractions: dict[str, float], key_col: str,
                    seed: str = "mix",
