@@ -605,6 +605,71 @@ def _cc_chain_ctes() -> str:
             )"""
 
 
+def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
+    """DuckDB replay of operators/clustering.py kmeans_clusters:
+    md5-seeded init, ``c·c − 2·x·c`` argmin assignment (cluster-id
+    tie-break), floor-quantized integer centroid sums.  Every
+    arithmetic step is a bitwise-reproducible IEEE op (floor-based
+    quantization, sequential dot-product folds), so the unrolled loop
+    reaches the same fixpoint as the Spark driver loop."""
+    parts = [f"""e as materialized (
+                select vec_id, embedding::DOUBLE[] as emb,
+                       list_transform(
+                           embedding::DOUBLE[],
+                           x -> cast(floor(x * 1000000 + 0.5)
+                                     as bigint)) as embq
+                from embeddings
+                where embedding is not null
+                  and len(embedding) = {dim}
+            ),
+            c0 as (
+                select cast(rn - 1 as int) as cl, emb as cen
+                from (
+                    select emb, row_number() over (
+                        order by md5(cast(vec_id as varchar)),
+                                 vec_id) as rn
+                    from e
+                ) where rn <= {k}
+            )"""]
+    for i in range(n_iter + 1):
+        parts.append(f"""a{i} as materialized (
+                select vec_id, embq, cl from (
+                    select e.vec_id, e.embq, c.cl,
+                           row_number() over (
+                               partition by e.vec_id
+                               order by
+                                 list_dot_product(c.cen, c.cen)
+                                 - 2 * list_dot_product(e.emb,
+                                                        c.cen) asc,
+                                 c.cl asc) as rn
+                    from e cross join c{i} c
+                ) where rn = 1
+            )""")
+        if i == n_iter:
+            break
+        parts.append(f"""s{i} as (
+                select cl, cast(i - 1 as int) as pos,
+                       sum(embq[i]) as sq,
+                       cast(count(*) as bigint) as cnt
+                from (select cl, embq,
+                             unnest(generate_series(1, len(embq)))
+                                 as i
+                      from a{i})
+                group by cl, pos
+            ),
+            c{i + 1} as (
+                select c.cl, coalesce(n.cen, c.cen) as cen
+                from c{i} c left join (
+                    select cl,
+                           list(floor(cast(sq as double)
+                                      / cast(cnt as double) + 0.5)
+                                / 1000000.0 order by pos) as cen
+                    from s{i} group by cl
+                ) n on c.cl = n.cl
+            )""")
+    return ",\n            ".join(parts)
+
+
 def _entity_edges_cte() -> str:
     """DuckDB mirror of graphstats.entity_edges over the materialized
     canonical triples (whose own derivation is oracled end-to-end by
@@ -1648,6 +1713,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.mixing import leakage_safe_splits
         return leakage_safe_splits(_docs(spark, sf))
 
+    def q55_kmeans(spark, sf):
+        # deterministic Lloyd k-means (operators/clustering.py):
+        # md5-seeded init, expression-only argmin assignment,
+        # floor-quantized integer centroid sums; the oracle unrolls
+        # the identical loop (_kmeans_ctes) — every step bitwise
+        # IEEE-reproducible, so the fixpoint matches exactly
+        from tildener_spark.operators.clustering import kmeans_clusters
+        return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
+
     def q36_semantic_dedup(spark, sf):
         # SemDeDup-style embedding-cluster dedup end artifact
         # (operators/similarity.py semantic_dedup): q19b's bucketed
@@ -2489,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_dsir_resample": q52_dsir_resample,
         "q53_perplexity_buckets": q53_perplexity_buckets,
         "q54_leakage_safe_splits": q54_leakage_safe_splits,
+        "q55_kmeans": q55_kmeans,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -2864,6 +2939,13 @@ def oracle_sql() -> dict[str, str]:
                         then 'val'
                         else 'test' end as split
             from cl
+        """,
+        # deterministic Lloyd k-means: the unrolled loop replay
+        # (every arithmetic step bitwise IEEE-reproducible)
+        "q55_kmeans": f"""
+            with {_kmeans_ctes(k=4, n_iter=3, dim=64)}
+            select vec_id, cast(cl as int) as cluster
+            from a3
         """,
         # per-host budget cap: same host extraction as q33, ranked by
         # md5(url) (url tiebreak) within host — Spark's md5 and
