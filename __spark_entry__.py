@@ -1722,6 +1722,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.clustering import kmeans_clusters
         return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
 
+    def q56_c4_filter(spark, sf):
+        # C4-style line+page cleaning (operators/c4.py c4_clean).
+        # The kg corpus is clean by construction, so the classic
+        # crawl junk is seeded first, keyed on md5(url) hex digits
+        # (both engines emit lowercase hex): one line-rule specimen
+        # (javascript / cookie-policy / too-short line) per h1
+        # bucket, one page-rule poison (lorem ipsum / code brace /
+        # badword) per h2 bucket, plus ten synthetic minimal pages
+        # exercising the too_few_lines rule; the oracle replays the
+        # identical seeding and rule set.
+        from tildener_spark.operators.c4 import c4_clean
+        m = _kg_materialized(spark)
+        h1 = F.substring(F.md5(F.col("url")), 1, 1)
+        h2 = F.substring(F.md5(F.col("url")), 2, 1)
+        junk = (
+            F.when(h1.isin("0", "1", "2", "3"),
+                   "\nplease enable javascript to view this page .")
+            .when(h1.isin("4", "5", "6"),
+                  "\nthis site uses cookies to improve your"
+                  " experience .")
+            .when(h1.isin("7", "8", "9"), "\nread more .")
+            .otherwise(""))
+        poison = (
+            F.when(h2.isin("0", "1"),
+                   "\nlorem ipsum dolor sit amet consectetur .")
+            .when(h2.isin("2", "3"),
+                  "\nvar config = { mode : production } .")
+            .when(h2 == "4",
+                  "\nthe reviewer wrote badword1 in the thread .")
+            .otherwise(""))
+        seeded = m["pages"].select(
+            "url", F.concat("text", junk, poison).alias("text"))
+        tiny = spark.range(10).select(
+            F.concat(F.lit("synthetic://few/"), F.col("id"))
+            .alias("url"),
+            F.lit("tiny page with one surviving sentence only .\n"
+                  "and a second line without terminal punct")
+            .alias("text"))
+        return c4_clean(seeded.unionByName(tiny))
+
     def q36_semantic_dedup(spark, sf):
         # SemDeDup-style embedding-cluster dedup end artifact
         # (operators/similarity.py semantic_dedup): q19b's bucketed
@@ -2564,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_perplexity_buckets": q53_perplexity_buckets,
         "q54_leakage_safe_splits": q54_leakage_safe_splits,
         "q55_kmeans": q55_kmeans,
+        "q56_c4_filter": q56_c4_filter,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -2946,6 +2987,113 @@ def oracle_sql() -> dict[str, str]:
             with {_kmeans_ctes(k=4, n_iter=3, dim=64)}
             select vec_id, cast(cl as int) as cluster
             from a3
+        """,
+        # C4-style cleaning: identical md5-keyed junk seeding, then
+        # the identical line + page rule set (pinned [ \\t\\r]
+        # whitespace classes; contains/right semantics match)
+        "q56_c4_filter": f"""
+            with base as (
+                select url,
+                       text
+                       || case
+                            when substr(md5(url), 1, 1)
+                                 in ('0','1','2','3')
+                            then chr(10) || 'please enable javascript'
+                                 || ' to view this page .'
+                            when substr(md5(url), 1, 1)
+                                 in ('4','5','6')
+                            then chr(10) || 'this site uses cookies'
+                                 || ' to improve your experience .'
+                            when substr(md5(url), 1, 1)
+                                 in ('7','8','9')
+                            then chr(10) || 'read more .'
+                            else '' end
+                       || case
+                            when substr(md5(url), 2, 1) in ('0','1')
+                            then chr(10) || 'lorem ipsum dolor sit'
+                                 || ' amet consectetur .'
+                            when substr(md5(url), 2, 1) in ('2','3')
+                            then chr(10) || 'var config = {{ mode :'
+                                 || ' production }} .'
+                            when substr(md5(url), 2, 1) = '4'
+                            then chr(10) || 'the reviewer wrote'
+                                 || ' badword1 in the thread .'
+                            else '' end as text
+                from read_parquet(
+                    '{_KG_CACHE}/pages.parquet/*.parquet')
+                union all
+                select 'synthetic://few/' || i as url,
+                       'tiny page with one surviving sentence only .'
+                       || chr(10)
+                       || 'and a second line without terminal punct'
+                           as text
+                from generate_series(0, 9) t(i)
+            ),
+            staged as (
+                select url, text,
+                       list_filter(
+                           string_split(text, chr(10)),
+                           l -> regexp_replace(
+                               l, '[ \t\r]+', '', 'g') <> '')
+                           as lines
+                from base
+            ),
+            scored as (
+                select url, text,
+                       cast(len(lines) as bigint) as n_lines,
+                       list_filter(lines, l ->
+                           right(regexp_replace(
+                               l, '[ \t\r]+$', ''), 1)
+                               in ('.', '!', '?', '"')
+                           and len(list_filter(
+                               regexp_split_to_array(
+                                   regexp_replace(regexp_replace(
+                                       l, '[ \t\r]+$', ''),
+                                       '^[ \t]+', ''),
+                                   '[ \t]+'),
+                               w -> w <> '')) >= 5
+                           and not contains(lower(l), 'javascript')
+                           and not (
+                               contains(lower(l), 'terms of use')
+                               or contains(lower(l),
+                                           'privacy policy')
+                               or contains(lower(l), 'cookie policy')
+                               or contains(lower(l), 'uses cookies')
+                               or contains(lower(l),
+                                           'use of cookies')
+                               or contains(lower(l), 'use cookies')))
+                           as kept_lines
+                from staged
+            ),
+            reasons as (
+                select url, n_lines,
+                       cast(len(kept_lines) as bigint) as n_kept,
+                       kept_lines,
+                       case
+                         when contains(lower(text), 'lorem ipsum')
+                         then 'lorem_ipsum'
+                         when contains(text, '{{') then 'brace'
+                         when len(list_filter(kept_lines, l ->
+                                  contains(lower(l), 'badword1')
+                                  or contains(lower(l), 'badword2')))
+                              > 0
+                         then 'badword'
+                         when len(kept_lines) < 3
+                         then 'too_few_lines'
+                       end as drop_reason
+                from scored
+            )
+            select url, n_lines, n_kept,
+                   drop_reason is null as kept, drop_reason,
+                   case when drop_reason is null
+                        then array_to_string(
+                            list_transform(kept_lines, l ->
+                                regexp_replace(regexp_replace(
+                                    l, '[ \t\r]+$', ''),
+                                    '^[ \t]+', '')),
+                            chr(10))
+                        else '' end as text_clean
+            from reasons
         """,
         # per-host budget cap: same host extraction as q33, ranked by
         # md5(url) (url tiebreak) within host — Spark's md5 and
