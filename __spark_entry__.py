@@ -670,6 +670,78 @@ def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
     return ",\n            ".join(parts)
 
 
+def _ngram_rep_sql() -> str:
+    """DuckDB replay of textstats.ngram_repetition_profile over the
+    q57-seeded pages: per n, unnest the space-joined word n-grams,
+    group, and take max(count*char_len) (top, n=2..4) or the
+    count>=2 sum (dup, n=5..10); char_len = length - (n-1) joining
+    spaces, same accounting as the Spark fold."""
+    from tildener_spark.operators.textstats import (
+        DUP_NGRAM_THRESHOLDS, TOP_NGRAM_THRESHOLDS)
+    ctes, cols, flags = [], [], []
+    for n in list(TOP_NGRAM_THRESHOLDS) + list(DUP_NGRAM_THRESHOLDS):
+        agg = (f"max(c * (length(g) - {n - 1}))"
+               if n in TOP_NGRAM_THRESHOLDS else
+               f"sum(case when c >= 2 then c * (length(g) - {n - 1})"
+               " else 0 end)")
+        ctes.append(f"""g{n} as (
+                select url, {agg} as v
+                from (
+                    select url, g, count(*) c from (
+                        select url, unnest(list_transform(
+                            generate_series(
+                                1, greatest(len(ws) - {n - 1}, 0)),
+                            i -> array_to_string(
+                                ws[i:i+{n - 1}], ' '))) as g
+                        from words) group by url, g)
+                group by url
+            )""")
+        kind = "top" if n in TOP_NGRAM_THRESHOLDS else "dup"
+        thr = (TOP_NGRAM_THRESHOLDS.get(n)
+               or DUP_NGRAM_THRESHOLDS[n])
+        frac = (f"coalesce(g{n}.v, 0)"
+                f" / greatest(coalesce(w2.wc, 0), 1)")
+        cols.append(f"round({frac}, 6) as {kind}_{n}gram_char_frac")
+        flags.append(f"({frac} > {thr})")
+    joins = "\n            ".join(
+        f"left join g{n} on w.url = g{n}.url"
+        for n in list(TOP_NGRAM_THRESHOLDS)
+        + list(DUP_NGRAM_THRESHOLDS))
+    return f"""
+            with base as (
+                select url,
+                       text || repeat(
+                           ' the quick brown fox jumps over the'
+                           || ' lazy sleepy dog',
+                           cast(regexp_extract(
+                               url, 'doc/([0-9]+)$', 1) as int) % 4)
+                           as text
+                from read_parquet(
+                    '{_KG_CACHE}/pages.parquet/*.parquet')
+            ),
+            words as (
+                select url,
+                       list_filter(string_split(trim(regexp_replace(
+                           text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                           ' '), w -> w <> '') ws
+                from base
+            ),
+            wchars as (
+                select url, coalesce(sum(length(w)), 0) wc
+                from (select url, unnest(ws) w from words)
+                group by url
+            ),
+            {",".join(ctes)}
+            select w.url,
+                   cast(len(w.ws) as bigint) as n_words,
+                   {",".join(cols)},
+                   ({" or ".join(flags)}) as flagged
+            from words w
+            left join wchars w2 on w.url = w2.url
+            {joins}
+        """
+
+
 def _entity_edges_cte() -> str:
     """DuckDB mirror of graphstats.entity_edges over the materialized
     canonical triples (whose own derivation is oracled end-to-end by
@@ -1722,6 +1794,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.clustering import kmeans_clusters
         return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
 
+    def q57_ngram_repetition(spark, sf):
+        # FULL Gopher n-gram rule set (operators/textstats.py
+        # ngram_repetition_profile) over the web pages corpus; a
+        # 10-word phrase repeated (doc % 4) times is appended first
+        # so the dup-5..10-gram rules genuinely fire on a corpus
+        # split (>=2 repeats duplicate every high-order n-gram);
+        # the oracle replays the same seeding via unnest+group by.
+        from tildener_spark.operators.textstats import (
+            ngram_repetition_profile)
+        m = _kg_materialized(spark)
+        num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+        seeded = m["pages"].select(
+            "url",
+            F.concat(
+                "text",
+                F.repeat(
+                    F.lit(" the quick brown fox jumps over the"
+                          " lazy sleepy dog"),
+                    num % 4)).alias("text"))
+        return ngram_repetition_profile(seeded, "url", "text")
+
     def q56_c4_filter(spark, sf):
         # C4-style line+page cleaning (operators/c4.py c4_clean).
         # The kg corpus is clean by construction, so the classic
@@ -2605,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_leakage_safe_splits": q54_leakage_safe_splits,
         "q55_kmeans": q55_kmeans,
         "q56_c4_filter": q56_c4_filter,
+        "q57_ngram_repetition": q57_ngram_repetition,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -3095,6 +3189,9 @@ def oracle_sql() -> dict[str, str]:
                         else '' end as text_clean
             from reasons
         """,
+        # full Gopher n-gram rule set: unnest+group-by replay of the
+        # 9 run-length folds (built by _ngram_rep_sql)
+        "q57_ngram_repetition": _ngram_rep_sql(),
         # per-host budget cap: same host extraction as q33, ranked by
         # md5(url) (url tiebreak) within host — Spark's md5 and
         # DuckDB's md5 both emit lowercase hex, so the order and the

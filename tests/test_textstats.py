@@ -143,3 +143,50 @@ def test_whitespace_class_pins_vertical_tab(spark):
         "select len(string_split_regex(trim('alpha' || chr(11) || "
         "'beta gamma'), '[ \\t\\n\\x0b\\f\\r]+')) n").fetchone()[0]
     assert oracle == 3
+
+
+def test_ngram_repetition_hand_computed(spark):
+    from tildener_spark.operators.textstats import (
+        ngram_repetition_profile)
+    d = _docs(spark, [
+        # "a b c d e" x3: every 5-gram duplicated; word chars = 15
+        # dup5 = (3+2+2+2+2)*5/15 (can exceed 1.0 — documented);
+        # 10-grams: pos1==pos6 dup, pos2..5 unique -> 2*10/15;
+        # top bigram "a b" count 3, char_len 2 -> 6/15
+        (0, "a b c d e a b c d e a b c d e"),
+        (1, " ".join(f"w{i:02d}" for i in range(40))),  # all distinct
+        (2, ""),
+        (3, "x y z"),  # short doc structurally trips top-2gram
+    ])
+    rows = {r["doc_id"]: r for r in
+            ngram_repetition_profile(d).collect()}
+    r0 = rows[0]
+    assert r0["n_words"] == 15
+    assert abs(r0["dup_5gram_char_frac"] - 55 / 15) < 1e-6
+    assert abs(r0["dup_10gram_char_frac"] - 20 / 15) < 1e-6
+    assert abs(r0["top_2gram_char_frac"] - 6 / 15) < 1e-6
+    assert r0["flagged"]
+    r1 = rows[1]
+    assert not r1["flagged"]
+    for n in range(5, 11):
+        assert r1[f"dup_{n}gram_char_frac"] == 0.0
+    assert abs(r1["top_2gram_char_frac"] - 6 / 120) < 1e-6
+    r2 = rows[2]
+    assert r2["n_words"] == 0 and not r2["flagged"]
+    assert r2["top_4gram_char_frac"] == 0.0
+    r3 = rows[3]
+    # 3 words: no 4..10-grams; "x y" coverage 2/3 > 0.20
+    assert r3["dup_5gram_char_frac"] == 0.0
+    assert r3["top_4gram_char_frac"] == 0.0
+    assert abs(r3["top_2gram_char_frac"] - 2 / 3) < 1e-6
+    assert r3["flagged"]
+
+
+def test_ngram_repetition_zero_shuffle_plan(spark):
+    from tildener_spark.operators.textstats import (
+        ngram_repetition_profile)
+    out = ngram_repetition_profile(_docs(spark, [(0, "a b c")]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

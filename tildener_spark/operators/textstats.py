@@ -313,6 +313,116 @@ def _repetition_exprs() -> dict:
     }
 
 
+# Gopher Table A1 thresholds (Rae et al. 2021): top n-gram char
+# coverage for n=2..4, duplicated n-gram char fraction for n=5..10
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                        9: 0.11, 10: 0.10}
+
+
+def _word_ngrams(words, n: int):
+    """Space-joined word n-grams as an array column ([] when the doc
+    has fewer than n words)."""
+    if n == 1:
+        return words
+    n_w = F.size(words)
+    return F.when(
+        n_w >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_w - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ngram_fold(ngrams, n: int, mode: str):
+    """One sorted-array run-length fold (the q31 top-bigram idiom
+    generalized): ``mode='top'`` returns max over distinct n-grams of
+    count*char_len; ``mode='dup'`` returns the sum of count*char_len
+    over n-grams occurring >= 2 times.  char_len = length(g) - (n-1)
+    joining spaces, so the metric counts word characters only."""
+    zero = F.lit(0).cast("long")
+    spaces = F.lit(n - 1).cast("long")
+
+    def contrib(s):
+        chars = s["cnt"] * (F.length(s["prev"]) - spaces)
+        if mode == "top":
+            return F.greatest(s["acc"], chars)
+        return s["acc"] + F.when(s["cnt"] >= 2, chars).otherwise(zero)
+
+    return F.aggregate(
+        F.array_sort(ngrams),
+        F.struct(F.lit("").alias("prev"), zero.alias("cnt"),
+                 zero.alias("acc")),
+        lambda s, x: F.when(
+            x == s["prev"],
+            F.struct(s["prev"].alias("prev"),
+                     (s["cnt"] + 1).alias("cnt"),
+                     s["acc"].alias("acc")),
+        ).otherwise(
+            F.struct(x.alias("prev"),
+                     F.lit(1).cast("long").alias("cnt"),
+                     contrib(s).alias("acc"))),
+        contrib,
+    )
+
+
+def ngram_repetition_profile(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """The FULL Gopher n-gram repetition rule set (Rae et al. 2021
+    Table A1), completing :func:`repetition_profile`'s line+bigram
+    subset: character coverage of the heaviest word n-gram for
+    n=2,3,4 and the duplicated-n-gram character fraction for
+    n=5..10, each against its published threshold; ``flagged`` when
+    any rule fires.
+
+    Definition note: the dup metric here is Σ count·char_len over
+    n-grams occurring >= 2 times (the RedPajama-v2/Dolma-style
+    accounting, overlapping occurrences each counted) divided by
+    total word chars — NOT Gopher's position-union variant, whose
+    once-per-character marking needs per-position state that an
+    expression-only fold can't carry.  The difference only loosens
+    the metric upward on self-overlapping runs; thresholds keep
+    their screening role.  The value can exceed 1.0 on degenerate
+    all-repeat pages for the same reason.
+
+    Scale shape: 9 sorted-array run-length folds per row over staged
+    token arrays — NO shuffle, NO UDF; per-doc cost is 9 array
+    sorts, cross-doc cost zero, so a 10^12-page run stays
+    embarrassingly parallel (same argument as repetition_profile).
+    """
+    staged = docs.select(
+        F.col(id_col).alias(id_col),
+        F.filter(
+            F.split(F.trim(F.regexp_replace(F.col(text_col),
+                                            WS_RE, " ")), " "),
+            lambda w: w != "").alias("_words"))
+    words = F.col("_words")
+    staged = staged.select(
+        id_col, "_words",
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)).alias("_wc"))
+    denom = F.greatest(F.col("_wc"), F.lit(1).cast("long"))
+    out_cols, flags = [], []
+    for n, thr in TOP_NGRAM_THRESHOLDS.items():
+        frac = _ngram_fold(_word_ngrams(words, n), n, "top") / denom
+        out_cols.append(
+            F.round(frac, 6).alias(f"top_{n}gram_char_frac"))
+        flags.append(frac > thr)
+    for n, thr in DUP_NGRAM_THRESHOLDS.items():
+        frac = _ngram_fold(_word_ngrams(words, n), n, "dup") / denom
+        out_cols.append(
+            F.round(frac, 6).alias(f"dup_{n}gram_char_frac"))
+        flags.append(frac > thr)
+    flagged = flags[0]
+    for f in flags[1:]:
+        flagged = flagged | f
+    return staged.select(
+        id_col,
+        F.size(words).cast("bigint").alias("n_words"),
+        *out_cols,
+        flagged.alias("flagged"))
+
+
 def corpus_summary(docs: DataFrame, lang_col: str = "lang",
                    text_col: str = "text") -> DataFrame:
     """Per-language corpus report for mixture planning: document
