@@ -1794,6 +1794,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.clustering import kmeans_clusters
         return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
 
+    def q58_chunking(spark, sf):
+        # sliding token-window chunking (operators/packing.py
+        # chunk_documents): RAG / long-context prep; all-integer
+        # window math so the oracle replays it exactly
+        from tildener_spark.operators.packing import chunk_documents
+        return chunk_documents(_docs(spark, sf), chunk_tokens=32,
+                               stride=16)
+
     def q57_ngram_repetition(spark, sf):
         # FULL Gopher n-gram rule set (operators/textstats.py
         # ngram_repetition_profile) over the web pages corpus; a
@@ -2699,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_kmeans": q55_kmeans,
         "q56_c4_filter": q56_c4_filter,
         "q57_ngram_repetition": q57_ngram_repetition,
+        "q58_chunking": q58_chunking,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -3192,6 +3201,37 @@ def oracle_sql() -> dict[str, str]:
         # full Gopher n-gram rule set: unnest+group-by replay of the
         # 9 run-length folds (built by _ngram_rep_sql)
         "q57_ngram_repetition": _ngram_rep_sql(),
+        # sliding token-window chunking: integer window math
+        # (ceil via floor((a+b-1)/b)) and 1-based inclusive list
+        # slicing replay the Spark plan exactly
+        "q58_chunking": """
+            with words as (
+                select doc_id,
+                       list_filter(string_split(trim(regexp_replace(
+                           text, '[ \t\n\x0b\f\r]+', ' ', 'g')),
+                           ' '), w -> w <> '') ws
+                from documents
+            ),
+            nc as (
+                select doc_id, ws,
+                       case when len(ws) = 0 then 0
+                            else greatest(cast(floor(
+                                (len(ws) - 32 + 16 - 1) / 16.0)
+                                as bigint) + 1, 1)
+                       end as n_chunks
+                from words
+            )
+            select doc_id,
+                   cast(i as bigint) as chunk_id,
+                   cast(i * 16 as bigint) as start_token,
+                   cast(len(ws[i*16+1 : i*16+32]) as bigint)
+                       as n_tokens,
+                   array_to_string(ws[i*16+1 : i*16+32], ' ')
+                       as chunk_text
+            from (select doc_id, ws,
+                         unnest(generate_series(0, n_chunks - 1)) as i
+                  from nc where n_chunks > 0)
+        """,
         # per-host budget cap: same host extraction as q33, ranked by
         # md5(url) (url tiebreak) within host — Spark's md5 and
         # DuckDB's md5 both emit lowercase hex, so the order and the

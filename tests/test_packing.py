@@ -81,3 +81,47 @@ def test_normalize_nfc_recomposes_and_passes_through(spark):
     assert got[0] == precomposed
     assert got[1] == "plain ascii"
     assert got[2] is None
+
+
+def test_chunk_documents_hand_computed(spark):
+    from tildener_spark.operators.packing import chunk_documents
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+         (1, "a b c"),                               # short: 1 chunk
+         (2, ""), (3, "   ")],                       # no chunks
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, stride=2)
+    rows = sorted((r["doc_id"], r["chunk_id"], r["start_token"],
+                   r["n_tokens"], r["chunk_text"])
+                  for r in out.collect())
+    # doc 0: starts 0,2,4,6 -> last window t6..t9 ends at n_tok
+    assert [r for r in rows if r[0] == 0] == [
+        (0, 0, 0, 4, "t0 t1 t2 t3"),
+        (0, 1, 2, 4, "t2 t3 t4 t5"),
+        (0, 2, 4, 4, "t4 t5 t6 t7"),
+        (0, 3, 6, 4, "t6 t7 t8 t9"),
+    ]
+    assert [r for r in rows if r[0] == 1] == [(1, 0, 0, 3, "a b c")]
+    assert not [r for r in rows if r[0] >= 2]
+
+
+def test_chunk_documents_no_contained_tail(spark):
+    from tildener_spark.operators.packing import chunk_documents
+    # 5 tokens, chunk 4, stride 2: starts 0,2 (naive loop would
+    # also emit start 4, fully inside the start-2 window's range)
+    docs = spark.createDataFrame([(0, "a b c d e")],
+                                 "doc_id long, text string")
+    rows = sorted((r["chunk_id"], r["start_token"], r["chunk_text"])
+                  for r in chunk_documents(
+                      docs, chunk_tokens=4, stride=2).collect())
+    assert rows == [(0, 0, "a b c d"), (1, 2, "c d e")]
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    from tildener_spark.operators.packing import chunk_documents
+    docs = spark.createDataFrame([(0, "a b c")],
+                                 "doc_id long, text string")
+    plan = chunk_documents(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

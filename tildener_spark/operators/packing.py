@@ -75,3 +75,60 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     )
     return d.select("doc_id", "shard", "n_tokens", "start_tok",
                     "seq_first", "seq_last", "n_seqs")
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    stride: int = 64, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding token-window chunking (RAG / long-context training
+    prep): cut each document into windows of ``chunk_tokens``
+    whitespace tokens advancing by ``stride`` (overlap =
+    chunk_tokens - stride).
+
+    Window convention: ``n_chunks = 1 + ceil((n_tok - chunk)/stride)``
+    clamped to >= 1 for non-empty docs — the final window is the only
+    possibly-short one and no window is fully contained in its
+    predecessor (the trailing-tiny-window artifact of the naive
+    while-start<n loop).  Empty/blank documents produce NO chunks
+    (documented; a pipeline filters them upstream).
+
+    Output: (doc_id, chunk_id, start_token, n_tokens, chunk_text).
+
+    Scale shape: split + sequence + explode per row — NO shuffle, no
+    UDF; at 10^12 docs chunking is embarrassingly parallel and the
+    output is ~(n_tok/stride)x the input rows, which the writer
+    partitioning absorbs.  Tokens here are whitespace words (the
+    q16 convention); a BPE chunker swaps the splitter, same plan.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    t = F.trim(F.regexp_replace(F.col(text_col), WS_CLASS, " "))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(t, " "), lambda w: w != "")
+        .alias("_toks"))
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    # integer-exact: ceil(a/b) = floor((a + b - 1)/b) on positives
+    extra = F.floor(
+        (n_tok - chunk_tokens + stride - 1)
+        / F.lit(stride).cast("double")).cast("long")
+    n_chunks = F.when(n_tok == 0, F.lit(0).cast("long")).otherwise(
+        F.greatest(extra + 1, F.lit(1).cast("long")))
+    starts = F.when(
+        n_chunks > 0,
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    staged = staged.select(
+        "doc_id", "_toks",
+        F.posexplode(
+            F.transform(starts, lambda i: i * stride)
+        ).alias("chunk_id", "start_token"))
+    piece = F.slice(toks, F.col("start_token").cast("int") + 1,
+                    chunk_tokens)
+    return staged.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "start_token",
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
