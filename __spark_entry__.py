@@ -3135,36 +3135,33 @@ def oracle_sql() -> dict[str, str]:
             staged as (
                 select url, text,
                        list_filter(
-                           string_split(text, chr(10)),
-                           l -> regexp_replace(
-                               l, '[ \t\r]+', '', 'g') <> '')
+                           list_transform(
+                               string_split(text, chr(10)),
+                               l -> regexp_replace(
+                                   l, '^[ \t\r]+|[ \t\r]+$',
+                                   '', 'g')),
+                           t -> t <> '')
                            as lines
                 from base
             ),
             scored as (
                 select url, text,
                        cast(len(lines) as bigint) as n_lines,
-                       list_filter(lines, l ->
-                           right(regexp_replace(
-                               l, '[ \t\r]+$', ''), 1)
-                               in ('.', '!', '?', '"')
+                       list_filter(lines, t ->
+                           right(t, 1) in ('.', '!', '?', '"')
                            and len(list_filter(
-                               regexp_split_to_array(
-                                   regexp_replace(regexp_replace(
-                                       l, '[ \t\r]+$', ''),
-                                       '^[ \t]+', ''),
-                                   '[ \t]+'),
+                               regexp_split_to_array(t, '[ \t]+'),
                                w -> w <> '')) >= 5
-                           and not contains(lower(l), 'javascript')
+                           and not contains(lower(t), 'javascript')
                            and not (
-                               contains(lower(l), 'terms of use')
-                               or contains(lower(l),
+                               contains(lower(t), 'terms of use')
+                               or contains(lower(t),
                                            'privacy policy')
-                               or contains(lower(l), 'cookie policy')
-                               or contains(lower(l), 'uses cookies')
-                               or contains(lower(l),
+                               or contains(lower(t), 'cookie policy')
+                               or contains(lower(t), 'uses cookies')
+                               or contains(lower(t),
                                            'use of cookies')
-                               or contains(lower(l), 'use cookies')))
+                               or contains(lower(t), 'use cookies')))
                            as kept_lines
                 from staged
             ),
@@ -3189,12 +3186,7 @@ def oracle_sql() -> dict[str, str]:
             select url, n_lines, n_kept,
                    drop_reason is null as kept, drop_reason,
                    case when drop_reason is null
-                        then array_to_string(
-                            list_transform(kept_lines, l ->
-                                regexp_replace(regexp_replace(
-                                    l, '[ \t\r]+$', ''),
-                                    '^[ \t]+', '')),
-                            chr(10))
+                        then array_to_string(kept_lines, chr(10))
                         else '' end as text_clean
             from reasons
         """,

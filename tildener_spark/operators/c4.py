@@ -5,9 +5,10 @@ curated corpora — ProcessDirectory.pl:28-40): the canonical
 line-level + page-level heuristic filter that produced C4 from
 Common Crawl, re-expressed as pure Spark expressions.
 
-Line rules (a line survives iff ALL hold):
-  * ends in terminal punctuation — ``. ! ? "`` — after trailing
-    whitespace is stripped (C4's ``_END_MARKS``);
+Line rules (each line is trimmed of leading/trailing ``[ \\t\\r]``
+once up front; a trimmed line survives iff ALL hold):
+  * ends in terminal punctuation — ``. ! ? "`` (C4's
+    ``_END_MARKS``);
   * has at least ``min_words_per_line`` words (C4 default 5), words
     split on explicit ``[ \\t]+`` (pinned char class, not ``\\s`` —
     Java vs RE2 ``\\s`` disagree on ``\\x0b``);
@@ -52,13 +53,12 @@ BADWORDS = ["badword1", "badword2"]
 TERMINAL = [".", "!", "?", '"']
 
 
-def _line_keep(line):
-    """Predicate over one raw line (pre-trim applied inside)."""
-    t = F.regexp_replace(line, r"[ \t\r]+$", "")
+def _line_keep(t):
+    """Predicate over one TRIMMED line (leading/trailing [ \\t\\r]
+    already stripped by the staging transform, so the expensive
+    regexp runs once per line — plan-audit DUP-EXPR discipline)."""
     lt = F.lower(t)
-    words = F.filter(F.split(F.regexp_replace(t, r"^[ \t]+", ""),
-                             r"[ \t]+"),
-                     lambda w: w != "")
+    words = F.filter(F.split(t, r"[ \t]+"), lambda w: w != "")
     ends_ok = F.substring(t, -1, 1).isin(TERMINAL)
     no_js = ~lt.contains("javascript")
     no_policy = ~F.greatest(
@@ -78,9 +78,14 @@ def c4_clean(pages: DataFrame, id_col: str = "url",
     staged = pages.select(
         F.col(id_col).alias("url"),
         text.alias("_text"),
+        # trim each line ONCE here; every downstream rule then works
+        # on the bound lambda variable with no regexp re-expansion
         F.filter(
-            F.split(text, "\n"),
-            lambda l: F.regexp_replace(l, r"[ \t\r]+", "") != "")
+            F.transform(
+                F.split(text, "\n"),
+                lambda l: F.regexp_replace(
+                    l, r"^[ \t\r]+|[ \t\r]+$", "")),
+            lambda t: t != "")
         .alias("_lines"))
     staged = staged.select(
         "url", "_text",
@@ -88,13 +93,7 @@ def c4_clean(pages: DataFrame, id_col: str = "url",
         F.filter(F.col("_lines"), _line_keep).alias("_kept_lines"))
 
     lower_all = F.lower(F.col("_text"))
-    kept_join = F.array_join(
-        F.transform(
-            F.col("_kept_lines"),
-            lambda l: F.regexp_replace(
-                F.regexp_replace(l, r"[ \t\r]+$", ""),
-                r"^[ \t]+", "")),
-        "\n")
+    kept_join = F.array_join(F.col("_kept_lines"), "\n")
     bad_arr = F.array(*[F.lit(b) for b in BADWORDS])
     has_bad = F.exists(
         F.col("_kept_lines"),
