@@ -1794,6 +1794,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.clustering import kmeans_clusters
         return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
 
+    def q59_source_overlap(spark, sf):
+        # cross-source n-gram overlap matrix (operators/overlap.py
+        # source_overlap): Jaccard + directed containment per source
+        # pair, zero-overlap pairs included
+        from tildener_spark.operators.overlap import source_overlap
+        return source_overlap(_docs(spark, sf), n=3)
+
     def q58_chunking(spark, sf):
         # sliding token-window chunking (operators/packing.py
         # chunk_documents): RAG / long-context prep; all-integer
@@ -2708,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_c4_filter": q56_c4_filter,
         "q57_ngram_repetition": q57_ngram_repetition,
         "q58_chunking": q58_chunking,
+        "q59_source_overlap": q59_source_overlap,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -3223,6 +3231,50 @@ def oracle_sql() -> dict[str, str]:
             from (select doc_id, ws,
                          unnest(generate_series(0, n_chunks - 1)) as i
                   from nc where n_chunks > 0)
+        """,
+        # cross-source n-gram overlap matrix: distinct (source,
+        # 3-gram) sets, pairwise intersection via shingle-keyed
+        # self-join, full S^2 matrix with zero-overlap pairs
+        "q59_source_overlap": """
+            with toks as (
+                select source,
+                       list_filter(string_split(trim(regexp_replace(
+                           text, '[ \t\n\x0b\f\r]+', ' ', 'g')),
+                           ' '), w -> w <> '') ws
+                from documents
+            ),
+            grams as (
+                select distinct source, g from (
+                    select source, unnest(list_transform(
+                        generate_series(0, greatest(len(ws) - 3, 0)),
+                        i -> concat_ws(' ', ws[i+1], ws[i+2],
+                                       ws[i+3]))) as g
+                    from toks)
+                where g <> ''
+            ),
+            sizes as (
+                select source, cast(count(*) as bigint) n
+                from grams group by source
+            ),
+            inter as (
+                select a.source sa, b.source sb,
+                       cast(count(*) as bigint) c
+                from grams a
+                join grams b on a.g = b.g and a.source < b.source
+                group by sa, sb
+            )
+            select sa.source as src_a, sb.source as src_b,
+                   sa.n as n_a, sb.n as n_b,
+                   coalesce(i.c, 0) as n_common,
+                   round(coalesce(i.c, 0)
+                         / (sa.n + sb.n - coalesce(i.c, 0)), 6)
+                       as jaccard,
+                   round(coalesce(i.c, 0) / sa.n, 6) as contain_a,
+                   round(coalesce(i.c, 0) / sb.n, 6) as contain_b
+            from sizes sa
+            join sizes sb on sa.source < sb.source
+            left join inter i
+              on i.sa = sa.source and i.sb = sb.source
         """,
         # per-host budget cap: same host extraction as q33, ranked by
         # md5(url) (url tiebreak) within host — Spark's md5 and

@@ -138,9 +138,13 @@ def main() -> None:
         if a["dup_expr"]:
             flags.append("DUP-EXPR!" + ";".join(a["dup_expr"]))
         if a["cartesian"] or a["bnlj"]:
+            # q18/q19: declared exact baselines; q59: the src_a <
+            # src_b matrix join over per-source TOTALS (one row per
+            # source, S^2 output by definition) — never corpus-sized
             flags.append("CROSS-JOIN" + (
-                " (exact-baseline ok)" if name in (
-                    "q18_embedding_topk", "q19_embedding_neardup")
+                " (declared ok)" if name in (
+                    "q18_embedding_topk", "q19_embedding_neardup",
+                    "q59_source_overlap")
                 else "!"))
         if a["smj"] and not a["bhj"]:
             flags.append("no-broadcast")

@@ -75,16 +75,19 @@ def word_tokens(col):
 
 def shingles_from_tokens(toks, n: int = 3):
     """Distinct word n-gram strings from a pre-projected token-array
-    column.  ``concat_ws`` over ``element_at`` probes — no per-element
-    slice allocation or array_join; out-of-range probes return null,
-    which concat_ws skips, reproducing array_join's short-tail
-    behavior on docs with < n words."""
+    column.  ``concat_ws`` over ``try_element_at`` probes — no
+    per-element slice allocation or array_join; out-of-range probes
+    return null (``try_`` form: plain element_at THROWS out-of-range
+    under Spark 4's default ANSI mode), which concat_ws skips,
+    reproducing array_join's short-tail behavior on docs with < n
+    words."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0),
                        F.greatest(F.lit(0), F.size(toks) - n)),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+                " ",
+                *[F.try_element_at(toks, i + j + 1) for j in range(n)]),
         )
     )
 
