@@ -670,6 +670,68 @@ def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
     return ",\n            ".join(parts)
 
 
+def _bpe_sql(n_merges: int) -> str:
+    """DuckDB replay of operators/bpe.py train_bpe: the same
+    distinct-word collapse, then per step the same pair counting
+    (overlaps included), the same (count desc, left, right) argmax,
+    and the same LTR merge — the fold expressed as a recursive CTE
+    advancing one symbol per recursion level (regex replacement
+    would NOT replay the x==y run case, see bpe.py docstring)."""
+    parts = [f"""wc as (
+                select w, cast(count(*) as bigint) cnt from (
+                    select unnest(list_filter(string_split(trim(
+                        regexp_replace(lower(text),
+                            '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                        ' '), t -> t <> '')) as w
+                    from documents)
+                group by w
+            ),
+            m0 as (
+                select w, cnt,
+                       list_transform(
+                           generate_series(1, length(w)),
+                           i -> w[i:i]) as syms
+                from wc
+            )"""]
+    for s in range(n_merges):
+        parts.append(f"""p{s} as (
+                select syms[i] x, syms[i+1] y, sum(cnt) c
+                from (select cnt, syms,
+                             unnest(generate_series(1, len(syms)-1))
+                                 as i
+                      from m{s} where len(syms) >= 2)
+                group by x, y
+            ),
+            b{s} as (
+                select x, y, c from p{s}
+                order by c desc, x asc, y asc limit 1
+            ),
+            f{s} as (
+                select w, cnt, syms, 1 as i, [syms[1]] as acc
+                from m{s}
+                union all
+                select f.w, f.cnt, f.syms, f.i + 1,
+                       case when f.acc[len(f.acc)] = b.x
+                                 and f.syms[f.i + 1] = b.y
+                            then list_append(
+                                f.acc[1:len(f.acc)-1], b.x || b.y)
+                            else list_append(f.acc, f.syms[f.i + 1])
+                       end
+                from f{s} f, b{s} b
+                where f.i < len(f.syms)
+            ),
+            m{s + 1} as (
+                select w, cnt, acc as syms
+                from f{s} where i = len(syms)
+            )""")
+    rows = "\n            union all ".join(
+        f"""select {s} as step, x as "left", y as "right",
+                   x || y as merged, cast(c as bigint) as pair_count from b{s}"""
+        for s in range(n_merges))
+    return ("with recursive " + ",\n            ".join(parts)
+            + "\n            " + rows)
+
+
 def _ngram_rep_sql() -> str:
     """DuckDB replay of textstats.ngram_repetition_profile over the
     q57-seeded pages: per n, unnest the space-joined word n-grams,
@@ -1794,6 +1856,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.clustering import kmeans_clusters
         return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
 
+    def q60_bpe_train(spark, sf):
+        # distributed BPE tokenizer training (operators/bpe.py
+        # train_bpe): wordcount collapse + 4 iterated pair-count
+        # argmax/merge steps; the oracle replays the identical loop
+        # with recursive-CTE folds (_bpe_sql)
+        from tildener_spark.operators.bpe import train_bpe
+        return train_bpe(spark, _docs(spark, sf), n_merges=4)
+
+    def q60b_bpe_encode(spark, sf):
+        # BPE encoding with the learned merge table (operators/
+        # bpe.py apply_bpe): the oracle reuses the trainer replay's
+        # final per-word symbol state (m4) and stitches documents
+        # back together in word order — train/encode consistency is
+        # exactly what the shared state checks
+        from tildener_spark.operators.bpe import apply_bpe, train_bpe
+        merges = [(r["left"], r["right"])
+                  for r in train_bpe(spark, _docs(spark, sf),
+                                     n_merges=4).collect()]
+        enc = apply_bpe(_docs(spark, sf), merges)
+        return enc.select(
+            "doc_id",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            F.array_join("tokens", "|").alias("tokens_joined"))
+
     def q59_source_overlap(spark, sf):
         # cross-source n-gram overlap matrix (operators/overlap.py
         # source_overlap): Jaccard + directed containment per source
@@ -2716,6 +2802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_ngram_repetition": q57_ngram_repetition,
         "q58_chunking": q58_chunking,
         "q59_source_overlap": q59_source_overlap,
+        "q60_bpe_train": q60_bpe_train,
+        "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
         "q31_repetition_profile": q31_repetition_profile,
         "q34_boilerplate_removal": q34_boilerplate_removal,
@@ -3275,6 +3363,43 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on sa.source < sb.source
             left join inter i
               on i.sa = sa.source and i.sb = sb.source
+        """,
+        # distributed BPE training: recursive-CTE replay of the
+        # 4-step pair-count/argmax/LTR-merge loop
+        "q60_bpe_train": _bpe_sql(4),
+        # BPE encode: per-doc word sequence joined to the trainer
+        # replay's final symbol state, reassembled in word order
+        "q60b_bpe_encode": _bpe_sql(4).split("select 0 as step")[0]
+        + """,
+            docs_w as (
+                select doc_id,
+                       list_filter(string_split(trim(
+                           regexp_replace(lower(text),
+                               '[ \t\n\x0b\f\r]+', ' ', 'g')),
+                           ' '), t -> t <> '') ws
+                from documents
+            ),
+            exploded as (
+                select doc_id, u['i'] as pos, u['w'] as w
+                from (select doc_id,
+                             unnest(list_transform(
+                                 generate_series(1, len(ws)),
+                                 i -> {'i': i, 'w': ws[i]})) as u
+                      from docs_w)
+            ),
+            encoded as (
+                select e.doc_id,
+                       cast(sum(len(m.syms)) as bigint) as n_tokens,
+                       string_agg(array_to_string(m.syms, '|'),
+                                  '|' order by e.pos) as toks
+                from exploded e join m4 m on e.w = m.w
+                group by e.doc_id
+            )
+            select d.doc_id,
+                   coalesce(en.n_tokens, 0) as n_tokens,
+                   coalesce(en.toks, '') as tokens_joined
+            from documents d
+            left join encoded en on d.doc_id = en.doc_id
         """,
         # per-host budget cap: same host extraction as q33, ranked by
         # md5(url) (url tiebreak) within host — Spark's md5 and
