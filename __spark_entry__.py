@@ -1856,6 +1856,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.clustering import kmeans_clusters
         return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
 
+    def q61_shuffle_shards(spark, sf):
+        # deterministic global training shuffle -> shard layout
+        # (operators/mixing.py shuffle_shards)
+        from tildener_spark.operators.mixing import shuffle_shards
+        return shuffle_shards(_docs(spark, sf), n_shards=8)
+
     def q60_bpe_train(spark, sf):
         # distributed BPE tokenizer training (operators/bpe.py
         # train_bpe): wordcount collapse + 4 iterated pair-count
@@ -2802,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_ngram_repetition": q57_ngram_repetition,
         "q58_chunking": q58_chunking,
         "q59_source_overlap": q59_source_overlap,
+        "q61_shuffle_shards": q61_shuffle_shards,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -3366,6 +3373,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # distributed BPE training: recursive-CTE replay of the
         # 4-step pair-count/argmax/LTR-merge loop
+        # deterministic shuffle->shard layout: same md5 sort key,
+        # ('0x'||first-15-hex)::bigint == Spark conv(hex,16,10)
+        "q61_shuffle_shards": """
+            with k as (
+                select doc_id,
+                       md5('shuf:' || cast(doc_id as varchar)) as k
+                from documents
+            ),
+            s as (
+                select doc_id, k,
+                       cast(cast(('0x' || substr(k, 1, 15))
+                                 as bigint) % 8 as int) as shard
+                from k
+            )
+            select doc_id, shard,
+                   cast(row_number() over (
+                       partition by shard
+                       order by k, doc_id) - 1 as bigint) as pos
+            from s
+        """,
         "q60_bpe_train": _bpe_sql(4),
         # BPE encode: per-doc word sequence joined to the trainer
         # replay's final symbol state, reassembled in word order

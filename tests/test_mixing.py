@@ -95,3 +95,37 @@ def test_leakage_safe_splits_co_locates_near_dups(spark):
     assert len(split_of) == 80
     for i in range(40):
         assert split_of[f"d{i:03d}"] == split_of[f"d{i:03d}x"], i
+
+
+def test_shuffle_shards_layout(spark):
+    from tildener_spark.operators.mixing import shuffle_shards
+    docs = spark.createDataFrame([(i,) for i in range(200)],
+                                 "doc_id: long")
+    out = shuffle_shards(docs, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # every shard populated, positions dense 0..k-1 within shard
+    assert set(by_shard) == {0, 1, 2, 3}
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+    # roughly uniform scatter (md5): no shard owns > 45% of 200
+    assert max(len(p) for p in by_shard.values()) < 90
+    # the layout is a permutation, not identity order
+    pos_of = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+    first_ids = sorted(d for d, (s, p) in pos_of.items() if p == 0)
+    assert first_ids != [0, 1, 2, 3]
+
+
+def test_shuffle_shards_deterministic(spark):
+    from tildener_spark.operators.mixing import shuffle_shards
+    docs = spark.createDataFrame([(i,) for i in range(100)],
+                                 "doc_id: long")
+    a = sorted(map(tuple, shuffle_shards(docs, 8).collect()))
+    b = sorted(map(tuple,
+                   shuffle_shards(docs.repartition(17), 8).collect()))
+    assert a == b
+    c = sorted(map(tuple,
+                   shuffle_shards(docs, 8, seed="other").collect()))
+    assert a != c

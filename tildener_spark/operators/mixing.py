@@ -16,7 +16,7 @@ state, trivially 10^12-row-safe.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def hex_threshold(fraction: float) -> str:
@@ -102,3 +102,42 @@ def stratified_mix(df: DataFrame, strata_col: str,
                      F.lit(hex_threshold(fractions[stratum]))) \
                .otherwise(thr)
     return df.filter(_bucket(F.col(key_col), seed) < thr)
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = 8,
+                   id_col: str = "doc_id",
+                   seed: str = "shuf") -> DataFrame:
+    """Deterministic global training shuffle + shard layout.
+
+    Every pretraining run shuffles the corpus before packing; a
+    cluster-side ``ORDER BY rand()`` is neither reproducible nor
+    resumable.  Here each document's placement is a pure function of
+    its key: ``sort_key = md5(seed ':' id)`` gives the global random
+    order, ``shard = pmod(first-15-hex of sort_key, n_shards)``
+    scatters documents uniformly across writer shards, and
+    ``pos`` ranks by sort_key WITHIN the shard — reading shards
+    sequentially in pos order replays one fixed global permutation
+    stream per shard (the layout a sharded dataset writer emits).
+
+    Scale: the only shuffle is the per-shard ranking window keyed on
+    shard — n_shards partitions, each holding corpus/n_shards rows;
+    at 10^12 docs pick n_shards ~ output-file count (10^5-6) and the
+    window per shard stays memory-bounded and embarrassingly
+    parallel.  No global single-partition window anywhere.
+
+    md5-hex → integer uses the FIRST 15 hex digits (60 bits < 2^63),
+    so both engines parse it into a plain bigint; the sort key stays
+    the full 32-hex string (collision-free ordering tie-broken by
+    the id, making the permutation total and engine-independent).
+    """
+    key = F.md5(F.concat(F.lit(seed + ":"),
+                         F.col(id_col).cast("string")))
+    staged = docs.select(F.col(id_col).alias("doc_id"),
+                         key.alias("_k"))
+    shard = F.pmod(F.conv(F.substring("_k", 1, 15), 16, 10)
+                   .cast("long"), F.lit(n_shards)).cast("int")
+    staged = staged.select("doc_id", "_k", shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("_k", "doc_id")
+    return staged.select(
+        "doc_id", "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"))
