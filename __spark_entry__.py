@@ -1856,6 +1856,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.clustering import kmeans_clusters
         return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
 
+    def q62_jsonl_roundtrip(spark, sf):
+        # JSONL source/sink round trip (sources/jsonl.py): documents
+        # -> .jsonl.gz shards -> read back with explicit schema; the
+        # oracle is the source table itself, so any escaping,
+        # encoding, shard-framing, or type defect breaks the hash
+        import tempfile
+
+        from tildener_spark.sources.jsonl import (
+            read_jsonl, write_jsonl)
+        path = os.path.join(tempfile.gettempdir(),
+                            "tildener_q62_jsonl")
+        write_jsonl(_docs(spark, sf), path, n_files=8)
+        back = read_jsonl(
+            spark, path,
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint")
+        return back.filter(F.col("_corrupt").isNull()) \
+            .drop("_corrupt")
+
     def q61_shuffle_shards(spark, sf):
         # deterministic global training shuffle -> shard layout
         # (operators/mixing.py shuffle_shards)
@@ -2809,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_chunking": q58_chunking,
         "q59_source_overlap": q59_source_overlap,
         "q61_shuffle_shards": q61_shuffle_shards,
+        "q62_jsonl_roundtrip": q62_jsonl_roundtrip,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -3392,6 +3412,13 @@ def oracle_sql() -> dict[str, str]:
                        partition by shard
                        order by k, doc_id) - 1 as bigint) as pos
             from s
+        """,
+        # JSONL round trip is an identity map of documents; the
+        # oracle IS the source table (escaping/encoding defects
+        # break the value hash)
+        "q62_jsonl_roundtrip": """
+            select doc_id, text, lang, source, n_chars
+            from documents
         """,
         "q60_bpe_train": _bpe_sql(4),
         # BPE encode: per-doc word sequence joined to the trainer
