@@ -825,6 +825,52 @@ def _entity_edges_cte() -> str:
         )"""
 
 
+def _kg_bfs_sql(n_seeds: int = 3, max_hops: int = 4) -> str:
+    """DuckDB replay of graphstats.graph_bfs: same mass-ranked seed
+    pick, then the frontier expansion unrolled one CTE per hop (all
+    integer / set algebra — nothing to quantize)."""
+    parts = [f"""mass as (
+            select src, sum(n_evidence) as m from (
+                select src, n_evidence from edges
+                union all
+                select dst as src, n_evidence from edges
+            ) group by src
+        ),
+        ua as (
+            select distinct src, dst from (
+                select src, dst from edges
+                union all
+                select dst as src, src as dst from edges
+            )
+        ),
+        d0 as (
+            select node, 0 as dist from (
+                select src as node from mass
+                order by m desc, src asc limit {n_seeds})
+        ),
+        f0 as (select node from d0)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f"""n{h} as (
+            select distinct a.dst as node
+            from f{h - 1} f join ua a on f.node = a.src
+            where a.dst not in (select node from d{h - 1})
+        ),
+        d{h} as (
+            select * from d{h - 1}
+            union all
+            select node, {h} as dist from n{h}
+        ),
+        f{h} as (select node from n{h})""")
+    return f"""
+        with {_entity_edges_cte()},
+        {",".join(parts)}
+        select string_split(node, '␟')[1] as ne_type,
+               string_split(node, '␟')[2] as canonical,
+               cast(dist as int) as dist
+        from d{max_hops}
+    """
+
+
 def _pagerank_sql(edges_cte: str, final_select: str,
                   weight: str = "n_evidence",
                   iterations: int = 5, damping: float = 0.85,
@@ -2491,6 +2537,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = _kg_materialized(spark)
         return entity_pagerank(entity_edges(m["canon_triples"]))
 
+    def kg_paths(spark, sf):
+        # multi-source BFS hop distances from the highest-evidence
+        # hub entities (operators/graphstats.py graph_bfs); the
+        # oracle unrolls the frontier expansion per hop — pure set
+        # algebra, so the replay is exact with no quantization
+        from tildener_spark.operators.graphstats import (
+            entity_edges, graph_bfs)
+        m = _kg_materialized(spark)
+        return graph_bfs(entity_edges(m["canon_triples"]),
+                         n_seeds=3, max_hops=4)
+
     def kg_graph_stats(spark, sf):
         # per-entity graph topology (operators/graphstats.py
         # graph_degree_stats): directed/undirected degrees, evidence
@@ -2842,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": kg_links,
         "kg_entities": kg_entities,
         "kg_pagerank": kg_pagerank,
+        "kg_paths": kg_paths,
         "kg_graph_stats": kg_graph_stats,
         "kg_timeline": kg_timeline,
         "kg_communities": kg_communities,
@@ -5161,6 +5219,7 @@ def oracle_sql() -> dict[str, str]:
         # checks, so both canonicalization strategies are value-gated
         "kg_entities": _kg_graph_sql(cross=True),
         "kg_pagerank": _kg_pagerank_sql(),
+        "kg_paths": _kg_bfs_sql(),
         "kg_graph_stats": _kg_graph_stats_sql(),
         "kg_timeline": _kg_timeline_sql(),
         "kg_communities": _kg_communities_sql(),

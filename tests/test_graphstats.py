@@ -206,3 +206,31 @@ def test_triangles_mutual_cap_prunes_hub(spark):
     # spokes keep h in their top-2 but h dropped them: not mutual,
     # so they vanish from the capped graph entirely
     assert set(got) == {"h", "x", "y"}
+
+
+def test_graph_bfs_distances(spark):
+    from tildener_spark.operators.graphstats import graph_bfs
+    # path graph a-b-c-d-e plus isolated pair x-y; 'b' carries the
+    # heaviest incident mass (10+1) -> single seed at b (n_seeds=1)
+    edges = spark.createDataFrame(
+        [("P␟a", "P␟b", 10), ("P␟b", "P␟c", 1), ("P␟c", "P␟d", 1),
+         ("P␟d", "P␟e", 1), ("P␟x", "P␟y", 1)],
+        "src string, dst string, n_evidence long")
+    out = {r["canonical"]: r["dist"]
+           for r in graph_bfs(edges, n_seeds=1, max_hops=2).collect()}
+    # e is 3 hops from b -> absent at max_hops=2; x/y unreachable
+    assert out == {"b": 0, "a": 1, "c": 1, "d": 2}
+
+
+def test_graph_bfs_multi_seed_min_dist(spark):
+    from tildener_spark.operators.graphstats import graph_bfs
+    # masses: b = 9+1 = 10, d = 1+9 = 10, a = e = 9, c = 2 ->
+    # seeds {b, d}; every other node is 1 hop from a seed and the
+    # anti-join must keep the MIN dist (c is 1 from both seeds)
+    edges = spark.createDataFrame(
+        [("P␟a", "P␟b", 9), ("P␟b", "P␟c", 1), ("P␟c", "P␟d", 1),
+         ("P␟d", "P␟e", 9)],
+        "src string, dst string, n_evidence long")
+    out = {r["canonical"]: r["dist"]
+           for r in graph_bfs(edges, n_seeds=2, max_hops=4).collect()}
+    assert out == {"b": 0, "d": 0, "a": 1, "c": 1, "e": 1}

@@ -394,3 +394,62 @@ def graph_degree_stats(edges: DataFrame, k: int = 16) -> DataFrame:
         "ne_type", "canonical", "out_deg", "in_deg",
         "degree", "evidence", "n_2hop")
     return res
+
+
+def graph_bfs(edges: DataFrame, n_seeds: int = 3,
+              max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS shortest hop-distance over the undirected
+    entity graph — the KG path query ("everything within k hops of
+    the hub entities") behind neighborhood exports and entity-card
+    rendering.
+
+    Seeds are the ``n_seeds`` nodes with the largest total incident
+    evidence mass (tie-break: lexicographically smallest node), so
+    the query is fully data-derived and deterministic.  Returns
+    (ne_type, canonical, dist) for every node reached within
+    ``max_hops`` (dist = hops to the NEAREST seed; unreached nodes
+    are absent by contract).
+
+    Scale shape: textbook frontier BFS — per hop one |frontier ⋈ E|
+    equi-join, a frontier ``distinct``, and an anti-join against the
+    visited set; state is the visited table (|V| max).  Frontiers are
+    persisted per hop (iterative-plan lineage discipline, see
+    entity_communities).  Hub skew lands in the frontier join where
+    AQE's skew-join splitting absorbs it — distances, unlike the
+    top-k-capped triangle counts, cannot be truncated without
+    changing the answer, so no per-node cap is applied.
+    """
+    und = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .distinct().persist())
+    und.count()
+    mass = (edges.select("src", F.col("n_evidence").alias("w"))
+            .union(edges.select(F.col("dst").alias("src"),
+                                F.col("n_evidence").alias("w")))
+            .groupBy("src").agg(F.sum("w").alias("mass")))
+    dist = (mass.orderBy(F.desc("mass"), F.asc("src"))
+            .limit(n_seeds)
+            .select(F.col("src").alias("node"),
+                    F.lit(0).alias("dist"))
+            .persist())
+    dist.count()
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.alias("f")
+               .join(und.alias("a"), F.col("f.node") == F.col("a.src"))
+               .select(F.col("a.dst").alias("node"))
+               .distinct()
+               .join(dist, "node", "left_anti")
+               .select("node", F.lit(h).alias("dist"))
+               .persist())
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_dist = dist.union(nxt).persist()
+        new_dist.count()
+        dist.unpersist()
+        dist, frontier = new_dist, nxt.select("node")
+    out = split_node(dist).select("ne_type", "canonical", "dist")
+    und.unpersist()
+    return out
