@@ -605,34 +605,38 @@ def _cc_chain_ctes() -> str:
             )"""
 
 
-def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
+def _kmeans_ctes(k: int, n_iter: int, dim: int, prefix: str = "",
+                 src_expr: str = "embedding::DOUBLE[]",
+                 base_where: str | None = None) -> str:
     """DuckDB replay of operators/clustering.py kmeans_clusters:
     md5-seeded init, ``c·c − 2·x·c`` argmin assignment (cluster-id
     tie-break), floor-quantized integer centroid sums.  Every
     arithmetic step is a bitwise-reproducible IEEE op (floor-based
     quantization, sequential dot-product folds), so the unrolled loop
     reaches the same fixpoint as the Spark driver loop."""
-    parts = [f"""e as materialized (
-                select vec_id, embedding::DOUBLE[] as emb,
+    p = prefix
+    where = base_where or ("embedding is not null"
+                           f" and len(embedding) = {dim}")
+    parts = [f"""{p}e as materialized (
+                select vec_id, {src_expr} as emb,
                        list_transform(
-                           embedding::DOUBLE[],
+                           {src_expr},
                            x -> cast(floor(x * 1000000 + 0.5)
                                      as bigint)) as embq
                 from embeddings
-                where embedding is not null
-                  and len(embedding) = {dim}
+                where {where}
             ),
-            c0 as (
+            {p}c0 as (
                 select cast(rn - 1 as int) as cl, emb as cen
                 from (
                     select emb, row_number() over (
                         order by md5(cast(vec_id as varchar)),
                                  vec_id) as rn
-                    from e
+                    from {p}e
                 ) where rn <= {k}
             )"""]
     for i in range(n_iter + 1):
-        parts.append(f"""a{i} as materialized (
+        parts.append(f"""{p}a{i} as materialized (
                 select vec_id, embq, cl from (
                     select e.vec_id, e.embq, c.cl,
                            row_number() over (
@@ -642,29 +646,29 @@ def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
                                  - 2 * list_dot_product(e.emb,
                                                         c.cen) asc,
                                  c.cl asc) as rn
-                    from e cross join c{i} c
+                    from {p}e e cross join {p}c{i} c
                 ) where rn = 1
             )""")
         if i == n_iter:
             break
-        parts.append(f"""s{i} as (
+        parts.append(f"""{p}s{i} as (
                 select cl, cast(i - 1 as int) as pos,
                        sum(embq[i]) as sq,
                        cast(count(*) as bigint) as cnt
                 from (select cl, embq,
                              unnest(generate_series(1, len(embq)))
                                  as i
-                      from a{i})
+                      from {p}a{i})
                 group by cl, pos
             ),
-            c{i + 1} as (
+            {p}c{i + 1} as (
                 select c.cl, coalesce(n.cen, c.cen) as cen
-                from c{i} c left join (
+                from {p}c{i} c left join (
                     select cl,
                            list(floor(cast(sq as double)
                                       / cast(cnt as double) + 0.5)
                                 / 1000000.0 order by pos) as cen
-                    from s{i} group by cl
+                    from {p}s{i} group by cl
                 ) n on c.cl = n.cl
             )""")
     return ",\n            ".join(parts)
@@ -1902,6 +1906,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.clustering import kmeans_clusters
         return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
 
+    def q63_pq_encode(spark, sf):
+        # product-quantization codes (operators/clustering.py
+        # pq_encode): 4 subspaces x 16 centroids over the 64-dim
+        # embeddings; the oracle runs 4 prefixed instances of the
+        # kmeans replay over the sliced subvectors and joins codes
+        from tildener_spark.operators.clustering import pq_encode
+        return pq_encode(_emb(spark, sf), n_subspaces=4, k=16,
+                         n_iter=2, dim=64)
+
     def q62_jsonl_roundtrip(spark, sf):
         # JSONL source/sink round trip (sources/jsonl.py): documents
         # -> .jsonl.gz shards -> read back with explicit schema; the
@@ -2886,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_source_overlap": q59_source_overlap,
         "q61_shuffle_shards": q61_shuffle_shards,
         "q62_jsonl_roundtrip": q62_jsonl_roundtrip,
+        "q63_pq_encode": q63_pq_encode,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -3479,6 +3493,27 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "q60_bpe_train": _bpe_sql(4),
+        # PQ codes: 4 prefixed kmeans replays over sliced subvectors
+        "q63_pq_encode": "with " + ",\n".join(
+            _kmeans_ctes(
+                k=16, n_iter=2, dim=16, prefix=f"s{j}_",
+                src_expr=f"(embedding::DOUBLE[])"
+                         f"[{j * 16 + 1}:{j * 16 + 16}]",
+                base_where="embedding is not null"
+                           " and len(embedding) = 64")
+            for j in range(4)) + """
+            select s0.vec_id,
+                   cast(s0.cl as varchar) || '-'
+                   || cast(s1.cl as varchar) || '-'
+                   || cast(s2.cl as varchar) || '-'
+                   || cast(s3.cl as varchar) as code,
+                   cast(s0.cl as int) as c0, cast(s1.cl as int) as c1,
+                   cast(s2.cl as int) as c2, cast(s3.cl as int) as c3
+            from s0_a2 s0
+            join s1_a2 s1 using (vec_id)
+            join s2_a2 s2 using (vec_id)
+            join s3_a2 s3 using (vec_id)
+        """,
         # BPE encode: per-doc word sequence joined to the trainer
         # replay's final symbol state, reassembled in word order
         "q60b_bpe_encode": _bpe_sql(4).split("select 0 as step")[0]

@@ -73,3 +73,40 @@ def test_zero_shuffle_assignment_plan(spark):
     assert "Exchange" not in plan.split("InMemoryTableScan")[0]
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from tildener_spark.operators.clustering import pq_encode
+    df = _clustered(spark, n_per=20, k=3, dim=8)
+    out = pq_encode(df, n_subspaces=2, k=3, n_iter=2, dim=8)
+    rows = out.collect()
+    assert len(rows) == 60
+    assert set(out.columns) == {"vec_id", "code", "c0", "c1"}
+    for r in rows:
+        assert r["code"] == f'{r["c0"]}-{r["c1"]}'
+        assert 0 <= r["c0"] < 3 and 0 <= r["c1"] < 3
+    # subspace 0 (dims 1-4) contains the separating coordinates for
+    # blobs 0..2 when dim=8, k=3: planted blobs get distinct c0 codes
+    by_blob = {}
+    got = {r["vec_id"]: r["c0"] for r in rows}
+    for c in range(3):
+        assigned = {got[c * 20 + i] for i in range(20)}
+        assert len(assigned) == 1
+        by_blob[c] = assigned.pop()
+    # blobs 0 and 1 differ within subspace 0 (coords 0 and 1)
+    assert by_blob[0] != by_blob[1]
+    # repartition invariance
+    b = pq_encode(df.repartition(17), n_subspaces=2, k=3, n_iter=2,
+                  dim=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+def test_pq_encode_drops_bad_vectors(spark):
+    from tildener_spark.operators.clustering import pq_encode
+    df = _clustered(spark, n_per=10, k=2, dim=8).unionByName(
+        spark.createDataFrame(
+            [(900, None, 0), (901, [1.0] * 4, 0)],
+            "vec_id: bigint, embedding: array<float>, label: int"))
+    ids = {r["vec_id"] for r in
+           pq_encode(df, n_subspaces=2, k=2, n_iter=1, dim=8).collect()}
+    assert 900 not in ids and 901 not in ids and len(ids) == 20

@@ -110,3 +110,55 @@ def kmeans_clusters(emb: DataFrame, k: int = 4, n_iter: int = 3,
             cents[c] = cen
 
     return assign(e).select("vec_id", "cluster")
+
+
+def pq_encode(emb: DataFrame, n_subspaces: int = 4, k: int = 16,
+              n_iter: int = 2, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              dim: int = 64) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    vector into ``n_subspaces`` contiguous subvectors, train the
+    deterministic k-means of :func:`kmeans_clusters` independently
+    per subspace, and emit each vector's code word — the compressed
+    representation an ANN index stores (``n_subspaces·log2(k)`` bits
+    instead of ``dim`` floats).
+
+    Output: (vec_id, code) with code = '-'.joined per-subspace
+    cluster ids, plus the per-subspace id columns c0..c{S-1}.
+
+    Determinism: inherited wholesale from kmeans_clusters (md5
+    seeding, expression argmin, integer centroid sums), so the full
+    codebook training replays exactly in the DuckDB oracle.
+
+    Scale shape: S independent kmeans runs over the SAME persisted
+    projection — per iteration each is one scan + a (k·subdim)-group
+    partial agg; the final code join is S-way on vec_id
+    (co-partitioned hash joins).  A production run folds the S
+    subspace argmins into ONE pass by stacking the S·k centroids as
+    literals (same expressions, one scan per iteration); the
+    composition here keeps each subspace bit-identical to the
+    standalone q55 operator, which is what the oracle contract
+    wants."""
+    if dim % n_subspaces:
+        raise ValueError("dim must divide into n_subspaces")
+    sub = dim // n_subspaces
+    base = (emb.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("_full"))
+            .filter(F.col("_full").isNotNull()
+                    & (F.size("_full") == dim)))
+    base = materialize_once(base)
+    out = None
+    for j in range(n_subspaces):
+        e_j = base.select(
+            "vec_id",
+            F.slice("_full", j * sub + 1, sub).alias("embedding"))
+        a_j = kmeans_clusters(e_j, k=k, n_iter=n_iter, dim=sub) \
+            .withColumnRenamed("cluster", f"c{j}")
+        out = a_j if out is None else out.join(a_j, "vec_id")
+    code = F.concat_ws(
+        "-", *[F.col(f"c{j}").cast("string")
+               for j in range(n_subspaces)])
+    return out.select(
+        "vec_id", code.alias("code"),
+        *[f"c{j}" for j in range(n_subspaces)])
