@@ -1906,6 +1906,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.clustering import kmeans_clusters
         return kmeans_clusters(_emb(spark, sf), k=4, n_iter=3)
 
+    def q64_incremental_dedup(spark, sf):
+        # snapshot-ingestion dedup (operators/dedup.py
+        # incremental_dedup): docs with doc_id % 5 == 0 play the new
+        # snapshot, the rest the held corpus; banding is per-doc
+        # deterministic so the oracle bands the whole table once and
+        # splits the flats
+        from tildener_spark.operators.dedup import incremental_dedup
+        d = _docs(spark, sf)
+        return incremental_dedup(
+            d.filter(F.col("doc_id") % 5 != 0),
+            d.filter(F.col("doc_id") % 5 == 0))
+
     def q63_pq_encode(spark, sf):
         # product-quantization codes (operators/clustering.py
         # pq_encode): 4 subspaces x 16 centroids over the 64-dim
@@ -2900,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_shuffle_shards": q61_shuffle_shards,
         "q62_jsonl_roundtrip": q62_jsonl_roundtrip,
         "q63_pq_encode": q63_pq_encode,
+        "q64_incremental_dedup": q64_incremental_dedup,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -3200,6 +3213,40 @@ def oracle_sql() -> dict[str, str]:
         "q13c_minhash_production": f"""
             with {_minhash_bands_cte()}
             select doc_id, band_idx, band_key from mh_bands
+        """,
+        # snapshot-ingestion dedup: band once, split flats by the
+        # same doc_id % 5 rule; index-side bucket cap; left join
+        # back so clean new docs surface
+        "q64_incremental_dedup": f"""
+            with {_minhash_bands_cte()},
+            old_cap as (
+                select doc_id, band_idx, band_key from (
+                    select *, count(*) over (
+                        partition by band_idx, band_key) as bn
+                    from mh_bands where doc_id % 5 <> 0
+                ) where bn <= 100
+            ),
+            new_f as (
+                select doc_id, band_idx, band_key
+                from mh_bands where doc_id % 5 = 0
+            ),
+            cand as (
+                select distinct n.doc_id as new_id,
+                                o.doc_id as old_id
+                from new_f n
+                join old_cap o using (band_idx, band_key)
+            ),
+            agg as (
+                select new_id, cast(count(*) as bigint) as n_matches,
+                       min(old_id) as first_match
+                from cand group by new_id
+            )
+            select d.doc_id,
+                   a.new_id is not null as is_dup,
+                   coalesce(a.n_matches, 0) as n_matches,
+                   a.first_match
+            from (select doc_id from documents where doc_id % 5 = 0) d
+            left join agg a on d.doc_id = a.new_id
         """,
         # deterministic mixture sampling: identical md5 bucket string,
         # thresholds shared through mixing.hex_threshold — the hex

@@ -136,3 +136,40 @@ def test_dup_span_removal_overlap_merge(spark):
     assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 7
     assert out[1]["kept_text"] == "uniq1 uniq2"
     assert out[2]["kept_text"] == "cits gals te"
+
+
+def test_incremental_dedup_flags_recrawls(spark):
+    from tildener_spark.operators.dedup import incremental_dedup
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    old = spark.createDataFrame(
+        [(1, base), (2, "an entirely different old document about "
+                        "shipping container logistics and ports")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, base),                              # exact re-crawl
+         (11, base.replace("tonight", "today")),  # near-dup
+         (12, "completely fresh content mentioning nothing that "
+              "appeared in any previously held document at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           incremental_dedup(old, new).collect()}
+    assert len(out) == 3                          # every new doc
+    assert out[10]["is_dup"] and out[10]["first_match"] == 1
+    assert out[11]["is_dup"] and out[11]["first_match"] == 1
+    assert not out[12]["is_dup"]
+    assert out[12]["n_matches"] == 0 and out[12]["first_match"] is None
+
+
+def test_incremental_dedup_old_bucket_guard(spark):
+    from tildener_spark.operators.dedup import incremental_dedup
+    # 30 identical old docs blow past max_bucket=10: the index-side
+    # guard drops that bucket, so the matching new doc reports clean
+    # (guard fired, documented trade)
+    txt = ("repeated boilerplate page body that is long enough to "
+           "produce a full set of character shingles for hashing")
+    old = spark.createDataFrame([(i, txt) for i in range(30)],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(100, txt)], "doc_id long, text string")
+    out = incremental_dedup(old, new, max_bucket=10).collect()
+    assert len(out) == 1 and not out[0]["is_dup"]

@@ -459,3 +459,58 @@ def dup_span_removal(docs: DataFrame, n: int = 5,
         .otherwise(F.lit(0.0)).alias("dup_ratio"),
         kept_text.alias("kept_text"),
     )
+
+
+def incremental_dedup(old_docs: DataFrame, new_docs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      cfg: EngineConfig | None = None,
+                      max_bucket: int = 100) -> DataFrame:
+    """Snapshot-ingestion dedup: flag each NEW document that LSH-
+    collides with the EXISTING corpus — the monthly-Common-Crawl
+    workflow (every new snapshot is mostly re-crawls of pages already
+    held; index-side dedup runs before any expensive processing).
+
+    Returns one row per new document: (doc_id, is_dup, n_matches,
+    first_match) with first_match = the smallest matching old id
+    (deterministic).  Candidates are band-bucket collisions, the same
+    evidence level as minhash_lsh_pairs/q13b; an exact-Jaccard verify
+    (q11's join) composes on top when the keep decision needs it.
+
+    Scale shape: both sides band once (Arrow-batched numpy minhash,
+    the q13c production path); the join is banded new x old flat
+    tables on (band_idx, band_key) — at 10^12 held docs the OLD side
+    is the big one, so the skew guard caps OLD buckets (a universal
+    boilerplate bucket in the index would otherwise match every new
+    doc); new-side counts are snapshot-sized.  The old flat table is
+    exactly what a persisted LSH INDEX stores — re-banding is shown
+    here only because the oracle replays from raw text.
+    """
+    cfg = cfg or EngineConfig()
+
+    def flat(d):
+        banded = with_minhash_bands(
+            d.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col)), text_col, cfg)
+        return banded.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band"))
+
+    old_cap = (flat(old_docs)
+               .withColumn("bn", F.count(F.lit(1)).over(
+                   Window.partitionBy("band_idx", "band")))
+               .filter(F.col("bn") <= max_bucket))
+    cand = (flat(new_docs).alias("n")
+            .join(old_cap.alias("o"), ["band_idx", "band"])
+            .select(F.col("n.doc_id").alias("new_id"),
+                    F.col("o.doc_id").alias("old_id"))
+            .distinct())
+    agg = cand.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("old_id").alias("first_match"))
+    return (new_docs.select(F.col(id_col).alias("doc_id"))
+            .join(agg, F.col("doc_id") == F.col("new_id"), "left")
+            .select(
+                "doc_id",
+                F.col("new_id").isNotNull().alias("is_dup"),
+                F.coalesce("n_matches", F.lit(0).cast("long"))
+                .alias("n_matches"),
+                "first_match"))
