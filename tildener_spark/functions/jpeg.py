@@ -18,11 +18,16 @@ Decoder coverage (essentially all real-world JPEGs):
   (4:4:4 / 4:2:2 / 4:2:0 / ...), interleaved single-scan or
   non-interleaved single-component scans (T.81 A.2);
 * restart markers (DRI/RSTn), 8- and 16-bit quantization tables,
-  APPn/COM skip.
+  APPn/COM skip;
+* extended sequential ARITHMETIC coding (SOF9 + DAC, T.81 Annexes
+  D/F): QM coder in functions/qmcoder.py, statistics model in
+  functions/jpegarith.py — evidence chain documented there (no
+  independent SOF9 codec exists in-container; the anchor is
+  coefficient parity with the javax.imageio-anchored Huffman path).
 
-Arithmetic coding, hierarchical and lossless modes raise a declared
-``NotImplementedError`` — they are genuinely different coding
-pipelines, not missing glue.
+Progressive-arithmetic (SOF10), hierarchical and lossless modes
+raise a declared ``NotImplementedError`` — genuinely different
+coding pipelines, not missing glue.
 
 The encoder exists (a) so pipelines can write thumbnails and (b) as
 the decoder's adversary in round-trip tests: it uses formula-generated
@@ -312,6 +317,87 @@ def _split_scan(data: bytes, pos: int):
     return parts, pos
 
 
+def _split_scan_arith(data: bytes, pos: int):
+    """Arithmetic-scan variant of :func:`_split_scan`: there is no
+    0xFF00 BYTE stuffing — the QM coder BIT-stuffs after 0xFF, so a
+    following byte <= 0x8F is entropy data (both bytes kept); only
+    0xFF + >0x8F is a marker (T.81 D.1.6)."""
+    parts, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = data[pos + 1] if pos + 1 < n else 0xD9
+        if m <= 0x8F:
+            cur.append(0xFF)
+            cur.append(m)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # restart: new entropy segment
+            parts.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    parts.append(bytes(cur))
+    return parts, pos
+
+
+def _arith_sequential_scan(parts, scan, grids, mcux: int, mcuy: int,
+                           restart: int, dc_cond: dict,
+                           ac_cond: dict) -> None:
+    """Sequential SOF9 scan: QM decoder + Annex F statistics model,
+    same MCU walk as the Huffman path.  ``scan`` entries are
+    (comp, dc_table_id, ac_table_id).  Every restart segment gets a
+    fresh coder, statistics, predictors, and DC contexts."""
+    from tildener_spark.functions import jpegarith as JA
+    from tildener_spark.functions.qmcoder import Decoder as _QDec
+
+    ns = len(scan)
+    n_mcus = (mcux * mcuy if ns > 1 else
+              grids[scan[0][0][0]].shape[0]
+              * grids[scan[0][0][0]].shape[1])
+    mcu = 0
+
+    def one_block(dec, stats, preds, cid, dtbl, atbl, g, by, bx):
+        low, up = dc_cond.get(dtbl, (JA.DC_L_DEFAULT,
+                                     JA.DC_U_DEFAULT))
+        blk = np.zeros(64, dtype=np.int32)
+        preds[cid] += JA.decode_dc_diff(dec, stats, dtbl, cid,
+                                        low, up)
+        blk[0] = preds[cid]
+        JA.decode_ac_block(dec, stats, atbl, blk,
+                           ac_cond.get(atbl, JA.AC_KX_DEFAULT))
+        g[by, bx] = blk
+
+    for part in parts:
+        dec = _QDec(part)
+        stats = JA.ArithStats()
+        preds = {s[0][0]: 0 for s in scan}
+        end = min(n_mcus, mcu + restart) if restart else n_mcus
+        while mcu < end:
+            if ns == 1:
+                (cid, _ch, _cv, _tq), dtbl, atbl = scan[0]
+                g = grids[cid]
+                one_block(dec, stats, preds, cid, dtbl, atbl, g,
+                          mcu // g.shape[1], mcu % g.shape[1])
+            else:
+                my, mx = mcu // mcux, mcu % mcux
+                for (cid, ch, cv, _tq), dtbl, atbl in scan:
+                    for j in range(cv):
+                        for i in range(ch):
+                            one_block(dec, stats, preds, cid, dtbl,
+                                      atbl, grids[cid],
+                                      my * cv + j, mx * ch + i)
+            mcu += 1
+        if mcu >= n_mcus:
+            break
+    if mcu < n_mcus:
+        raise ValueError("truncated JPEG arithmetic scan")
+
+
 def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
     """Chroma upsampling.  T.81 leaves the filter to the decoder; for
     the ubiquitous 2x case we use the triangular (3/4, 1/4) filter
@@ -412,14 +498,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> LUTs
     frame = None       # (H, W, [(id, h, v, tq), ...])
     progressive = False
+    arithmetic = False
+    dc_cond: dict[int, tuple] = {}   # DAC: table id -> (L, U)
+    ac_cond: dict[int, int] = {}     # DAC: table id -> Kx
     restart = 0
     planes: dict[int, np.ndarray] = {}  # component id -> coef blocks
     pos = 2
     while pos < len(data):
         marker, seg, nxt = _next_segment(data, pos)
         pos = nxt
-        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2
+        if marker in (0xC0, 0xC1, 0xC2, 0xC9):  # + SOF9 arith seq
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -428,11 +518,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/"
-                "hierarchical) not supported")
+                f"JPEG SOF{marker - 0xC0} (lossless/progressive-"
+                "arithmetic/hierarchical) not supported")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (seg[p + 1] & 0x0F,
+                                   seg[p + 1] >> 4)   # (L, U)
+                else:
+                    ac_cond[tb] = seg[p + 1]           # Kx
+                p += 2
         elif marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -466,8 +566,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in comps if x[0] == cs)
-                scan.append((comp, huff.get((0, tt >> 4)),
-                             huff.get((1, tt & 0x0F))))
+                if arithmetic:
+                    # conditioning-table IDS, not Huffman LUTs
+                    scan.append((comp, tt >> 4, tt & 0x0F))
+                else:
+                    scan.append((comp, huff.get((0, tt >> 4)),
+                                 huff.get((1, tt & 0x0F))))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah_al = seg[3 + 2 * ns]
             ah, al = ah_al >> 4, ah_al & 0x0F
@@ -492,6 +596,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if grids[cid] is None:
                     grids[cid] = np.zeros((by, bx, 64), dtype=np.int32)
                     planes[cid] = grids[cid]
+            if arithmetic:
+                parts, pos2 = _split_scan_arith(data, nxt)
+                _arith_sequential_scan(parts, scan, grids, mcux,
+                                       mcuy, restart, dc_cond,
+                                       ac_cond)
+                pos = pos2
+                continue
             parts, pos2 = _split_scan(data, nxt)
             if progressive:
                 _progressive_scan(parts, scan, grids, dims, mcux,
@@ -689,11 +800,16 @@ def _comp_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                arithmetic: bool = False) -> bytes:
     """(H, W) or (H, W, 3) uint8 -> baseline JFIF JPEG bytes.
 
     ``subsampling``: '444' or '420' (3-channel input only).
-    ``restart_interval``: emit DRI/RSTn every n MCUs (0 = off)."""
+    ``restart_interval``: emit DRI/RSTn every n MCUs (0 = off).
+    ``arithmetic``: emit SOF9 (extended sequential, QM arithmetic
+    coding) instead of SOF0+Huffman — identical quantized
+    coefficients, different entropy layer, which is exactly what the
+    arith-vs-huffman bit-identity conformance test leans on."""
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and a.shape[2] != 3:
@@ -749,9 +865,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, ch, cv, tq in comps:
         sof += bytes([cid, (ch << 4) | cv, tq])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS)
-    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_VALS)
+    if arithmetic:
+        from tildener_spark.functions import jpegarith as JA
+        from tildener_spark.functions.qmcoder import Encoder as _QEnc
+        out += seg(0xC9, sof)
+        # explicit DAC with the defaults (DC0: L=0,U=1; AC0: Kx=5)
+        out += seg(0xCC, bytes([0x00,
+                                (JA.DC_U_DEFAULT << 4)
+                                | JA.DC_L_DEFAULT,
+                                0x10, JA.AC_KX_DEFAULT]))
+    else:
+        out += seg(0xC0, sof)
+        out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS)
+        out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_VALS)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
@@ -759,6 +885,35 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         sos += bytes([cid, 0x00])  # DC table 0, AC table 0
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
+    if arithmetic:
+        enc = _QEnc()
+        stats = JA.ArithStats()
+        preds = {c[0]: 0 for c in comps}
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                enc = _QEnc()
+                stats = JA.ArithStats()
+                preds = {c[0]: 0 for c in comps}
+            my, mx = m // mcux, m % mcux
+            for cid, ch, cv, _tq in comps:
+                g = grids[cid]
+                for j in range(cv):
+                    for i in range(ch):
+                        blk = g[my * cv + j, mx * ch + i]
+                        dc = int(blk[0])
+                        JA.encode_dc_diff(
+                            enc, stats, 0, cid, dc - preds[cid],
+                            JA.DC_L_DEFAULT, JA.DC_U_DEFAULT)
+                        preds[cid] = dc
+                        JA.encode_ac_block(enc, stats, 0, blk,
+                                           JA.AC_KX_DEFAULT)
+        out += enc.flush()
+        out += bytes([0xFF, 0xD9])
+        return bytes(out)
     wtr = _BitWriter()
     preds = {c[0]: 0 for c in comps}
     rst = 0
