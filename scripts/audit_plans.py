@@ -98,6 +98,12 @@ def audit(name: str, plan: str) -> dict:
         "shj": plan.count("ShuffledHashJoin"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "cartesian": plan.count("CartesianProduct"),
+        # BNLJ whose only purpose is attaching a 1-row global
+        # aggregate (scalar corpus totals — crossJoin(broadcast(
+        # df.agg(...)))) is the textbook scalar-subquery pattern,
+        # not an all-pairs join: every grouping-key-free final
+        # HashAggregate emits exactly one row
+        "scalar_aggs": plan.count("HashAggregate(keys=[]"),
         "arrow_py": plan.count("ArrowEvalPython")
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("MapInPandas"),
@@ -138,14 +144,21 @@ def main() -> None:
         if a["dup_expr"]:
             flags.append("DUP-EXPR!" + ";".join(a["dup_expr"]))
         if a["cartesian"] or a["bnlj"]:
-            # q18/q19: declared exact baselines; q59: the src_a <
-            # src_b matrix join over per-source TOTALS (one row per
-            # source, S^2 output by definition) — never corpus-sized
+            # benign cases: q18/q19 declared exact baselines; q59's
+            # src_a < src_b matrix join over per-source TOTALS (one
+            # row per source, S^2 output by definition); and pure
+            # scalar-aggregate broadcasts (every BNLJ covered by a
+            # 1-row keys=[] aggregate, no CartesianProduct) — the
+            # crossJoin(broadcast(df.agg(...))) corpus-totals idiom
+            # (q51 n_docs/avgdl, q52 target/raw totals)
+            scalar_only = (not a["cartesian"]
+                           and a["scalar_aggs"] >= a["bnlj"])
             flags.append("CROSS-JOIN" + (
                 " (declared ok)" if name in (
                     "q18_embedding_topk", "q19_embedding_neardup",
                     "q59_source_overlap")
-                else "!"))
+                else (" (scalar-broadcast ok)" if scalar_only
+                      else "!")))
         if a["smj"] and not a["bhj"]:
             flags.append("no-broadcast")
         line = (f"{name:32s} exch={a['exchanges']:2d} "
