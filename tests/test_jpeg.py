@@ -153,18 +153,18 @@ def test_restart_resets_dc_prediction():
 
 
 def test_declared_unsupported_modes():
-    # progressive-arithmetic (SOF10) remains the declared stub
-    # (sequential arithmetic SOF9 decodes for real since round 4,
-    # functions/qmcoder.py + functions/jpegarith.py)
-    sof10 = (b"\xff\xd8\xff\xca\x00\x0b\x08\x00\x02\x00\x02\x01"
-             b"\x11\x00")
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(sof10)
-    # SOF9 with a frame but no scan is now a parse error, like SOF2
-    sof9 = (b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x02\x00\x02\x01"
+    # lossless (SOF3) remains the declared stub — every DCT mode
+    # (SOF0/1/2/9/10) decodes for real since round 4
+    sof3 = (b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x02\x00\x02\x01"
             b"\x11\x00")
-    with pytest.raises(ValueError):
-        decode_jpeg(sof9)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof3)
+    # arithmetic frames with no scan are parse errors, like SOF2
+    for m in (b"\xc9", b"\xca"):
+        hdr = (b"\xff\xd8\xff" + m
+               + b"\x00\x0b\x08\x00\x02\x00\x02\x01\x11\x00")
+        with pytest.raises(ValueError):
+            decode_jpeg(hdr)
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
     with pytest.raises(ValueError):

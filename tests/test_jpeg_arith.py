@@ -68,12 +68,22 @@ def test_truncated_arith_scan_degrades_not_crashes():
     assert not np.array_equal(out, decode_jpeg(ab))
 
 
-def test_progressive_arithmetic_still_declared():
-    # SOF10 remains a declared stub; the error must say so rather
-    # than misdecode
-    img = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
-    ab = bytearray(encode_jpeg(img, arithmetic=True))
-    i = ab.find(b"\xff\xc9")
-    ab[i + 1] = 0xCA                            # rewrite SOF9->SOF10
+def test_progressive_arith_equals_huffman_decode():
+    # SOF10: spectral selection + successive approximation under the
+    # QM coder — every G.2 path (DC first/refine, banded AC first,
+    # AC refine with kex-gated EOB) must reproduce the Huffman
+    # path's pixels exactly
+    for img, sub, _ri in _cases():
+        hb = encode_jpeg(img, quality=85, subsampling=sub)
+        pb = encode_jpeg(img, quality=85, subsampling=sub,
+                         arithmetic=True, progressive=True)
+        assert b"\xff\xca" in pb[:200]         # SOF10 frame
+        assert np.array_equal(decode_jpeg(hb), decode_jpeg(pb)), \
+            (img.shape, sub)
+
+
+def test_lossless_sof_still_declared():
+    sof3 = (b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x02\x00\x02\x01"
+            b"\x11\x00")
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(ab))
+        decode_jpeg(sof3)

@@ -19,15 +19,16 @@ Decoder coverage (essentially all real-world JPEGs):
   non-interleaved single-component scans (T.81 A.2);
 * restart markers (DRI/RSTn), 8- and 16-bit quantization tables,
   APPn/COM skip;
-* extended sequential ARITHMETIC coding (SOF9 + DAC, T.81 Annexes
-  D/F): QM coder in functions/qmcoder.py, statistics model in
-  functions/jpegarith.py — evidence chain documented there (no
-  independent SOF9 codec exists in-container; the anchor is
-  coefficient parity with the javax.imageio-anchored Huffman path).
+* ARITHMETIC coding, sequential (SOF9) AND progressive (SOF10),
+  with DAC conditioning (T.81 Annexes D/F/G.2): QM coder in
+  functions/qmcoder.py, statistics model in functions/jpegarith.py
+  — evidence chain documented there (no independent SOF9/10 codec
+  exists in-container; the anchor is coefficient parity with the
+  javax.imageio-anchored Huffman paths).
 
-Progressive-arithmetic (SOF10), hierarchical and lossless modes
-raise a declared ``NotImplementedError`` — genuinely different
-coding pipelines, not missing glue.
+Hierarchical and lossless modes raise a declared
+``NotImplementedError`` — genuinely different coding pipelines, not
+missing glue.
 
 The encoder exists (a) so pipelines can write thumbnails and (b) as
 the decoder's adversary in round-trip tests: it uses formula-generated
@@ -398,6 +399,92 @@ def _arith_sequential_scan(parts, scan, grids, mcux: int, mcuy: int,
         raise ValueError("truncated JPEG arithmetic scan")
 
 
+def _arith_progressive_scan(parts, scan, grids, dims, mcux: int,
+                            mcuy: int, ss: int, se: int, ah: int,
+                            al: int, restart: int, dc_cond: dict,
+                            ac_cond: dict) -> None:
+    """One progressive ARITHMETIC scan (SOF10, T.81 G.2) into the
+    persistent grids — the Annex-F model at successive-approximation
+    precision: DC first = the sequential DC decisions on diff>>Al,
+    DC refinement = one fixed-state bit per block, AC first = the
+    sequential AC decisions over the band at <<Al, AC refinement =
+    correction bits (SP context) / newly-nonzero (S0 + fixed sign)
+    with the EOB decision consulted only past kex.  Every restart
+    segment gets a fresh coder + statistics (F.1.4.4)."""
+    from tildener_spark.functions import jpegarith as JA
+    from tildener_spark.functions.qmcoder import Decoder as _QDec
+
+    ns = len(scan)
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ns == 1:
+            cid0 = scan[0][0][0]
+            n_units = dims[cid0][0] * dims[cid0][1]
+        else:
+            n_units = mcux * mcuy
+        unit = 0
+        for part in parts:
+            dec = _QDec(part)
+            stats = JA.ArithStats()
+            preds = {s[0][0]: 0 for s in scan}
+            end = (min(n_units, unit + restart) if restart
+                   else n_units)
+            while unit < end:
+                if ns == 1:
+                    (cid, _ch, _cv, _tq), dtbl, _a = scan[0]
+                    bc = dims[cid][1]
+                    targets = [(cid, dtbl,
+                                grids[cid][unit // bc, unit % bc])]
+                else:
+                    my, mx = unit // mcux, unit % mcux
+                    targets = [
+                        (cid, dtbl,
+                         grids[cid][my * cv + j, mx * ch + i])
+                        for (cid, ch, cv, _tq), dtbl, _a in scan
+                        for j in range(cv) for i in range(ch)]
+                for cid, dtbl, blk in targets:
+                    if ah == 0:
+                        low, up = dc_cond.get(
+                            dtbl, (JA.DC_L_DEFAULT, JA.DC_U_DEFAULT))
+                        preds[cid] += JA.decode_dc_diff(
+                            dec, stats, dtbl, cid, low, up)
+                        blk[0] = preds[cid] << al
+                    else:
+                        JA.decode_dc_refine(dec, stats, blk, al)
+                unit += 1
+            if unit >= n_units:
+                break
+        if unit < n_units:
+            raise ValueError("truncated arith progressive DC scan")
+        return
+    if ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    (cid, _ch, _cv, _tq), _d, atbl = scan[0]
+    g = grids[cid]
+    br, bc = dims[cid]
+    n_units = br * bc
+    unit = 0
+    kx = ac_cond.get(atbl, JA.AC_KX_DEFAULT)
+    for part in parts:
+        dec = _QDec(part)
+        stats = JA.ArithStats()
+        end = min(n_units, unit + restart) if restart else n_units
+        while unit < end:
+            blk = g[unit // bc, unit % bc]
+            if ah == 0:
+                JA.decode_ac_block(dec, stats, atbl, blk, kx,
+                                   ss, se, al)
+            else:
+                JA.decode_ac_refine(dec, stats, atbl, blk,
+                                    ss, se, al)
+            unit += 1
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError("truncated arith progressive AC scan")
+
+
 def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
     """Chroma upsampling.  T.81 leaves the filter to the decoder; for
     the ubiquitous 2x case we use the triangular (3/4, 1/4) filter
@@ -507,9 +594,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(data):
         marker, seg, nxt = _next_segment(data, pos)
         pos = nxt
-        if marker in (0xC0, 0xC1, 0xC2, 0xC9):  # + SOF9 arith seq
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+        if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 seq, SOF2 prog (Huffman); SOF9 seq, SOF10 prog
+            # (arithmetic)
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -518,11 +607,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (lossless/progressive-"
-                "arithmetic/hierarchical) not supported")
+                f"JPEG SOF{marker - 0xC0} (lossless/"
+                "hierarchical) not supported")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
             while p < len(seg):
@@ -598,9 +687,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     planes[cid] = grids[cid]
             if arithmetic:
                 parts, pos2 = _split_scan_arith(data, nxt)
-                _arith_sequential_scan(parts, scan, grids, mcux,
-                                       mcuy, restart, dc_cond,
-                                       ac_cond)
+                if progressive:
+                    _arith_progressive_scan(
+                        parts, scan, grids, dims, mcux, mcuy,
+                        ss, se, ah, al, restart, dc_cond, ac_cond)
+                else:
+                    _arith_sequential_scan(parts, scan, grids, mcux,
+                                           mcuy, restart, dc_cond,
+                                           ac_cond)
                 pos = pos2
                 continue
             parts, pos2 = _split_scan(data, nxt)
@@ -801,7 +895,8 @@ def _comp_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
                 restart_interval: int = 0,
-                arithmetic: bool = False) -> bytes:
+                arithmetic: bool = False,
+                progressive: bool = False) -> bytes:
     """(H, W) or (H, W, 3) uint8 -> baseline JFIF JPEG bytes.
 
     ``subsampling``: '444' or '420' (3-channel input only).
@@ -809,7 +904,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     ``arithmetic``: emit SOF9 (extended sequential, QM arithmetic
     coding) instead of SOF0+Huffman — identical quantized
     coefficients, different entropy layer, which is exactly what the
-    arith-vs-huffman bit-identity conformance test leans on."""
+    arith-vs-huffman bit-identity conformance test leans on.
+    ``progressive`` (with ``arithmetic``): emit SOF10 with a
+    spectral-selection + successive-approximation script (DC first
+    Al=1 / AC 1-5 and 6-63 first Al=1 / DC refine / AC refine) —
+    exercises every G.2 coding path; restart_interval is ignored in
+    this mode."""
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and a.shape[2] != 3:
@@ -844,8 +944,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     vmax = max(c[2] for c in comps)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     grids = {}
+    real_dims = {}
     for cid, ch, cv, tq in comps:
         g = _comp_blocks(planes[cid], qy if tq == 0 else qc)
+        real_dims[cid] = (g.shape[0], g.shape[1])
         # pad block grid to the MCU multiple (edge blocks replicate)
         by, bx = mcuy * cv, mcux * ch
         if g.shape[0] < by or g.shape[1] < bx:
@@ -868,7 +970,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     if arithmetic:
         from tildener_spark.functions import jpegarith as JA
         from tildener_spark.functions.qmcoder import Encoder as _QEnc
-        out += seg(0xC9, sof)
+        out += seg(0xCA if progressive else 0xC9, sof)
         # explicit DAC with the defaults (DC0: L=0,U=1; AC0: Kx=5)
         out += seg(0xCC, bytes([0x00,
                                 (JA.DC_U_DEFAULT << 4)
@@ -880,11 +982,72 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_VALS)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(comps)])
-    for cid, _ch, _cv, _tq in comps:
-        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    if not (arithmetic and progressive):
+        sos = bytes([len(comps)])
+        for cid, _ch, _cv, _tq in comps:
+            sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+    if arithmetic and progressive:
+        # spectral-selection + successive-approximation script; each
+        # scan is its own entropy segment with fresh coder + stats
+
+        def sos_seg(comp_ids, ss_, se_, ah_, al_):
+            b = bytes([len(comp_ids)])
+            for c2 in comp_ids:
+                b += bytes([c2, 0x00])
+            return seg(0xDA, b + bytes([ss_, se_, (ah_ << 4) | al_]))
+
+        def dc_scan(ah_, al_):
+            blob = sos_seg([c[0] for c in comps], 0, 0, ah_, al_)
+            enc = _QEnc()
+            stats = JA.ArithStats()
+            preds = {c[0]: 0 for c in comps}
+            for m in range(mcux * mcuy):
+                my, mx = m // mcux, m % mcux
+                for cid2, ch2, cv2, _t in comps:
+                    g = grids[cid2]
+                    for j in range(cv2):
+                        for i in range(ch2):
+                            blk = g[my * cv2 + j, mx * ch2 + i]
+                            if ah_ == 0:
+                                dcv = int(blk[0]) >> al_
+                                JA.encode_dc_diff(
+                                    enc, stats, 0, cid2,
+                                    dcv - preds[cid2],
+                                    JA.DC_L_DEFAULT, JA.DC_U_DEFAULT)
+                                preds[cid2] = dcv
+                            else:
+                                JA.encode_dc_refine(enc, stats, blk,
+                                                    al_)
+            return blob + enc.flush()
+
+        def ac_scan(cid2, ss_, se_, ah_, al_):
+            blob = sos_seg([cid2], ss_, se_, ah_, al_)
+            enc = _QEnc()
+            stats = JA.ArithStats()
+            g = grids[cid2]
+            br, bc = real_dims[cid2]
+            for u in range(br * bc):
+                blk = g[u // bc, u % bc]
+                if ah_ == 0:
+                    JA.encode_ac_block(enc, stats, 0, blk,
+                                       JA.AC_KX_DEFAULT, ss_, se_,
+                                       al_)
+                else:
+                    JA.encode_ac_refine(enc, stats, 0, blk, ss_,
+                                        se_, al_)
+            return blob + enc.flush()
+
+        out += dc_scan(0, 1)
+        for cid2, _ch, _cv, _tq in comps:
+            out += ac_scan(cid2, 1, 5, 0, 1)
+            out += ac_scan(cid2, 6, 63, 0, 1)
+        out += dc_scan(1, 0)
+        for cid2, _ch, _cv, _tq in comps:
+            out += ac_scan(cid2, 1, 63, 1, 0)
+        out += bytes([0xFF, 0xD9])
+        return bytes(out)
     if arithmetic:
         enc = _QEnc()
         stats = JA.ArithStats()

@@ -124,18 +124,20 @@ def encode_dc_diff(enc: Encoder, stats: ArithStats, tbl: int,
 
 
 def decode_ac_block(dec: Decoder, stats: ArithStats, tbl: int,
-                    blk, kx: int) -> None:
-    """Fill blk[1..63] (zigzag order) in place."""
+                    blk, kx: int, ss: int = 1, se: int = 63,
+                    al: int = 0) -> None:
+    """Fill blk[ss..se] (zigzag order) in place; values scaled by
+    ``<< al`` (progressive AC first scan; sequential = 1..63/0)."""
     st = stats.ac_bank(tbl)
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st[base]):
             return                    # EOB
         while dec.decode(st[base + 1]) == 0:
             k += 1
             base += 3
-            if k > 63:
+            if k > se:
                 raise ValueError("arith AC run past block end")
         sign = dec.decode(stats.fixed)
         m = dec.decode(st[base + 2])
@@ -156,15 +158,19 @@ def decode_ac_block(dec: Decoder, stats: ArithStats, tbl: int,
             if dec.decode(mst):
                 v |= m
         v += 1
-        blk[k] = -v if sign else v
+        blk[k] = (-v if sign else v) << al
         k += 1
 
 
 def encode_ac_block(enc: Encoder, stats: ArithStats, tbl: int,
-                    blk, kx: int) -> None:
+                    blk, kx: int, ss: int = 1, se: int = 63,
+                    al: int = 0) -> None:
+    """Dual of decode_ac_block: codes blk[ss..se] >> al (progressive
+    AC first scan semantics; sequential = 1..63/0)."""
     st = stats.ac_bank(tbl)
-    nz = [k for k in range(1, 64) if blk[k]]
-    k = 1
+    nz = [k for k in range(ss, se + 1)
+          if (blk[k] >> al if blk[k] >= 0 else -((-blk[k]) >> al))]
+    k = ss
     for p in nz:
         enc.encode(0, st[3 * (k - 1)])            # not EOB yet
         for j in range(k, p):
@@ -174,7 +180,7 @@ def encode_ac_block(enc: Encoder, stats: ArithStats, tbl: int,
         v = int(blk[p])
         sign = 1 if v < 0 else 0
         enc.encode(sign, stats.fixed)
-        sz = (-v if sign else v) - 1
+        sz = ((-v if sign else v) >> al) - 1
         if sz == 0:
             enc.encode(0, st[base + 2])
             m = 0
@@ -200,5 +206,95 @@ def encode_ac_block(enc: Encoder, stats: ArithStats, tbl: int,
             enc.encode(1 if sz & bit else 0, mst)
             bit >>= 1
         k = p + 1
-    if k <= 63:
+    if k <= se:
         enc.encode(1, st[3 * (k - 1)])            # EOB
+
+
+# ------------------------------------------------ progressive (G.2)
+
+def decode_dc_refine(dec: Decoder, stats: ArithStats, blk,
+                     al: int) -> None:
+    """DC successive-approximation refinement: one equiprobable bit
+    per block (T.81 G.2.2 — the fixed state, no adaptation)."""
+    if dec.decode(stats.fixed):
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def encode_dc_refine(enc: Encoder, stats: ArithStats, blk,
+                     al: int) -> None:
+    enc.encode((int(blk[0]) >> al) & 1, stats.fixed)
+
+
+def _hist(v: int, al: int) -> int:
+    """Coefficient value as already established by PREVIOUS scans
+    (successive approximation: bits above al), sign preserved."""
+    return -((-v) >> (al + 1) << (al + 1)) if v < 0 else         (v >> (al + 1) << (al + 1))
+
+
+def decode_ac_refine(dec: Decoder, stats: ArithStats, tbl: int,
+                     blk, ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement (T.81 G.2.3): per
+    coefficient — correction bit for history-nonzero positions (SP
+    state as context), newly-nonzero via S0 + fixed-state sign; the
+    EOB decision (SE) is consulted only past ``kex``, the last
+    history-nonzero index."""
+    st = stats.ac_bank(tbl)
+    p1 = 1 << al
+    kex = se
+    while kex >= ss and blk[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st[base]):
+            return                    # EOB
+        while True:
+            if blk[k]:
+                if dec.decode(st[base + 2]):
+                    blk[k] = (int(blk[k]) - p1 if blk[k] < 0
+                              else int(blk[k]) + p1)
+                break
+            if dec.decode(st[base + 1]):
+                blk[k] = -p1 if dec.decode(stats.fixed) else p1
+                break
+            k += 1
+            base += 3
+            if k > se:
+                raise ValueError("arith AC refine past block end")
+        k += 1
+
+
+def encode_ac_refine(enc: Encoder, stats: ArithStats, tbl: int,
+                     blk, ss: int, se: int, al: int) -> None:
+    """Dual of decode_ac_refine, driven from the FINAL coefficients
+    (history = bits above al, current bit = bit al)."""
+    st = stats.ac_bank(tbl)
+    kex = se                          # last history-nonzero index
+    while kex >= ss and _hist(int(blk[kex]), al) == 0:
+        kex -= 1
+    ke = se                           # last index with any bit <= al+
+    while ke >= ss and (abs(int(blk[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(0, st[base])   # not EOB yet
+        while True:
+            v = int(blk[k])
+            h = _hist(v, al)
+            if h:
+                enc.encode((abs(v) >> al) & 1, st[base + 2])
+                break
+            if (abs(v) >> al) & 1:
+                enc.encode(1, st[base + 1])
+                enc.encode(1 if v < 0 else 0, stats.fixed)
+                break
+            enc.encode(0, st[base + 1])
+            k += 1
+            base += 3
+        k += 1
+    if ke < se:
+        nxt = max(ke + 1, ss)
+        if nxt > kex:
+            enc.encode(1, st[3 * (nxt - 1)])      # EOB
