@@ -153,12 +153,12 @@ def test_restart_resets_dc_prediction():
 
 
 def test_declared_unsupported_modes():
-    # lossless (SOF3) remains the declared stub — every DCT mode
-    # (SOF0/1/2/9/10) decodes for real since round 4
-    sof3 = (b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x02\x00\x02\x01"
+    # hierarchical/differential modes remain the declared stubs —
+    # every non-hierarchical mode (SOF0/1/2/3/9/10) decodes for real
+    sof5 = (b"\xff\xd8\xff\xc5\x00\x0b\x08\x00\x02\x00\x02\x01"
             b"\x11\x00")
     with pytest.raises(NotImplementedError):
-        decode_jpeg(sof3)
+        decode_jpeg(sof5)
     # arithmetic frames with no scan are parse errors, like SOF2
     for m in (b"\xc9", b"\xca"):
         hdr = (b"\xff\xd8\xff" + m

@@ -82,8 +82,8 @@ def test_progressive_arith_equals_huffman_decode():
             (img.shape, sub)
 
 
-def test_lossless_sof_still_declared():
-    sof3 = (b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x02\x00\x02\x01"
+def test_hierarchical_sof_still_declared():
+    sof5 = (b"\xff\xd8\xff\xc5\x00\x0b\x08\x00\x02\x00\x02\x01"
             b"\x11\x00")
     with pytest.raises(NotImplementedError):
-        decode_jpeg(sof3)
+        decode_jpeg(sof5)

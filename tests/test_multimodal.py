@@ -25,13 +25,13 @@ def test_declared_stubs_raise():
     bytes are a ValueError, not a silent fake."""
     from tildener_spark.operators.multimodal import (
         decode_audio, decode_video)
-    # LOSSLESS JPEG (SOF3) is the remaining declared image stub —
-    # every DCT mode (baseline/progressive x Huffman/arithmetic)
-    # decodes for real since round 4
-    sof3 = (b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x02\x00\x02\x01"
+    # hierarchical JPEG (SOF5+) is the remaining declared image
+    # stub — every non-hierarchical mode (baseline/progressive x
+    # Huffman/arithmetic, plus lossless SOF3) decodes for real
+    sof5 = (b"\xff\xd8\xff\xc5\x00\x0b\x08\x00\x02\x00\x02\x01"
             b"\x11\x00")
     with pytest.raises(NotImplementedError):
-        decode_image(sof3)
+        decode_image(sof5)
     # FLAC decodes for real since round 4 (functions/flac.py) — the
     # remaining audio stubs are the lossy codecs
     with pytest.raises(NotImplementedError):

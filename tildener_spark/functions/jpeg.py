@@ -26,7 +26,11 @@ Decoder coverage (essentially all real-world JPEGs):
   exists in-container; the anchor is coefficient parity with the
   javax.imageio-anchored Huffman paths).
 
-Hierarchical and lossless modes raise a declared
+* LOSSLESS mode (SOF3, Annex H): DPCM with all 7 predictors,
+  restart-aware — round trips are bit-exact by definition, which is
+  its own conformance check.
+
+Hierarchical/differential modes raise a declared
 ``NotImplementedError`` — genuinely different coding pipelines, not
 missing glue.
 
@@ -318,6 +322,68 @@ def _split_scan(data: bytes, pos: int):
     return parts, pos
 
 
+def _predict(sp, r: int, c: int, predictor: int, default: int):
+    """T.81 H.1 DPCM prediction for sample (r, c) over plane ``sp``
+    (values above/left already reconstructed)."""
+    if r == 0 and c == 0:
+        return default
+    if r == 0:
+        return int(sp[0, c - 1])
+    if c == 0:
+        return int(sp[r - 1, 0])
+    a, b, cx = (int(sp[r, c - 1]), int(sp[r - 1, c]),
+                int(sp[r - 1, c - 1]))
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return cx
+    if predictor == 4:
+        return a + b - cx
+    if predictor == 5:
+        return a + ((b - cx) >> 1)
+    if predictor == 6:
+        return b + ((a - cx) >> 1)
+    if predictor == 7:
+        return (a + b) >> 1
+    raise ValueError(f"bad lossless predictor {predictor}")
+
+
+def _lossless_scan(parts, scan, samples, h: int, w: int,
+                   predictor: int, pt: int, restart: int) -> None:
+    """Lossless (SOF3) scan: raster DPCM per sample, differences
+    Huffman-coded exactly like DC categories (SSSS 0..16, category
+    16 = +32768 with no extra bits).  All components 1x1 sampling;
+    MCU = one sample per component; at each restart segment the
+    prediction re-initializes to the default (T.81 H.2.1)."""
+    default = 1 << (8 - 1 - pt)
+    n_mcus = h * w
+    mcu = 0
+    for part in parts:
+        r = _BitReader(part)
+        fresh = True
+        end = min(n_mcus, mcu + restart) if restart else n_mcus
+        while mcu < end:
+            ri, ci = mcu // w, mcu % w
+            for (cid, _ch, _cv, _tq), dcl, _a in scan:
+                if dcl is None:
+                    raise ValueError("lossless scan without DC table")
+                sp = samples[cid]
+                pred = (default if fresh
+                        else _predict(sp, ri, ci, predictor, default))
+                s = _huff(r, dcl)
+                diff = (32768 if s == 16
+                        else (_extend(r.read(s), s) if s else 0))
+                sp[ri, ci] = (pred + diff) & 0xFFFF
+            fresh = False
+            mcu += 1
+        if mcu >= n_mcus:
+            break
+    if mcu < n_mcus:
+        raise ValueError("truncated lossless JPEG scan")
+
+
 def _split_scan_arith(data: bytes, pos: int):
     """Arithmetic-scan variant of :func:`_split_scan`: there is no
     0xFF00 BYTE stuffing — the QM coder BIT-stuffs after 0xFF, so a
@@ -586,6 +652,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None       # (H, W, [(id, h, v, tq), ...])
     progressive = False
     arithmetic = False
+    lossless = False
+    samples: dict[int, np.ndarray] = {}  # lossless sample planes
     dc_cond: dict[int, tuple] = {}   # DAC: table id -> (L, U)
     ac_cond: dict[int, int] = {}     # DAC: table id -> Kx
     restart = 0
@@ -594,23 +662,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(data):
         marker, seg, nxt = _next_segment(data, pos)
         pos = nxt
-        if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3):
             # SOF0/1 seq, SOF2 prog (Huffman); SOF9 seq, SOF10 prog
-            # (arithmetic)
+            # (arithmetic); SOF3 lossless (Huffman DPCM)
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec}")
+                raise NotImplementedError(
+                    f"JPEG precision {prec} not supported (8 only)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (lossless/"
+                f"JPEG SOF{marker - 0xC0} (arithmetic-lossless/"
                 "hierarchical) not supported")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
@@ -664,6 +734,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah_al = seg[3 + 2 * ns]
             ah, al = ah_al >> 4, ah_al & 0x0F
+            if lossless:
+                if any(c[1] != 1 or c[2] != 1 for c in comps):
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG not supported")
+                for cid, _ch, _cv, _tq in comps:
+                    samples.setdefault(
+                        cid, np.zeros((h, w), dtype=np.int32))
+                parts, pos2 = _split_scan(data, nxt)
+                _lossless_scan(parts, scan, samples, h, w,
+                               ss, al, restart)
+                pos = pos2
+                continue
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))
@@ -736,6 +818,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos = pos2  # resume marker parsing after the scan
         elif marker == 0xD9:  # EOI
             break
+    if lossless:
+        if frame is None or not samples:
+            raise ValueError("JPEG missing frame/scan")
+        _h, _w, comps2 = frame
+        outs = [np.clip(samples[cid], 0, 255).astype(np.uint8)
+                for cid, _ch, _cv, _tq in comps2]
+        if len(outs) == 1:
+            return outs[0]
+        if len(outs) == 3:
+            # lossless JPEG mandates no color transform; components
+            # are emitted as-is (RGB by the encoder's convention)
+            return np.stack(outs, axis=-1)
+        raise NotImplementedError(
+            f"{len(outs)}-component lossless JPEG not supported")
     if frame is None or not planes:
         raise ValueError("JPEG missing frame/scan")
     h, w, comps = frame
@@ -892,11 +988,83 @@ def _comp_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
         by, bx, 64)
 
 
+# lossless DHT: categories 0..16, all 5 bits (canonical, all-ones
+# codeword unassigned per T.81 C.2)
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = bytes(range(17))
+_LL_CODES = None
+
+
+def _encode_lossless(img: np.ndarray, predictor: int,
+                     restart_interval: int = 0) -> bytes:
+    global _LL_CODES
+    if _LL_CODES is None:
+        _LL_CODES = _huff_codes(_LL_BITS, _LL_VALS)
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and a.shape[2] != 3:
+        raise ValueError("lossless wants (H,W) or (H,W,3) uint8")
+    h, w = a.shape[:2]
+    planes = [a.astype(np.int32)] if gray else [
+        a[..., i].astype(np.int32) for i in range(3)]
+    cids = [1] if gray else [1, 2, 3]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2) + body
+
+    out = bytearray(JPEG_SIG)
+    sof = struct.pack(">BHHB", 8, h, w, len(cids))
+    for cid in cids:
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xC3, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + _LL_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(cids)])
+    for cid in cids:
+        sos += bytes([cid, 0x00])
+    sos += bytes([predictor, 0, 0])   # Ss=predictor, Se=0, Ah/Al=0
+    out += seg(0xDA, sos)
+
+    wtr = _BitWriter()
+    rst = 0
+    fresh = True
+    n_mcus = h * w
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            out += wtr.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            wtr = _BitWriter()
+            fresh = True
+        ri, ci = m // w, m % w
+        for sp in planes:
+            pred = (128 if fresh
+                    else _predict(sp, ri, ci, predictor, 128))
+            diff = int(sp[ri, ci]) - pred
+            s = _category(diff)
+            code, ln = _LL_CODES[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(diff if diff >= 0 else diff + (1 << s) - 1,
+                          s)
+        fresh = False
+    wtr.flush()
+    out += wtr.out
+    out += bytes([0xFF, 0xD9])
+    return bytes(out)
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
                 restart_interval: int = 0,
                 arithmetic: bool = False,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                lossless: int = 0) -> bytes:
     """(H, W) or (H, W, 3) uint8 -> baseline JFIF JPEG bytes.
 
     ``subsampling``: '444' or '420' (3-channel input only).
@@ -909,7 +1077,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     spectral-selection + successive-approximation script (DC first
     Al=1 / AC 1-5 and 6-63 first Al=1 / DC refine / AC refine) —
     exercises every G.2 coding path; restart_interval is ignored in
-    this mode."""
+    this mode.
+    ``lossless``: a predictor id 1..7 emits SOF3 DPCM with that
+    predictor — EXACT pixel round trip (quality/subsampling ignored;
+    RGB components are coded as-is, no color transform, per T.81
+    Annex H).  Losslessness IS the conformance check: any predictor
+    or entropy defect breaks bit-exact identity."""
+    if lossless:
+        return _encode_lossless(img, int(lossless), restart_interval)
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and a.shape[2] != 3:

@@ -13,7 +13,7 @@ layer is split by what the container can honestly do:
     codec in :mod:`tildener_spark.functions.flac`, and MJPEG-AVI
     video through :mod:`tildener_spark.functions.avi` — the non-fake
     feature/resize paths run end to end on all of them;
-  * lossless JPEG / lossy audio (Ogg, MP3) / inter-frame
+  * hierarchical JPEG / lossy audio (Ogg, MP3) / inter-frame
     video (MP4, WebM) raise a declared ``NotImplementedError`` (they
     require external codecs absent in this environment);
   * ``fake_decode=True`` substitutes a deterministic fake whose
@@ -67,9 +67,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     PNG decodes for real (stdlib zlib, functions/codecs.py) and so
     does JPEG — baseline, extended sequential AND progressive
     (pure-numpy T.81 codec, functions/jpeg.py, conformance-tested
-    against javax.imageio, arithmetic SOF9/SOF10 via the QM coder);
-    lossless JPEG raises the declared NotImplementedError from the
-    codec."""
+    against javax.imageio, arithmetic SOF9/SOF10 via the QM coder,
+    lossless SOF3 bit-exact by round trip); hierarchical JPEG raises
+    the declared NotImplementedError from the codec."""
     raw = bytes(payload or b"")
     if raw.startswith(codecs.PNG_SIG):
         return codecs.decode_png(raw)
