@@ -4,10 +4,13 @@ The container has no imaging/audio libraries, but two widespread
 formats need none: PNG's pixel stream is zlib (stdlib) behind five
 per-scanline filters, and WAV PCM is a plain RIFF header over raw
 samples.  These decoders make the multimodal operators' *real* decode
-path exercisable end-to-end (VERDICT r02 next-round item 6); baseline
-JPEG has its own pure-numpy codec (functions/jpeg.py), so the
-declared NotImplementedError stub now covers only progressive JPEG,
-compressed audio and video containers.
+path exercisable end-to-end (VERDICT r02 next-round item 6); JPEG has
+its own pure-numpy codec (functions/jpeg.py), FLAC likewise
+(functions/flac.py), and compressed WAV payloads route to
+functions/g711.py (mu-law/A-law, fmt tags 7/6) and
+functions/adpcm.py (IMA/MS ADPCM, fmt tags 0x11/2), so the declared
+NotImplementedError stubs now cover only perceptual audio (Ogg/MP3)
+and inter-frame video containers.
 
 Scale note: in production these UDFs would call an optimized codec
 (PIL/opencv/ffmpeg) loaded once per worker; this module is the
@@ -172,7 +175,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    audio_fmt, channels, rate, _byte_rate, align, bits = fmt
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law (g711.py)
+        from tildener_spark.functions import g711
+        codes = np.frombuffer(data, dtype=np.uint8)
+        pcm = (g711.decode_alaw(codes) if audio_fmt == 6
+               else g711.decode_ulaw(codes))
+        n = len(pcm) // channels
+        return pcm[: n * channels].reshape(n, channels), rate
+    if audio_fmt in (2, 0x11):  # MS / IMA ADPCM (adpcm.py), block-aligned
+        from tildener_spark.functions import adpcm
+        blocks = [data[i:i + align] for i in range(0, len(data), align)]
+        dec = (adpcm.decode_ima_block if audio_fmt == 0x11
+               else adpcm.decode_ms_block)
+        frames = [dec(b, channels) for b in blocks if len(b) > 4 * channels]
+        return np.concatenate(frames, axis=0), rate
     if audio_fmt != 1:
         raise ValueError(f"only PCM WAV supported (fmt={audio_fmt})")
     if bits == 16:
@@ -184,6 +201,79 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported PCM width {bits}")
     n = len(samples) // channels
     return samples[: n * channels].reshape(n, channels), rate
+
+
+def _wav_container(fmt_body: bytes, data: bytes) -> bytes:
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "ulaw") -> bytes:
+    """int16 PCM -> G.711-compressed WAV (fmt tag 7 mu-law / 6 A-law)."""
+    from tildener_spark.functions import g711
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    codes = (g711.encode_ulaw(s.reshape(-1)) if law == "ulaw"
+             else g711.encode_alaw(s.reshape(-1)))
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHHH", tag, channels, rate, rate * channels,
+                      channels, 8, 0)  # cbSize=0 extension per spec
+    return _wav_container(fmt, codes.tobytes())
+
+
+def encode_wav_ima(samples: np.ndarray, rate: int,
+                   frames_per_block: int = 505) -> bytes:
+    """int16 PCM -> IMA-ADPCM WAV (fmt tag 0x11).
+
+    ``frames_per_block - 1`` must be a multiple of 8; the input is
+    zero-padded to a whole number of blocks (standard practice)."""
+    from tildener_spark.functions import adpcm
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    if (frames_per_block - 1) % 8:
+        raise ValueError("frames_per_block - 1 must be a multiple of 8")
+    n_blocks = max(1, -(-s.shape[0] // frames_per_block))
+    pad = n_blocks * frames_per_block - s.shape[0]
+    if pad:
+        s = np.concatenate([s, np.zeros((pad, channels), dtype=np.int16)])
+    blocks = [adpcm.encode_ima_block(s[i:i + frames_per_block])
+              for i in range(0, s.shape[0], frames_per_block)]
+    align = 4 * channels + (frames_per_block - 1) * channels // 2
+    fmt = struct.pack("<HHIIHHHH", 0x11, channels, rate,
+                      rate * align // frames_per_block, align, 4,
+                      2, frames_per_block)  # cbSize=2, wSamplesPerBlock
+    return _wav_container(fmt, b"".join(blocks))
+
+
+def encode_wav_ms_adpcm(samples: np.ndarray, rate: int,
+                        frames_per_block: int = 500) -> bytes:
+    """int16 PCM -> MS-ADPCM WAV (fmt tag 2, fixed predictor 0)."""
+    from tildener_spark.functions import adpcm
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    n_blocks = max(1, -(-s.shape[0] // frames_per_block))
+    pad = n_blocks * frames_per_block - s.shape[0]
+    if pad:
+        s = np.concatenate([s, np.zeros((pad, channels), dtype=np.int16)])
+    blocks = [adpcm.encode_ms_block(s[i:i + frames_per_block])
+              for i in range(0, s.shape[0], frames_per_block)]
+    align = 7 * channels + (frames_per_block - 2) * channels // 2
+    coef_table = b"".join(struct.pack("<hh", int(c1), int(c2))
+                          for c1, c2 in adpcm.MS_COEFFS)
+    fmt = (struct.pack("<HHIIHHHHH", 2, channels, rate,
+                       rate * align // frames_per_block, align, 4,
+                       4 + len(coef_table), frames_per_block,
+                       len(adpcm.MS_COEFFS)) + coef_table)
+    return _wav_container(fmt, b"".join(blocks))
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

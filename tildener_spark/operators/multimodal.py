@@ -13,7 +13,10 @@ layer is split by what the container can honestly do:
     codec in :mod:`tildener_spark.functions.flac`, and MJPEG-AVI
     video through :mod:`tildener_spark.functions.avi` — the non-fake
     feature/resize paths run end to end on all of them;
-  * hierarchical JPEG / lossy audio (Ogg, MP3) / inter-frame
+  * G.711 mu-law/A-law and IMA/MS ADPCM compressed audio decode for
+    real in WAV containers (:mod:`tildener_spark.functions.g711`,
+    :mod:`tildener_spark.functions.adpcm`);
+  * hierarchical JPEG / perceptual audio (Ogg, MP3) / inter-frame
     video (MP4, WebM) raise a declared ``NotImplementedError`` (they
     require external codecs absent in this environment);
   * ``fake_decode=True`` substitutes a deterministic fake whose
@@ -82,9 +85,12 @@ def decode_image(payload: bytes) -> np.ndarray:
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Binary payload -> ((frames, channels) int16, sample_rate).
 
-    WAV/PCM decodes for real (functions/codecs.py) and so does FLAC
-    (pure-numpy RFC 9639 codec, functions/flac.py); lossy codecs
-    (Ogg/Vorbis, MP3) are the remaining declared stub."""
+    WAV decodes for real across PCM, G.711 mu-law/A-law (fmt 7/6,
+    functions/g711.py, conformance-tested vs javax.sound.sampled)
+    and IMA/MS ADPCM (fmt 0x11/2, functions/adpcm.py,
+    spec-differential tested), plus FLAC (pure-numpy RFC 9639 codec,
+    functions/flac.py); perceptual transform codecs (Ogg/Vorbis,
+    MP3) are the remaining declared stub."""
     raw = bytes(payload or b"")
     if raw[:4] == b"RIFF":
         return codecs.decode_wav(raw)
@@ -93,8 +99,9 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         return samples.astype(np.int16), rate
     if raw[:4] == b"OggS" or raw[:3] == b"ID3":
         raise NotImplementedError(  # pragma: no cover - declared stub
-            "lossy audio (Ogg/MP3) requires an external codec (absent "
-            "in this env); use WAV/FLAC payloads or fake_decode=True")
+            "perceptual transform audio (Ogg/Vorbis, MP3) requires an "
+            "external codec (absent in this env); use WAV (PCM, G.711, "
+            "ADPCM), FLAC, or fake_decode=True")
     raise ValueError("unrecognized audio format")
 
 
