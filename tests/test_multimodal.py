@@ -1,5 +1,6 @@
 """Multimodal plumbing: schema, determinism, stub behaviour."""
 
+import numpy as np
 import pytest
 
 from tildener_spark.operators.multimodal import (
@@ -40,8 +41,18 @@ def test_declared_stubs_raise():
         decode_audio(b"ID3\x04...")
     with pytest.raises(ValueError):
         decode_audio(b"fLaC")  # truncated FLAC -> parse error
+    # MP4 demuxes for real since round 4 (functions/mp4.py) — the
+    # declared video stubs are predictive codecs and WebM/MKV
+    from tildener_spark.functions import mp4 as mp4mod
+    payload = mp4mod.encode_mp4_mjpeg(
+        np.zeros((1, 16, 16, 3), dtype=np.uint8), fps=10.0)
+    at = payload.index(b"jpeg", payload.index(b"stsd"))
     with pytest.raises(NotImplementedError):
-        decode_video(b"\x00\x00\x00\x18ftypmp42")
+        decode_video(payload[:at] + b"avc1" + payload[at + 4:])
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 16)  # WebM/MKV
+    with pytest.raises(ValueError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42")  # truncated MP4
     with pytest.raises(ValueError):
         decode_image(b"not an image")
     with pytest.raises(ValueError):

@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from tildener_spark.functions import avi, codecs, flac, jpeg
+from tildener_spark.functions import avi, codecs, flac, jpeg, mp4
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
@@ -108,18 +108,22 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 def decode_video(payload: bytes) -> tuple[list[np.ndarray], float]:
     """Binary payload -> (list of (H, W, 3) uint8 frames, fps).
 
-    MJPEG-in-AVI decodes for real (functions/avi.py: RIFF framing +
-    the conformance-tested JPEG codec per frame); inter-frame-
-    compressed containers (MP4/WebM/MKV) are the declared stub —
-    H.264-class decoding genuinely needs an external codec."""
+    MJPEG decodes for real in both containers — AVI (functions/avi.py:
+    RIFF framing) and MP4/MOV (functions/mp4.py: full ISO-BMFF sample
+    tables) — through the conformance-tested JPEG codec per frame.
+    Tracks in predictive codecs (H.264/VP9/AV1) and WebM/MKV are the
+    declared stub — inter-frame motion compensation genuinely needs
+    an external codec."""
     raw = bytes(payload or b"")
     if raw[:4] == avi.AVI_SIG and raw[8:12] == b"AVI ":
         return avi.decode_avi_mjpeg(raw)
-    if raw[4:8] == b"ftyp" or raw[:4] == b"\x1a\x45\xdf\xa3":
+    if raw[4:8] == b"ftyp":
+        return mp4.decode_mp4_mjpeg(raw)  # raises the declared
+        # NotImplementedError itself for avc1/hvc1/vp09/av01 tracks
+    if raw[:4] == b"\x1a\x45\xdf\xa3":
         raise NotImplementedError(  # pragma: no cover - declared stub
-            "inter-frame-compressed video (MP4/WebM/MKV) requires "
-            "ffmpeg-class codecs (absent in this env); use MJPEG-AVI "
-            "payloads or fake_decode=True")
+            "WebM/MKV video requires ffmpeg-class codecs (absent in "
+            "this env); use MJPEG (AVI or MP4) or fake_decode=True")
     raise ValueError("unrecognized video format")
 
 
