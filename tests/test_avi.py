@@ -60,25 +60,31 @@ def test_reject_garbage_and_foreign_codecs():
 
 
 def test_multimodal_video_real_path(spark):
-    """synthetic_media alternates real MJPEG-AVI clips with opaque
-    MP4 blobs; the real feature path must decode the AVI rows and the
-    blob rows must keep raising the declared stub."""
+    """synthetic_media rotates real MJPEG-AVI / real MJPEG-MP4 /
+    predictive-codec MP4 (declared stub); the real feature path must
+    decode both real containers and the avc1 rows must keep raising
+    the declared stub."""
     from tildener_spark.operators.multimodal import (
         decode_video, extract_media_features, synthetic_media)
     media = synthetic_media(spark, n=18).filter("media_type = 'video'")
     rows = media.collect()
-    real = [r for r in rows if bytes(r["payload"])[:4] == b"RIFF"]
-    stub = [r for r in rows if bytes(r["payload"])[:4] != b"RIFF"]
-    assert real and stub
-    frames, fps = decode_video(bytes(real[0]["payload"]))
-    assert fps == 8.0 and len(frames) == 4
+    avis = [r for r in rows if bytes(r["payload"])[:4] == b"RIFF"]
+    mp4s = [r for r in rows if bytes(r["payload"])[4:8] == b"ftyp"
+            and b"avc1" not in bytes(r["payload"])]
+    stub = [r for r in rows if b"avc1" in bytes(r["payload"])]
+    assert len(avis) == len(mp4s) == len(stub) == 2
+    for r in avis + mp4s:
+        frames, fps = decode_video(bytes(r["payload"]))
+        assert abs(fps - 8.0) < 0.05 and len(frames) == 4
     with pytest.raises(NotImplementedError):
         decode_video(bytes(stub[0]["payload"]))
     media_real = media.filter(
-        "substring(payload, 1, 4) = cast('RIFF' as binary)")
+        "substring(payload, 1, 4) = cast('RIFF' as binary)"
+        " or (substring(payload, 5, 4) = cast('ftyp' as binary)"
+        "     and not contains(payload, cast('avc1' as binary)))")
     out = extract_media_features(media_real, fake_decode=False).collect()
-    assert len(out) == len(real)
+    assert len(out) == len(avis) + len(mp4s)
     for r in out:
         # video feature layout: not image, not audio, fps slot set
         assert r["features"][0] == 0.0 and r["features"][1] == 0.0
-        assert r["features"][2] == pytest.approx(8.0 / 60.0)
+        assert r["features"][2] == pytest.approx(8.0 / 60.0, abs=1e-3)

@@ -36,21 +36,29 @@ def _chunks(data: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     """AVI bytes -> (list of (H, W, 3) uint8 frames, fps).
 
-    Only the MJPG/'raw JPEG frames' codec is supported; any other
-    stream compression raises the declared NotImplementedError."""
+    Two stream codecs decode for real: MJPG (per-frame T.81 JPEG)
+    and MS-RLE / BI_RLE8 (functions/msrle.py — true inter-frame
+    delta coding).  Anything else raises the declared
+    NotImplementedError."""
+    from tildener_spark.functions import msrle
+
     data = bytes(payload or b"")
     if data[:4] != AVI_SIG or data[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     us_per_frame = 0
     rate = scale = 0
     compression = b""
-    frames: list[np.ndarray] = []
+    bi_compression = -1
+    width = height = 0
+    palette = None
+    raw_frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal us_per_frame, rate, scale, compression
+        nonlocal us_per_frame, rate, scale, compression, palette
+        nonlocal bi_compression, width, height
         for cid, body, size in _chunks(data, pos, end):
             if cid == b"LIST":
                 walk(body + 4, body + size)  # skip the list type tag
@@ -62,12 +70,19 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
                     compression = data[body + 4:body + 8]
                     scale, rate = struct.unpack(
                         "<II", data[body + 20:body + 28])
+            elif cid == b"strf" and size >= 40 and bi_compression < 0:
+                _sz, w_, h_ = struct.unpack("<Iii", data[body:body + 12])
+                bits, comp = struct.unpack(
+                    "<HI", data[body + 14:body + 20])
+                bi_compression = comp
+                width, height = w_, abs(h_)
+                if bits == 8 and size >= 40 + 256 * 4:
+                    pal = np.frombuffer(
+                        data[body + 40:body + 40 + 1024],
+                        dtype=np.uint8).reshape(256, 4)
+                    palette = pal[:, [2, 1, 0]].copy()  # BGRX -> RGB
             elif cid[2:4] in (b"dc", b"db") and size > 0:
-                if compression not in (b"MJPG", b"mjpg", b"\x00" * 4):
-                    raise NotImplementedError(
-                        f"AVI codec {compression!r} needs an external "
-                        "decoder; only MJPG is supported")
-                frames.append(decode_jpeg(data[body:body + size]))
+                raw_frames.append(data[body:body + size])
 
     walk(12, 8 + struct.unpack("<I", data[4:8])[0])
     if rate and scale:
@@ -76,9 +91,68 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
         fps = 1e6 / us_per_frame
     else:
         raise ValueError("AVI missing frame timing")
-    frames = [f if f.ndim == 3 else np.repeat(f[:, :, None], 3, axis=2)
-              for f in frames]
-    return frames, fps
+    if compression in (b"MJPG", b"mjpg") or (
+            compression == b"\x00" * 4 and bi_compression != 1):
+        frames = [decode_jpeg(f) for f in raw_frames]
+        frames = [f if f.ndim == 3
+                  else np.repeat(f[:, :, None], 3, axis=2)
+                  for f in frames]
+        return frames, fps
+    if compression in (b"MRLE", b"mrle") or bi_compression == 1:
+        if palette is None:
+            raise ValueError("RLE8 AVI missing 8-bit palette")
+        idx_frames = msrle.decode_rle8_video(raw_frames, width, height)
+        return [palette[f] for f in idx_frames], fps
+    raise NotImplementedError(
+        f"AVI codec {compression!r} needs an external decoder; "
+        "MJPG and MS-RLE (BI_RLE8) are supported")
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Back-compat alias — see :func:`decode_avi`."""
+    return decode_avi(payload)
+
+
+def encode_avi_msrle(index_frames: np.ndarray, palette: np.ndarray,
+                     fps: float = 10.0) -> bytes:
+    """(n, H, W) uint8 palette indices + (256, 3) RGB palette ->
+    MS-RLE (BI_RLE8) AVI with a keyframe + true delta frames."""
+    from tildener_spark.functions import msrle
+
+    arr = np.asarray(index_frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError("encode_avi_msrle wants (n, H, W) uint8")
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.shape != (256, 3):
+        raise ValueError("palette must be (256, 3) uint8 RGB")
+    n, h, w = arr.shape
+    streams = msrle.encode_rle8_video(arr)
+    scale, rate = 1000, int(round(fps * 1000))
+    max_size = max(map(len, streams))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I", int(1e6 * scale / rate), max_size * int(fps) + 1,
+        0, 0x10, n, 0, 1, max_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MRLE"
+            + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0, scale, rate,
+                          0, n, max_size, 10000, 0, 0, 0, w, h))
+    bgrx = np.zeros((256, 4), dtype=np.uint8)
+    bgrx[:, :3] = pal[:, [2, 1, 0]]  # RGB -> BGRX quads
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,  # BI_RLE8
+                       max_size, 0, 0, 256, 256) + bgrx.tobytes()
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", s) for s in streams))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_avi_mjpeg(frames: np.ndarray, fps: float = 10.0,

@@ -16,9 +16,14 @@ layer is split by what the container can honestly do:
   * G.711 mu-law/A-law and IMA/MS ADPCM compressed audio decode for
     real in WAV containers (:mod:`tildener_spark.functions.g711`,
     :mod:`tildener_spark.functions.adpcm`);
-  * hierarchical JPEG / perceptual audio (Ogg, MP3) / inter-frame
-    video (MP4, WebM) raise a declared ``NotImplementedError`` (they
-    require external codecs absent in this environment);
+  * MP4/MOV containers demux for real (full ISO-BMFF sample tables,
+    :mod:`tildener_spark.functions.mp4`) for MJPEG tracks, and
+    MS-RLE (BI_RLE8) decodes as a true inter-frame codec
+    (:mod:`tildener_spark.functions.msrle`);
+  * hierarchical JPEG / perceptual audio (Ogg, MP3) / predictive-
+    codec video (H.264/VP9/AV1, WebM) raise a declared
+    ``NotImplementedError`` (they require external codecs absent in
+    this environment);
   * ``fake_decode=True`` substitutes a deterministic fake whose
     outputs are pure functions of the payload bytes, for plumbing
     tests independent of any format.
@@ -116,7 +121,7 @@ def decode_video(payload: bytes) -> tuple[list[np.ndarray], float]:
     an external codec."""
     raw = bytes(payload or b"")
     if raw[:4] == avi.AVI_SIG and raw[8:12] == b"AVI ":
-        return avi.decode_avi_mjpeg(raw)
+        return avi.decode_avi(raw)  # MJPG or MS-RLE inter-frame
     if raw[4:8] == b"ftyp":
         return mp4.decode_mp4_mjpeg(raw)  # raises the declared
         # NotImplementedError itself for avc1/hvc1/vp09/av01 tracks
@@ -216,8 +221,8 @@ def synthetic_media(spark: SparkSession, n: int = 64,
     """Deterministic media table: REAL payloads for every modality —
     images alternate PNG / JPEG (quality 95, so content features stay
     close to the source pixels), audio alternates FLAC / WAV over the
-    same PCM, video alternates real MJPEG-AVI clips with opaque
-    MP4-signature blobs (the declared inter-frame stub) — so the
+    same PCM, video rotates real MJPEG-AVI / real MJPEG-MP4 /
+    predictive-codec MP4 (the declared inter-frame stub) — so the
     non-fake decode paths are exercisable on every real codec AND the
     stub path stays represented."""
     rows = []
@@ -247,19 +252,24 @@ def synthetic_media(spark: SparkSession, n: int = 64,
                        else flac.encode_flac(pcm, rate))
         else:
             dur = 1000 + i * 37
-            if (i // 3) % 2 == 0:  # real MJPEG-AVI clip
-                w, h = 32, 24
-                yy, xx = np.meshgrid(np.arange(h), np.arange(w),
-                                     indexing="ij")
-                clip = np.stack([np.stack([
-                    (xx * 3 + f * 11 + digest[5]) % 256,
-                    (yy * 5 + f * 7) % 256,
-                    (xx + yy + f) % 256], axis=-1)
-                    for f in range(4)]).astype(np.uint8)
+            w, h = 32, 24
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w),
+                                 indexing="ij")
+            clip = np.stack([np.stack([
+                (xx * 3 + f * 11 + digest[5]) % 256,
+                (yy * 5 + f * 7) % 256,
+                (xx + yy + f) % 256], axis=-1)
+                for f in range(4)]).astype(np.uint8)
+            form = (i // 3) % 3
+            if form == 0:  # real MJPEG-AVI clip
                 payload = avi.encode_avi_mjpeg(clip, fps=8.0)
-            else:  # opaque inter-frame blob (declared stub)
-                payload = b"\x00\x00\x00\x18ftypmp42" + digest * (
-                    (i % 7) + 1)
+            elif form == 1:  # real MJPEG-MP4 clip
+                payload = mp4.encode_mp4_mjpeg(clip, fps=8.0)
+            else:  # predictive-codec MP4 (declared inter-frame stub)
+                p = mp4.encode_mp4_mjpeg(clip, fps=8.0)
+                at = p.index(b"jpeg", p.index(b"stsd"))
+                payload = p[:at] + b"avc1" + p[at + 4:]
+                w = h = None
         rows.append((i, mt, bytearray(payload), w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
