@@ -131,6 +131,21 @@ _VARIANT_CRAWL_SQL = f"""
 """
 
 
+# q67: public-suffix chain generated from THE SAME literal list the
+# Spark expression compiles from (operators/urls.py PUBLIC_SUFFIXES)
+def _suffix_sql_parts() -> tuple[str, str]:
+    from tildener_spark.operators.urls import PUBLIC_SUFFIXES
+    in_list = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES)
+    chain = ", ".join(
+        "nullif(regexp_extract(host, '([^.]+\\." +
+        s.replace(".", "\\.") + ")$', 1), '')"
+        for s in PUBLIC_SUFFIXES)
+    return in_list, chain
+
+
+_suffix_in_list, _suffix_chain = _suffix_sql_parts()
+
+
 def _kg_source_stamp() -> str:
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
@@ -1918,6 +1933,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.filter(F.col("doc_id") % 5 != 0),
             d.filter(F.col("doc_id") % 5 == 0))
 
+    def q65_bloom_prefilter(spark, sf):
+        # Bloom-filter membership pre-dedup (operators/dedup.py
+        # bloom_prefilter): docs with doc_id % 5 == 0 play the new
+        # snapshot against the held rest; the PRODUCTION bitmap path
+        # runs here (numpy bitmap via sc.broadcast + Arrow UDF) and
+        # the oracle replays the identical md5 bit positions as a
+        # distinct-positions join — hash-green proves the bitmap
+        # membership math, not just the join formulation
+        from tildener_spark.operators.dedup import bloom_prefilter
+        d = _docs(spark, sf)
+        return bloom_prefilter(
+            d.filter(F.col("doc_id") % 5 != 0),
+            d.filter(F.col("doc_id") % 5 == 0), via="bitmap")
+
+    def q66_frequent_ngrams(spark, sf):
+        # global boilerplate/template mining (operators/textstats.py
+        # frequent_ngrams): top-50 trigrams by document frequency
+        # with total term frequency; total order so the hash is
+        # partitioning-invariant
+        from tildener_spark.operators.textstats import frequent_ngrams
+        return frequent_ngrams(_docs(spark, sf), n=3, k=50)
+
+    def q67_domain_stats(spark, sf):
+        # registered-domain rollup (operators/urls.py domain_stats):
+        # public-suffix extraction over the variant crawl's hosts,
+        # then a one-shuffle rollup; suffix list mirrored literally
+        # in the oracle
+        from tildener_spark.operators.urls import domain_stats
+        return domain_stats(_variant_crawl(spark))
+
     def q63_pq_encode(spark, sf):
         # product-quantization codes (operators/clustering.py
         # pq_encode): 4 subspaces x 16 centroids over the 64-dim
@@ -2913,6 +2958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_jsonl_roundtrip": q62_jsonl_roundtrip,
         "q63_pq_encode": q63_pq_encode,
         "q64_incremental_dedup": q64_incremental_dedup,
+        "q65_bloom_prefilter": q65_bloom_prefilter,
+        "q66_frequent_ngrams": q66_frequent_ngrams,
+        "q67_domain_stats": q67_domain_stats,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -3248,6 +3296,98 @@ def oracle_sql() -> dict[str, str]:
             from (select doc_id from documents where doc_id % 5 = 0) d
             left join agg a on d.doc_id = a.new_id
         """,
+        # Bloom-filter pre-dedup: replay the exact md5 bit positions
+        # (('0x' || first-15-hex)::bigint == Spark conv(hex,16,10))
+        # as a distinct-positions join; the Spark side runs the
+        # production numpy-bitmap broadcast path, so a green hash
+        # proves the bitmap membership math end to end
+        "q65_bloom_prefilter": """
+            with pos_new as (
+                select d.doc_id,
+                       cast(('0x' || substr(md5(md5(d.text) || ':'
+                            || i.i), 1, 15)) as bigint) % 1048576
+                           as pos
+                from documents d,
+                     (values (0), (1), (2), (3)) i(i)
+                where d.doc_id % 5 = 0
+            ),
+            held as (
+                select distinct
+                       cast(('0x' || substr(md5(md5(d.text) || ':'
+                            || i.i), 1, 15)) as bigint) % 1048576
+                           as pos
+                from documents d,
+                     (values (0), (1), (2), (3)) i(i)
+                where d.doc_id % 5 <> 0
+            )
+            select p.doc_id,
+                   count(h.pos) = 4 as maybe_dup,
+                   cast(count(h.pos) as bigint) as n_hits
+            from pos_new p left join held h using (pos)
+            group by p.doc_id
+        """,
+        # global frequent-trigram mining: df over per-doc distinct
+        # shingles, tf over all occurrences, total-order top-50
+        "q66_frequent_ngrams": """
+            with toks as (
+                select doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+                           ' ') ws
+                from documents
+            ),
+            grams_all as (
+                select doc_id, g from (
+                    select doc_id, unnest(list_transform(
+                        generate_series(0, greatest(len(ws) - 3, 0)),
+                        i -> concat_ws(' ', ws[i+1], ws[i+2],
+                                       ws[i+3]))) as g
+                    from toks)
+                where g <> ''
+                  and len(string_split(g, ' ')) = 3
+            ),
+            tf as (
+                select g, cast(count(*) as bigint) total_tf
+                from grams_all group by g
+            ),
+            dfx as (
+                select g, cast(count(*) as bigint) df
+                from (select distinct doc_id, g from grams_all)
+                group by g
+            ),
+            top as (
+                select g as ngram, df, total_tf,
+                       row_number() over (
+                           order by df desc, total_tf desc, g asc)
+                           as rank
+                from dfx join tf using (g)
+            )
+            select cast(rank as bigint) as rank, ngram, df, total_tf
+            from top where rank <= 50
+        """,
+        # registered-domain rollup over the variant crawl: identical
+        # public-suffix chain (generated from the same literal list)
+        "q67_domain_stats": """
+            with crawl as ({_VARIANT_CRAWL_SQL}),
+            hosts as (
+                select lower(regexp_extract(regexp_replace(
+                           url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                           '^([^/?]*)', 1)) as host,
+                       cast(length(text) as bigint) as chars
+                from crawl
+            )
+            select case when host in ({_suffix_in_list})
+                        then null
+                        else coalesce({_suffix_chain})
+                   end as domain,
+                   cast(count(distinct host) as bigint) as n_hosts,
+                   cast(count(*) as bigint) as n_pages,
+                   cast(sum(chars) as bigint) as total_chars
+            from hosts
+            group by domain
+        """.format(_VARIANT_CRAWL_SQL=_VARIANT_CRAWL_SQL,
+                   _suffix_in_list=_suffix_in_list,
+                   _suffix_chain=_suffix_chain),
         # deterministic mixture sampling: identical md5 bucket string,
         # thresholds shared through mixing.hex_threshold — the hex
         # STRING comparison orders like the integer it encodes, so

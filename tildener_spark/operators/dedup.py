@@ -514,3 +514,95 @@ def incremental_dedup(old_docs: DataFrame, new_docs: DataFrame,
                 F.coalesce("n_matches", F.lit(0).cast("long"))
                 .alias("n_matches"),
                 "first_match"))
+
+
+def bloom_positions(col, m: int = 1 << 20, k: int = 4):
+    """Array of k Bloom bit positions for a text column.
+
+    Deterministic double-hash-free construction: position i =
+    md5(md5(text) ':' i) taken as a 60-bit integer mod m.  Everything
+    is built-ins (md5 + conv), so the filter is bitwise reproducible
+    across engines — the DuckDB oracle replays the identical bits.
+    """
+    h = F.md5(col)
+    return F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(h, F.lit(f":{i}"))),
+                            1, 15), 16, 10).cast("long") % m)
+        for i in range(k)])
+
+
+def bloom_prefilter(held_docs: DataFrame, new_docs: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    m: int = 1 << 20, k: int = 4,
+                    via: str = "bitmap") -> DataFrame:
+    """Bloom-filter membership pre-dedup of a new snapshot against a
+    held corpus — the cheap gate BEFORE exact/LSH verification.
+
+    Returns one row per new document: (doc_id, maybe_dup, n_hits).
+    ``maybe_dup`` has NO false negatives (an exact duplicate of any
+    held text always has all k bits set — the property the test
+    pins); false positives are bounded by the classic
+    (1 - e^(-kn/m))^k and are resolved by the downstream exact check
+    (q10/q64), which now runs on a tiny candidate slice instead of
+    the whole snapshot.
+
+    Scale shape (``via="bitmap"``, the production path): the held
+    corpus aggregates to an m-bit numpy bitmap on the driver
+    (m = 2^33 bits = 1 GiB covers 10^9 held docs at k=4 with ~2.4%
+    FP) shipped once per executor via ``sc.broadcast``; membership is
+    then a map-only Arrow pass over the snapshot — ZERO join, zero
+    shuffle on the 100 TB side.  ``via="join"`` keeps the same answer
+    as a pure-DataFrame distinct-positions left join (what the DuckDB
+    oracle replays); the two paths are asserted equal in tests.
+    """
+    held_pos = (held_docs
+                .select(F.explode(bloom_positions(
+                    F.col(text_col), m, k)).alias("pos"))
+                .distinct())
+    new_pos = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(bloom_positions(F.col(text_col), m, k))
+        .alias("slot", "pos"))
+    if via == "join":
+        joined = new_pos.join(
+            held_pos.withColumn("present", F.lit(1)), "pos", "left")
+        agg = joined.groupBy("doc_id").agg(
+            F.sum(F.coalesce("present", F.lit(0))).alias("n_hits"))
+        return agg.select(
+            "doc_id", (F.col("n_hits") == k).alias("maybe_dup"),
+            F.col("n_hits").cast("long").alias("n_hits"))
+    if via != "bitmap":
+        raise ValueError("via must be 'bitmap' or 'join'")
+    import numpy as np
+    import pandas as pd
+
+    spark = new_docs.sparkSession
+    # build the bitmap: collect DISTINCT set positions (bounded by
+    # k * n_held <= m) via Arrow, pack to m/8 bytes
+    pos_arr = held_pos.toArrow().column("pos").to_numpy()
+    bitmap = np.zeros(m // 8 + 1, dtype=np.uint8)
+    np.bitwise_or.at(bitmap, pos_arr // 8,
+                     np.left_shift(1, (pos_arr % 8).astype(np.uint8)))
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    from pyspark.sql import types as T
+
+    def _n_hits(positions):
+        bm = bc.value
+        out = np.empty(len(positions), dtype=np.int32)
+        for i, pos_list in enumerate(positions):
+            p = np.asarray(pos_list, dtype=np.int64)
+            out[i] = int(((bm[p // 8] >> (p % 8)) & 1).sum())
+        return pd.Series(out)
+
+    # no annotations: `from __future__ import annotations` turns
+    # hints into strings pandas_udf can't resolve for local imports
+    n_hits_udf = F.pandas_udf(_n_hits, T.IntegerType())
+
+    return (new_docs
+            .select(F.col(id_col).alias("doc_id"),
+                    bloom_positions(F.col(text_col), m, k).alias("bp"))
+            .select("doc_id", n_hits_udf("bp").alias("hits"))
+            .select("doc_id",
+                    (F.col("hits") == k).alias("maybe_dup"),
+                    F.col("hits").cast("long").alias("n_hits")))

@@ -451,3 +451,64 @@ def corpus_summary(docs: DataFrame, lang_col: str = "lang",
         F.round(F.expr("percentile(_toks, 0.5)"), 6).alias("p50_tokens"),
         F.round(F.expr("percentile(_toks, 0.9)"), 6).alias("p90_tokens"),
     )
+
+
+def frequent_ngrams(docs: DataFrame, n: int = 3, k: int = 50,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Global top-k word n-grams by document frequency — the
+    boilerplate/template discovery pass (the phrases that show up
+    across thousands of pages are navigation chrome, cookie banners,
+    and license blurbs; they feed remove_boilerplate allow-lists and
+    n-gram-LM vocabulary induction).
+
+    Returns (rank, ngram, df, total_tf): df = documents containing
+    the n-gram at least once, total_tf = total occurrence count.
+    Rank orders by (df desc, total_tf desc, ngram asc) — a total
+    order, so the result is partitioning-invariant.
+
+    Scale shape: per-doc DISTINCT shingles for df + per-doc counted
+    shingles for tf combine into ONE exploded aggregate (map-side
+    partial agg absorbs the head: 'click here to' appearing in every
+    doc becomes one row per partition before the shuffle); the top-k
+    is orderBy+limit, which Spark executes as TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows) — never a global
+    sort or a single-partition window."""
+    from tildener_spark.operators.dedup import (
+        shingles_from_tokens, word_tokens)
+    toks = docs.select(word_tokens(F.col(text_col)).alias("toks"))
+    all_sh = toks.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.lit(0), F.size("toks") - n)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.try_element_at(F.col("toks"),
+                                                i + j + 1)
+                               for j in range(n)])),
+                lambda s: s != "")).alias("ngram"))
+    # guard sub-n-word docs: their single short shingle is real text,
+    # keep it only if it has n words
+    all_sh = all_sh.filter(
+        F.size(F.split(F.col("ngram"), " ")) == n)
+    per_ngram = all_sh.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_tf"))
+    df_sh = toks.select(
+        F.explode(shingles_from_tokens(F.col("toks"), n))
+        .alias("ngram")).filter(
+        F.size(F.split(F.col("ngram"), " ")) == n)
+    per_df = df_sh.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    top = (per_df.join(per_ngram, "ngram")
+           .orderBy(F.col("df").desc(), F.col("total_tf").desc(),
+                    F.col("ngram"))
+           .limit(k))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("df").desc(), F.col("total_tf").desc(),
+                       F.col("ngram"))
+    # the window runs over the k collected rows only — bounded
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "ngram", "df", "total_tf")

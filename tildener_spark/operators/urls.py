@@ -182,3 +182,69 @@ def host_stats(pages: DataFrame, url_col: str = "url",
             F.countDistinct("_lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+# Public-suffix subset used by registered_domain.  The real PSL is
+# ~9k rules maintained by Mozilla; a production deployment loads the
+# full list the same way (it is a literal expression table either
+# way — the when-chain below is what a broadcast map lookup compiles
+# to for a list this small).  Multi-label suffixes MUST sort before
+# their parent TLD so the longest match wins.
+PUBLIC_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "net.br", "co.in", "co.nz",
+    "github.io", "blogspot.com",
+    "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "ai", "dev", "app", "info", "biz",
+    "uk", "de", "fr", "jp", "au", "br", "in", "nz",
+    "lv", "lt", "ee", "ru", "pl", "nl", "se", "it", "es",
+]
+
+
+def registered_domain(host_col):
+    """Registered (pay-level) domain of a host per the public-suffix
+    rules: the label immediately left of the longest matching public
+    suffix, plus the suffix.  Hosts that ARE a bare suffix, IPs, or
+    hosts with no dot return NULL (no registrable domain).
+
+    Expression-only (anchored regexp per suffix, longest-first
+    coalesce) — zero shuffle, whole-stage codegen, and an exact SQL
+    mirror for the oracle."""
+    h = F.lower(host_col)
+    candidates = [
+        F.nullif(F.regexp_extract(
+            h, r"([^.]+\." + suffix.replace(".", r"\.") + r")$", 1),
+            F.lit(""))
+        for suffix in PUBLIC_SUFFIXES]
+    # a host that IS a public suffix has no registrable domain
+    # (e.g. 'blogspot.com' must not resolve via the plain 'com' rule)
+    return F.when(h.isin(PUBLIC_SUFFIXES),
+                  F.lit(None).cast("string")).otherwise(
+        F.coalesce(*candidates, F.lit(None).cast("string")))
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Per-registered-domain crawl rollup: distinct hosts, pages,
+    total chars.  The domain is the right granularity for crawl
+    budgets and source-quality decisions (one site = many hosts:
+    www/m/cdn/lang subdomains); host_stats alone over-fragments.
+
+    Scale shape: the domain is a map-side expression over the host,
+    so this stays ONE partial-aggregating shuffle exactly like
+    host_stats; suffix matching never fans out rows."""
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col(url_col),
+                         r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"^([^/?]*)", 1))
+    return (
+        pages.select(
+            host.alias("host"),
+            F.length(F.col(text_col)).cast("long").alias("_chars"))
+        .withColumn("domain", registered_domain(F.col("host")))
+        .groupBy("domain")
+        .agg(F.countDistinct("host").cast("bigint").alias("n_hosts"),
+             F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+             F.sum("_chars").cast("bigint").alias("total_chars")))
