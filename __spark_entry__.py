@@ -1342,6 +1342,64 @@ def _kg_triangles_sql(k: int = 16) -> str:
     """
 
 
+def _kg_linkpred_sql(k: int = 16, top_n: int = 100) -> str:
+    """DuckDB mirror of graphstats.link_prediction: mutual top-k
+    adjacency, wedge join through each common neighbour, integer-
+    exact Resource-Allocation index (10^12 // m_deg per term, bigint
+    sum), round(.,9) Jaccard, NOT-EXISTS against existing edges."""
+    return f"""
+        with {_entity_edges_cte()},{_UND_CTE},
+        top as (
+            select src, dst from (
+                select src, dst,
+                       row_number() over (partition by src
+                                          order by w desc, dst) as rn
+                from und
+            ) where rn <= {k}
+        ),
+        mutual as (
+            select a.src, a.dst
+            from top a join top b
+              on a.src = b.dst and a.dst = b.src
+        ),
+        mdeg as (
+            select src, cast(count(*) as bigint) as m_deg
+            from mutual group by 1
+        ),
+        adj as (
+            select m.src as z, m.dst as nb,
+                   1000000000000 // d.m_deg as ra_term
+            from mutual m join mdeg d on m.src = d.src
+        ),
+        pairs as (
+            select l.nb as a, r.nb as b,
+                   cast(count(*) as bigint) as n_common,
+                   cast(sum(l.ra_term) as bigint) as ra_q
+            from adj l join adj r on l.z = r.z and l.nb < r.nb
+            group by 1, 2
+        ),
+        cand as (
+            select p.* from pairs p
+            where not exists (
+                select 1 from mutual m
+                where m.src = p.a and m.dst = p.b
+            )
+        )
+        select string_split(a, '␟')[1] as ne_type_a,
+               string_split(a, '␟')[2] as canonical_a,
+               string_split(b, '␟')[1] as ne_type_b,
+               string_split(b, '␟')[2] as canonical_b,
+               n_common, ra_q,
+               round(cast(n_common as double)
+                     / (da.m_deg + db.m_deg - n_common), 9) as jaccard
+        from cand
+        join mdeg da on cand.a = da.src
+        join mdeg db on cand.b = db.src
+        order by ra_q desc, n_common desc, a, b
+        limit {top_n}
+    """
+
+
 def _nfc_decompose_sql(col: str) -> str:
     """The q40 input-synthesis chain (vowels -> precomposed
     diacritics -> combining-mark decompositions) built from the SAME
@@ -2659,6 +2717,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = _kg_materialized(spark)
         return graph_triangles(entity_edges(m["canon_triples"]), k=16)
 
+    def kg_linkpred(spark, sf):
+        # KG-completion candidates: common-neighbour link prediction
+        # over the mutual top-16 graph (operators/graphstats.py
+        # link_prediction) — integer-exact Resource-Allocation index
+        # + round(.,9) Jaccard, top-100 non-edges
+        from tildener_spark.operators.graphstats import (
+            entity_edges, link_prediction)
+        m = _kg_materialized(spark)
+        return link_prediction(entity_edges(m["canon_triples"]),
+                               k=16, top_n=100)
+
     def kg_triple_parity(spark, sf):
         # oracle: same P/R arithmetic in SQL over the independently
         # SQL-derived predicted triples/links (_kg_triples_sql /
@@ -2979,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_timeline": kg_timeline,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
+        "kg_linkpred": kg_linkpred,
         "kg_triple_parity": kg_triple_parity,
         "kg_span_eval": kg_token_eval,
         "kg_top_sentences": kg_top_sentences,
@@ -5446,6 +5516,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_timeline": _kg_timeline_sql(),
         "kg_communities": _kg_communities_sql(),
         "kg_triangles": _kg_triangles_sql(),
+        "kg_linkpred": _kg_linkpred_sql(),
         # BIO span assembly over the materialized tagged tokens
         # (document.py doc_mentions_py / spans.assemble_spans
         # semantics): gaps-and-islands — a token continues a span iff

@@ -234,3 +234,41 @@ def test_graph_bfs_multi_seed_min_dist(spark):
     out = {r["canonical"]: r["dist"]
            for r in graph_bfs(edges, n_seeds=2, max_hops=4).collect()}
     assert out == {"b": 0, "d": 0, "a": 1, "c": 1, "e": 1}
+
+
+def test_link_prediction_square(spark):
+    """4-cycle a-b-c-d (no diagonals): the two diagonals (a,c) and
+    (b,d) are exactly the predicted non-edges, each with 2 common
+    neighbours of mutual degree 2 -> ra_q = 2 * (10^12 // 2) = 10^12,
+    jaccard = 2 / (2 + 2 - 2) = 1.0."""
+    from tildener_spark.operators.graphstats import link_prediction
+
+    rows = [("PER", "a", "PER", "b"), ("PER", "b", "PER", "c"),
+            ("PER", "c", "PER", "d"), ("PER", "d", "PER", "a")]
+    got = {(r["canonical_a"], r["canonical_b"]): r for r in
+           link_prediction(entity_edges(_triples(spark, rows)))
+           .collect()}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    for r in got.values():
+        assert r["n_common"] == 2
+        assert r["ra_q"] == 10**12
+        assert r["jaccard"] == 1.0
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """Triangle a-b-c plus pendant p on c: every pair of the
+    triangle is an existing edge, so the only candidates are the
+    pendant's 2-hop pairs (p,a) and (p,b) through c (m_deg(c)=3)."""
+    from tildener_spark.operators.graphstats import link_prediction
+
+    rows = [("PER", "a", "PER", "b"), ("PER", "b", "PER", "c"),
+            ("PER", "a", "PER", "c"), ("PER", "c", "PER", "p")]
+    got = {(r["canonical_a"], r["canonical_b"]): r for r in
+           link_prediction(entity_edges(_triples(spark, rows)))
+           .collect()}
+    assert set(got) == {("a", "p"), ("b", "p")}
+    for r in got.values():
+        assert r["n_common"] == 1
+        assert r["ra_q"] == 10**12 // 3
+        # deg(a)=2 (b, c), deg(p)=1 (c) -> 1/(2+1-1)
+        assert r["jaccard"] == 0.5

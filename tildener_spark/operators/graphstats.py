@@ -453,3 +453,97 @@ def graph_bfs(edges: DataFrame, n_seeds: int = 3,
     out = split_node(dist).select("ne_type", "canonical", "dist")
     und.unpersist()
     return out
+
+
+def link_prediction(edges: DataFrame, k: int = 16,
+                    top_n: int = 100) -> DataFrame:
+    """Topological link prediction over the mutual top-``k`` entity
+    graph: rank NON-edges by common-neighbour evidence — the KG-
+    completion query behind "suggested relation" review queues
+    (Liben-Nowell & Kleinberg 2003; RA index from Zhou et al. 2009).
+
+    For every unordered pair (a, b) that shares >= 1 common
+    neighbour but has NO edge, emits:
+
+    * ``n_common``   — common-neighbour count,
+    * ``ra_q``       — Resource-Allocation index, integer-exact:
+                       sum over common z of ``10^12 div m_deg(z)``
+                       (bigint floor-division per term, so the sum is
+                       order-independent and replays bitwise on any
+                       engine/partitioning — the quantization family
+                       of weighted_pagerank),
+    * ``jaccard``    — round(n_common / (deg_a + deg_b - n_common), 9)
+                       (one IEEE division of integers per row).
+
+    Top ``top_n`` by (ra_q desc, n_common desc, pair id) — a
+    TakeOrderedAndProject, never a global sort.
+
+    Scale shape: the adjacency is capped at mutual top-``k`` first
+    (same hub guard as graph_triangles), so the wedge join
+    z -> (a, b) has fanout <= k(k-1)/2 per node — candidate volume is
+    O(k^2 |V|), never quadratic in a hub's true degree.  All floats
+    are quantized, so the DuckDB oracle hashes identically.
+    """
+    und = (
+        edges.select("src", "dst", "n_evidence")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "n_evidence"))
+        .groupBy("src", "dst")
+        .agg(F.sum("n_evidence").alias("w"))
+    )
+    top = und.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("src").orderBy(
+                F.col("w").desc(), F.col("dst"))),
+    ).filter(F.col("rn") <= k).select("src", "dst")
+    mutual = (
+        top.alias("a")
+        .join(top.alias("b"),
+              (F.col("a.src") == F.col("b.dst"))
+              & (F.col("a.dst") == F.col("b.src")))
+        .select(F.col("a.src").alias("src"),
+                F.col("a.dst").alias("dst"))
+        .persist()
+    )
+    mutual.count()
+    mdeg = mutual.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("m_deg"))
+    # wedges through each common neighbour z: z's adjacency joined
+    # with itself, oriented a < b so each pair counts once per z
+    adj = mutual.join(mdeg, "src").select(
+        F.col("src").alias("z"), F.col("dst").alias("nb"),
+        F.expr("1000000000000L div m_deg").alias("ra_term"))
+    pairs = (
+        adj.alias("l")
+        .join(adj.alias("r"), F.col("l.z") == F.col("r.z"))
+        .filter(F.col("l.nb") < F.col("r.nb"))
+        .groupBy(F.col("l.nb").alias("a"), F.col("r.nb").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+             F.sum(F.col("l.ra_term")).cast("long").alias("ra_q"))
+    )
+    existing = mutual.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"))
+    cand = (
+        pairs.join(existing, ["a", "b"], "left_anti")
+        .join(mdeg.select(F.col("src").alias("a"),
+                          F.col("m_deg").alias("deg_a")), "a")
+        .join(mdeg.select(F.col("src").alias("b"),
+                          F.col("m_deg").alias("deg_b")), "b")
+        .select(
+            "a", "b", "n_common", "ra_q",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                9).alias("jaccard"))
+        .orderBy(F.col("ra_q").desc(), F.col("n_common").desc(),
+                 "a", "b")
+        .limit(top_n)
+    )
+    out = cand.select(
+        F.split("a", SEP).getItem(0).alias("ne_type_a"),
+        F.split("a", SEP).getItem(1).alias("canonical_a"),
+        F.split("b", SEP).getItem(0).alias("ne_type_b"),
+        F.split("b", SEP).getItem(1).alias("canonical_b"),
+        "n_common", "ra_q", "jaccard")
+    mutual.unpersist()
+    return out
