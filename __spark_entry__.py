@@ -1400,6 +1400,69 @@ def _kg_linkpred_sql(k: int = 16, top_n: int = 100) -> str:
     """
 
 
+def _hll_oracle_sql() -> str:
+    """DuckDB mirror of sketches.hll_cardinality: identical md5 bit
+    extraction, identical GENERATED case chains (imported from the
+    operator module so the two sides cannot drift), integer register
+    sum, one shared double literal for alpha*m^2*2^55."""
+    from tildener_spark.operators.sketches import (
+        C_NUM, LC_THRESHOLD, M_REG, _SHIFT, lincount_case_sql,
+        rho_case_sql, term_case_sql)
+    return rf"""
+        with toks as (
+            select source, tok from (
+                select source,
+                       unnest(string_split_regex(
+                           lower(text), '[ \t\n\x0b\f\r]+')) as tok
+                from documents
+            ) where tok <> ''
+        ),
+        regs as (
+            select source,
+                   cast(concat('0x', substr(h, 1, 2)) as bigint)
+                       as reg,
+                   cast(concat('0x', substr(h, 3, 14)) as bigint)
+                       as w
+            from (select source, md5(tok) as h from toks)
+        ),
+        mx as (
+            select source, reg,
+                   max({rho_case_sql('w')}) as m
+            from regs group by 1, 2
+        ),
+        agg as (
+            select source,
+                   cast(sum({term_case_sql('m')}) as bigint)
+                       as s_used,
+                   cast(count(*) as bigint) as used
+            from mx group by 1
+        ),
+        est as (
+            select source,
+                   cast({M_REG} - used as int) as n_zero,
+                   {C_NUM} / (s_used + ({M_REG} - used)
+                              * {1 << _SHIFT}) as raw
+            from agg
+        ),
+        fin as (
+            select source,
+                   case when raw <= {LC_THRESHOLD!r} and n_zero > 0
+                        then {lincount_case_sql('n_zero')}
+                        else round(raw, 6) end as hll_est
+            from est
+        ),
+        ex as (
+            select source,
+                   cast(count(distinct tok) as bigint) as n_exact
+            from toks group by 1
+        )
+        select ex.source, n_exact, hll_est,
+               round(abs(hll_est - n_exact) / n_exact * 100, 4)
+                   as err_pct
+        from ex join fin using (source)
+    """
+
+
 def _nfc_decompose_sql(col: str) -> str:
     """The q40 input-synthesis chain (vowels -> precomposed
     diacritics -> combining-mark decompositions) built from the SAME
@@ -2020,6 +2083,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the oracle
         from tildener_spark.operators.urls import domain_stats
         return domain_stats(_variant_crawl(spark))
+
+    def q68_hll_cardinality(spark, sf):
+        # per-source distinct-token cardinality via from-scratch
+        # HyperLogLog (operators/sketches.py): md5-derived registers,
+        # integer-exact register sum, precomputed linear-counting
+        # literals — the estimate replays bitwise in DuckDB; exact
+        # countDistinct kept as the small-scale validator column
+        from tildener_spark.operators.sketches import hll_cardinality
+        return hll_cardinality(_docs(spark, sf))
 
     def q63_pq_encode(spark, sf):
         # product-quantization codes (operators/clustering.py
@@ -3030,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_bloom_prefilter": q65_bloom_prefilter,
         "q66_frequent_ngrams": q66_frequent_ngrams,
         "q67_domain_stats": q67_domain_stats,
+        "q68_hll_cardinality": q68_hll_cardinality,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -3458,6 +3531,11 @@ def oracle_sql() -> dict[str, str]:
         """.format(_VARIANT_CRAWL_SQL=_VARIANT_CRAWL_SQL,
                    _suffix_in_list=_suffix_in_list,
                    _suffix_chain=_suffix_chain),
+        # from-scratch HLL: the SAME generated integer CASE chains
+        # (rho, register term, linear-counting literals) the Spark
+        # side compiles, over the same md5 bits — the estimate is an
+        # integer sum + one IEEE division, so it hashes identically
+        "q68_hll_cardinality": _hll_oracle_sql(),
         # deterministic mixture sampling: identical md5 bucket string,
         # thresholds shared through mixing.hex_threshold — the hex
         # STRING comparison orders like the integer it encodes, so
