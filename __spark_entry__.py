@@ -130,6 +130,31 @@ _VARIANT_CRAWL_SQL = f"""
   where cast(regexp_extract(url, 'doc/([0-9]+)$', 1) as int) % 3 = 0
 """
 
+# q69: three deterministic crawl snapshots of the pages corpus —
+# snapshot 2 skips every 7th url (not recrawled) and edits every 3rd,
+# snapshot 3 re-fetches even urls and edits every 5th ON TOP of
+# snapshot 2's content (so changed-vs-previous is exercised both ways)
+_SNAPSHOT_CRAWL_SQL = f"""
+  with base as (
+    select url, warc_ts, text,
+           cast(regexp_extract(url, 'doc/([0-9]+)$', 1) as int) as num
+    from read_parquet('{_KG_CACHE}/pages.parquet/*.parquet')
+  ),
+  s2 as (
+    select url, warc_ts + interval 30 day as warc_ts,
+           case when num % 3 = 0 then text || ' rev2 edit' else text
+                end as text, num
+    from base where num % 7 <> 0
+  )
+  select url, warc_ts, text from base
+  union all
+  select url, warc_ts, text from s2
+  union all
+  select url, warc_ts + interval 30 day,
+         case when num % 5 = 0 then text || ' rev3 edit' else text end
+  from s2 where num % 2 = 0
+"""
+
 
 # q67: public-suffix chain generated from THE SAME literal list the
 # Spark expression compiles from (operators/urls.py PUBLIC_SUFFIXES)
@@ -2576,6 +2601,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text", "lang")
         return pages.unionByName(v1).unionByName(v2)
 
+    def _snapshot_crawl(spark):
+        # deterministic multi-snapshot crawl: base fetch + a 30-day
+        # recrawl (skips every 7th url, edits every 3rd) + a 60-day
+        # recrawl of even urls (edits every 5th on top of snapshot 2)
+        # — mirrors _SNAPSHOT_CRAWL_SQL exactly
+        m = _kg_materialized(spark)
+        base = m["pages"].select(
+            "url", "warc_ts", "text",
+            F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+            .alias("num"))
+        s2 = base.filter(F.col("num") % 7 != 0).select(
+            "url",
+            (F.col("warc_ts") + F.expr("interval 30 day"))
+            .alias("warc_ts"),
+            F.when(F.col("num") % 3 == 0,
+                   F.concat("text", F.lit(" rev2 edit")))
+            .otherwise(F.col("text")).alias("text"),
+            "num")
+        s3 = s2.filter(F.col("num") % 2 == 0).select(
+            "url",
+            (F.col("warc_ts") + F.expr("interval 30 day"))
+            .alias("warc_ts"),
+            F.when(F.col("num") % 5 == 0,
+                   F.concat("text", F.lit(" rev3 edit")))
+            .otherwise(F.col("text")).alias("text"))
+        cols = ["url", "warc_ts", "text"]
+        return base.select(cols).unionByName(
+            s2.select(cols)).unionByName(s3.select(cols))
+
+    def q69_recrawl_drift(spark, sf):
+        # per-host content-drift rate across crawl snapshots
+        # (operators/urls.py recrawl_drift): lag-window change
+        # detection on the url fetch history, host rollup
+        from tildener_spark.operators.urls import recrawl_drift
+        return recrawl_drift(_snapshot_crawl(spark))
+
     def q32_url_dedup(spark, sf):
         # URL canonicalization + exact URL-level dedup
         # (operators/urls.py): earliest fetch per canonical key wins
@@ -3103,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_frequent_ngrams": q66_frequent_ngrams,
         "q67_domain_stats": q67_domain_stats,
         "q68_hll_cardinality": q68_hll_cardinality,
+        "q69_recrawl_drift": q69_recrawl_drift,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -3536,6 +3598,44 @@ def oracle_sql() -> dict[str, str]:
         # side compiles, over the same md5 bits — the estimate is an
         # integer sum + one IEEE division, so it hashes identically
         "q68_hll_cardinality": _hll_oracle_sql(),
+        # recrawl drift: identical snapshot synthesis CTE, lag window
+        # keyed (ts, fingerprint), host rollup; one IEEE division for
+        # the rate
+        "q69_recrawl_drift": f"""
+            with crawl as ({_SNAPSHOT_CRAWL_SQL}),
+            per_fetch as (
+                select url,
+                       lower(regexp_extract(regexp_replace(
+                           url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                           '^([^/?]*)', 1)) as host,
+                       md5(text) as fp,
+                       lag(md5(text)) over (
+                           partition by url
+                           order by warc_ts, md5(text)) as prev_fp
+                from crawl
+            )
+            select host,
+                   cast(count(distinct url) as bigint) as n_urls,
+                   cast(count(*) as bigint) as n_fetches,
+                   cast(sum(case when prev_fp is not null
+                                 then 1 else 0 end) as bigint)
+                       as n_revisits,
+                   cast(sum(case when prev_fp is not null
+                                  and prev_fp <> fp
+                                 then 1 else 0 end) as bigint)
+                       as n_changes,
+                   case when sum(case when prev_fp is not null
+                                      then 1 else 0 end) > 0
+                        then round(
+                            cast(sum(case when prev_fp is not null
+                                           and prev_fp <> fp
+                                          then 1 else 0 end) as double)
+                            / sum(case when prev_fp is not null
+                                       then 1 else 0 end), 6)
+                        else 0e0 end as change_rate
+            from per_fetch
+            group by host
+        """,
         # deterministic mixture sampling: identical md5 bucket string,
         # thresholds shared through mixing.hex_threshold — the hex
         # STRING comparison orders like the integer it encodes, so

@@ -101,3 +101,32 @@ def test_cap_per_host(spark):
     # determinism under adversarial partitioning
     again = cap_per_host(pages.repartition(7), k=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_recrawl_drift(spark):
+    """u1: 3 fetches, 1 change (A->A->B); u2: 2 fetches, unchanged;
+    u3: single fetch (never revisited).  u1/u2 share a host."""
+    from datetime import datetime
+
+    from tildener_spark.operators.urls import recrawl_drift
+
+    t = datetime(2026, 1, 1)
+    rows = [
+        ("https://a.example.com/u1", t.replace(day=1), "A"),
+        ("https://a.example.com/u1", t.replace(day=2), "A"),
+        ("https://a.example.com/u1", t.replace(day=3), "B"),
+        ("https://a.example.com/u2", t.replace(day=1), "X"),
+        ("https://a.example.com/u2", t.replace(day=2), "X"),
+        ("https://solo.example.org/u3", t.replace(day=1), "Z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string")
+    got = {r["host"]: r for r in recrawl_drift(df).collect()}
+    a = got["a.example.com"]
+    assert (a["n_urls"], a["n_fetches"], a["n_revisits"],
+            a["n_changes"]) == (2, 5, 3, 1)
+    assert a["change_rate"] == round(1 / 3, 6)
+    s = got["solo.example.org"]
+    assert (s["n_urls"], s["n_fetches"], s["n_revisits"],
+            s["n_changes"]) == (1, 1, 0, 0)
+    assert s["change_rate"] == 0.0

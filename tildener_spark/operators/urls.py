@@ -248,3 +248,57 @@ def domain_stats(pages: DataFrame, url_col: str = "url",
         .agg(F.countDistinct("host").cast("bigint").alias("n_hosts"),
              F.count(F.lit(1)).cast("bigint").alias("n_pages"),
              F.sum("_chars").cast("bigint").alias("total_chars")))
+
+
+def recrawl_drift(crawl: DataFrame, url_col: str = "url",
+                  ts_col: str = "warc_ts",
+                  text_col: str = "text") -> DataFrame:
+    """Per-host content-drift rate across crawl snapshots — the
+    recrawl-scheduling signal (Cho & Garcia-Molina 2003): hosts whose
+    pages change between fetches deserve a shorter revisit interval.
+
+    A *revisit* is any fetch of a url after its first; a revisit is a
+    *change* when its content fingerprint (md5 of the text) differs
+    from the previous fetch's.  Output per host:
+
+    (host, n_urls, n_fetches, n_revisits, n_changes, change_rate)
+
+    with ``change_rate = round(n_changes / n_revisits, 6)`` (0.0 for
+    hosts never revisited — one IEEE division of bigints, so the
+    DuckDB replay hashes identically).
+
+    Scale shape: one shuffle on url for the lag window (groups are
+    revisit-count-sized — a url's fetch history, bounded by crawl
+    frequency, never corpus-sized), then one partial-agg shuffle on
+    host.  Ties on ``ts`` are broken by the fingerprint so the lag
+    order is total and partition-independent.
+    """
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"^([^/?]*)", 1))
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy("url").orderBy("ts", "fp")
+    per_fetch = (
+        crawl
+        .select(F.col(url_col).alias("url"), host.alias("host"),
+                F.col(ts_col).alias("ts"), fp.alias("fp"))
+        .withColumn("prev_fp", F.lag("fp").over(w))
+    )
+    return (
+        per_fetch
+        .groupBy("host")
+        .agg(
+            F.countDistinct("url").cast("long").alias("n_urls"),
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.sum(F.when(F.col("prev_fp").isNotNull(), 1)
+                  .otherwise(0)).cast("long").alias("n_revisits"),
+            F.sum(F.when(F.col("prev_fp").isNotNull()
+                         & (F.col("prev_fp") != F.col("fp")), 1)
+                  .otherwise(0)).cast("long").alias("n_changes"),
+        )
+        .select(
+            "host", "n_urls", "n_fetches", "n_revisits", "n_changes",
+            F.when(F.col("n_revisits") > 0,
+                   F.round(F.col("n_changes") / F.col("n_revisits"), 6))
+            .otherwise(F.lit(0.0)).alias("change_rate"))
+    )
