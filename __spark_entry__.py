@@ -2637,6 +2637,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.urls import recrawl_drift
         return recrawl_drift(_snapshot_crawl(spark))
 
+    def q70_pmi_collocations(spark, sf):
+        # adjacent-bigram PMI collocation mining (operators/
+        # textstats.py pmi_collocations): zero-shuffle bigram zip,
+        # wordcount-shape counts, broadcast totals, round(.,6) PMI
+        from tildener_spark.operators.textstats import pmi_collocations
+        return pmi_collocations(_docs(spark, sf), min_count=3,
+                                top_n=200)
+
     def q32_url_dedup(spark, sf):
         # URL canonicalization + exact URL-level dedup
         # (operators/urls.py): earliest fetch per canonical key wins
@@ -3165,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_domain_stats": q67_domain_stats,
         "q68_hll_cardinality": q68_hll_cardinality,
         "q69_recrawl_drift": q69_recrawl_drift,
+        "q70_pmi_collocations": q70_pmi_collocations,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -3635,6 +3644,46 @@ def oracle_sql() -> dict[str, str]:
                         else 0e0 end as change_rate
             from per_fetch
             group by host
+        """,
+        # bigram PMI: parallel-unnest list slices == Spark's zip_with
+        # bigrams; identical association order in the probability
+        # ratio; ln + round(.,6) per the q41/q51 contract
+        "q70_pmi_collocations": f"""
+            with toks as (select {_TOKS_SQL} as toks from documents),
+            uni as (
+                select w, cast(count(*) as bigint) as n_w
+                from (select unnest(toks) as w from toks)
+                where w <> '' group by 1
+            ),
+            bi_all as (
+                select w1, w2, cast(count(*) as bigint) as n12
+                from (
+                    select unnest(toks[1:len(toks)-1]) as w1,
+                           unnest(toks[2:len(toks)]) as w2
+                    from toks where len(toks) >= 2
+                ) where w1 <> '' and w2 <> ''
+                group by 1, 2
+            ),
+            tot as (
+                select (select cast(sum(n_w) as bigint) from uni)
+                           as n_tok,
+                       (select cast(sum(n12) as bigint) from bi_all)
+                           as n_bi
+            )
+            select w1, w2, n12, n1, n2,
+                   round(ln((n12 * n_tok / n_bi)
+                            * (n_tok / (n1 * n2))), 6) as pmi
+            from (
+                select b.w1, b.w2, b.n12,
+                       u1.n_w as n1, u2.n_w as n2, n_tok, n_bi
+                from bi_all b
+                join uni u1 on b.w1 = u1.w
+                join uni u2 on b.w2 = u2.w
+                cross join tot
+                where b.n12 >= 3
+            )
+            order by pmi desc, w1, w2
+            limit 200
         """,
         # deterministic mixture sampling: identical md5 bucket string,
         # thresholds shared through mixing.hex_threshold — the hex

@@ -190,3 +190,34 @@ def test_ngram_repetition_zero_shuffle_plan(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pmi_collocations_known_corpus(spark):
+    """'new york' always co-occurs (perfect collocation) while 'the
+    of' pairs are independent fillers — PMI must rank the bound pair
+    on top with the hand-computed value."""
+    import math
+
+    from tildener_spark.operators.textstats import pmi_collocations
+
+    # 10 docs: "new york" x1 each + 4 filler tokens drawn so that
+    # fillers pair with many different partners
+    rows = [(f"new york a{i} b{i} a{i} c{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "text string")
+    got = pmi_collocations(df, min_count=3, top_n=10).collect()
+    assert got, "no collocations found"
+    top = got[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    # n12=10, n1=n2=10, n_tok=60, n_bi=50 (5 bigrams per doc)
+    expect = round(math.log((10 * 60 / 50) * (60 / (10 * 10))), 6)
+    assert top["pmi"] == expect
+    assert top["n12"] == 10 and top["n1"] == 10 and top["n2"] == 10
+
+
+def test_pmi_min_count_filters(spark):
+    from tildener_spark.operators.textstats import pmi_collocations
+
+    df = spark.createDataFrame([("rare pair",), ("rare pair",)],
+                               "text string")
+    assert pmi_collocations(df, min_count=3).count() == 0
+    assert pmi_collocations(df, min_count=2).count() == 1

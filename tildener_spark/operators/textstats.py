@@ -512,3 +512,73 @@ def frequent_ngrams(docs: DataFrame, n: int = 3, k: int = 50,
     return top.withColumn(
         "rank", F.row_number().over(w).cast("bigint")).select(
         "rank", "ngram", "df", "total_tf")
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 3, top_n: int = 200) -> DataFrame:
+    """Corpus collocation mining: adjacent-bigram PMI (Church & Hanks
+    1990) — the standard multi-word-expression / phrase-vocabulary
+    signal (e.g. phrase merging before tokenizer training).
+
+    ``pmi = round(ln(p(w1,w2) / (p(w1) p(w2))), 6)`` with bigram
+    probability from the bigram-event total and unigram probabilities
+    from the token total; emitted for bigrams with
+    ``n12 >= min_count``, top ``top_n`` by (pmi desc, w1, w2).
+
+    Determinism: all counts are exact bigints; the probability ratio
+    is evaluated in the SAME association order on both engines
+    (``(n12 * N / NB) * (N / (n1 * n2))`` — see oracle) and the one
+    ``ln`` feeds a round(.,6), the engine-portability contract BM25
+    (q51) and the LM scorer (q41) established.
+
+    Scale shape: bigram extraction is a zero-shuffle array zip per
+    row; unigram/bigram counts are wordcount-shape partial aggs;
+    the scalar totals broadcast back; the unigram join keys are
+    vocabulary-sized.  Top-n is TakeOrderedAndProject.
+    """
+    toks = docs.select(
+        F.split(normalized_text(F.col(text_col)), " ").alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    bi_all = (
+        toks.filter(F.size("toks") >= 2)
+        .select(F.explode(F.zip_with(
+            F.expr("slice(toks, 1, size(toks) - 1)"),
+            F.expr("slice(toks, 2, size(toks) - 1)"),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))))
+            .alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n12"))
+    )
+    bi = bi_all.filter(F.col("n12") >= min_count)
+    # totals over ALL events (the probability denominators), not the
+    # min_count survivors
+    totals = uni.agg(
+        F.sum("n_w").cast("long").alias("n_tok")).crossJoin(
+        bi_all.agg(F.sum("n12").cast("long").alias("n_bi")))
+    scored = (
+        bi
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                     F.col("n_w").alias("n1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                     F.col("n_w").alias("n2"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n12", "n1", "n2",
+            F.round(F.log(
+                (F.col("n12") * F.col("n_tok") / F.col("n_bi"))
+                * (F.col("n_tok") / (F.col("n1") * F.col("n2")))), 6)
+            .alias("pmi"))
+    )
+    return (
+        scored
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_n)
+        .select("w1", "w2", "n12", "n1", "n2", "pmi")
+    )
