@@ -2176,6 +2176,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("tokens").cast("bigint").alias("n_tokens"),
             F.array_join("tokens", "|").alias("tokens_joined"))
 
+    def q71_bpe_fertility(spark, sf):
+        # per-language tokenizer fertility audit (operators/bpe.py
+        # bpe_fertility) with the q60-trained merge table — the
+        # oracle reuses the trainer replay's final symbol state so
+        # train/encode/report consistency is one shared derivation
+        from tildener_spark.operators.bpe import bpe_fertility, train_bpe
+        merges = [(r["left"], r["right"])
+                  for r in train_bpe(spark, _docs(spark, sf),
+                                     n_merges=4).collect()]
+        return bpe_fertility(_docs(spark, sf), merges)
+
     def q59_source_overlap(spark, sf):
         # cross-source n-gram overlap matrix (operators/overlap.py
         # source_overlap): Jaccard + directed containment per source
@@ -3174,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_hll_cardinality": q68_hll_cardinality,
         "q69_recrawl_drift": q69_recrawl_drift,
         "q70_pmi_collocations": q70_pmi_collocations,
+        "q71_bpe_fertility": q71_bpe_fertility,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -4031,6 +4043,59 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(en.toks, '') as tokens_joined
             from documents d
             left join encoded en on d.doc_id = en.doc_id
+        """,
+        # fertility: same trainer-replay prefix as q60b, per-doc
+        # word/char/token sums re-aggregated per language; ratios are
+        # single IEEE divisions of exact bigints
+        "q71_bpe_fertility": _bpe_sql(4).split("select 0 as step")[0]
+        + """,
+            docs_w as (
+                select doc_id,
+                       list_filter(string_split(trim(
+                           regexp_replace(lower(text),
+                               '[ \t\n\x0b\f\r]+', ' ', 'g')),
+                           ' '), t -> t <> '') ws
+                from documents
+            ),
+            exploded as (
+                select doc_id, u['w'] as w
+                from (select doc_id,
+                             unnest(list_transform(
+                                 generate_series(1, len(ws)),
+                                 i -> {'i': i, 'w': ws[i]})) as u
+                      from docs_w)
+            ),
+            per_doc as (
+                select e.doc_id,
+                       cast(count(*) as bigint) as n_words,
+                       cast(sum(length(e.w)) as bigint) as n_chars,
+                       cast(sum(len(m.syms)) as bigint) as n_tokens
+                from exploded e join m4 m on e.w = m.w
+                group by 1
+            ),
+            per_lang as (
+                select d.lang,
+                       cast(count(*) as bigint) as n_docs,
+                       cast(sum(coalesce(p.n_words, 0)) as bigint)
+                           as n_words,
+                       cast(sum(coalesce(p.n_tokens, 0)) as bigint)
+                           as n_tokens,
+                       cast(sum(coalesce(p.n_chars, 0)) as bigint)
+                           as n_chars
+                from documents d
+                left join per_doc p on d.doc_id = p.doc_id
+                group by 1
+            )
+            select lang, n_docs, n_words, n_tokens, n_chars,
+                   case when n_words > 0
+                        then round(cast(n_tokens as double)
+                                   / n_words, 6)
+                        else 0e0 end as fertility,
+                   case when n_tokens > 0
+                        then round(cast(n_chars as double)
+                                   / n_tokens, 6)
+                        else 0e0 end as chars_per_token
+            from per_lang
         """,
         # per-host budget cap: same host extraction as q33, ranked by
         # md5(url) (url tiebreak) within host — Spark's md5 and

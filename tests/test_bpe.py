@@ -61,3 +61,25 @@ def test_empty_corpus_stops(spark):
     d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     # single 1-char word: no pairs at all -> empty merge log
     assert train_bpe(spark, d, n_merges=3).count() == 0
+
+
+def test_bpe_fertility_hand_corpus(spark):
+    """With no merges every char is a token: fertility = chars/words
+    exactly; one merge ('a','b') shrinks lang-x's token count only."""
+    from tildener_spark.operators.bpe import bpe_fertility
+
+    df = spark.createDataFrame(
+        [(1, "x", "ab ab"), (2, "y", "cd")],
+        "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in bpe_fertility(df, []).collect()}
+    assert (got["x"]["n_words"], got["x"]["n_tokens"],
+            got["x"]["n_chars"]) == (2, 4, 4)
+    assert got["x"]["fertility"] == 2.0
+    assert got["y"]["fertility"] == 2.0
+    assert got["x"]["chars_per_token"] == 1.0
+
+    got2 = {r["lang"]: r for r in
+            bpe_fertility(df, [("a", "b")]).collect()}
+    assert got2["x"]["n_tokens"] == 2 and got2["x"]["fertility"] == 1.0
+    assert got2["x"]["chars_per_token"] == 2.0
+    assert got2["y"]["n_tokens"] == 2  # untouched

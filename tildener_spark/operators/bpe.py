@@ -123,3 +123,50 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]],
     for left, right in merges:
         col = F.transform(col, lambda s: _merge_fold(s, left, right))
     return staged.select(id_col, F.flatten(col).alias("tokens"))
+
+
+def bpe_fertility(docs: DataFrame, merges: list[tuple[str, str]],
+                  lang_col: str = "lang", id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-language tokenizer fertility report — the standard
+    multilingual-tokenizer audit (tokens/word and chars/token per
+    language; a language whose fertility is 2x another's pays 2x the
+    sequence length for the same text, the classic under-trained-
+    script symptom).
+
+    Output: (lang, n_docs, n_words, n_tokens, n_chars, fertility,
+    chars_per_token) with ``fertility = round(n_tokens/n_words, 6)``
+    and ``chars_per_token = round(n_chars/n_tokens, 6)`` (0.0 when
+    the denominator is empty; one IEEE division each).
+
+    Scale shape: the encoder is :func:`apply_bpe` (map-only); the
+    word/char columns are zero-shuffle; one co-partitioned join on
+    ``id_col`` and one language-keyed partial agg.  Empty-word
+    guards mirror the oracle's ``list_filter(t <> '')`` exactly.
+    """
+    words = docs.select(
+        F.col(id_col).alias(id_col), F.col(lang_col).alias("lang"),
+        F.size(F.filter(word_tokens(F.col(text_col)),
+                        lambda t: t != "")).cast("long")
+        .alias("n_words"))
+    enc = apply_bpe(docs, merges, id_col=id_col,
+                    text_col=text_col).select(
+        id_col,
+        F.size(F.filter(F.col("tokens"), lambda t: t != ""))
+        .cast("long").alias("n_tokens"),
+        F.length(F.array_join("tokens", "")).cast("long")
+        .alias("n_chars"))
+    per = words.join(enc, id_col)
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"))
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_tokens", "n_chars",
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("n_tokens") / F.col("n_words"), 6))
+        .otherwise(F.lit(0.0)).alias("fertility"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_chars") / F.col("n_tokens"), 6))
+        .otherwise(F.lit(0.0)).alias("chars_per_token"))
