@@ -1488,6 +1488,50 @@ def _hll_oracle_sql() -> str:
     """
 
 
+def _cms_oracle_sql(threshold: int = 50) -> str:
+    """DuckDB mirror of sketches.cms_heavy_hitters: identical md5
+    bucket rule per hash row (imported from the operator module so
+    the two sides cannot drift), all-integer counters, row-wise min
+    over the d point reads."""
+    from tildener_spark.operators.sketches import (
+        CMS_D, cms_bucket_sql)
+    build_rows = " union all ".join(
+        f"select {j} as j, {cms_bucket_sql('tok', j)} as b from toks"
+        for j in range(CMS_D))
+    probe_rows = " union all ".join(
+        f"select tok, n_exact, {j} as j,"
+        f" {cms_bucket_sql('tok', j)} as b from exact"
+        for j in range(CMS_D))
+    return rf"""
+        with toks as (
+            select tok from (
+                select unnest(string_split_regex(
+                    lower(text), '[ \t\n\x0b\f\r]+')) as tok
+                from documents
+            ) where tok <> ''
+        ),
+        sketch as (
+            select j, b, cast(count(*) as bigint) as c
+            from ({build_rows})
+            group by 1, 2
+        ),
+        exact as (
+            select tok, cast(count(*) as bigint) as n_exact
+            from toks group by 1
+        ),
+        probes as ({probe_rows}),
+        est as (
+            select p.tok, p.n_exact, min(s.c) as cms_est
+            from probes p join sketch s using (j, b)
+            group by 1, 2
+        )
+        select tok as token, n_exact, cms_est,
+               cast(cms_est - n_exact as bigint) as overcount
+        from est
+        where cms_est >= {threshold}
+    """
+
+
 def _nfc_decompose_sql(col: str) -> str:
     """The q40 input-synthesis chain (vowels -> precomposed
     diacritics -> combining-mark decompositions) built from the SAME
@@ -2117,6 +2161,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # countDistinct kept as the small-scale validator column
         from tildener_spark.operators.sketches import hll_cardinality
         return hll_cardinality(_docs(spark, sf))
+
+    def q72_cms_heavy_hitters(spark, sf):
+        # corpus-wide heavy-hitter tokens via from-scratch Count-Min
+        # (operators/sketches.py cms_heavy_hitters): fixed 4x512
+        # integer counter matrix built in one partial-agg shuffle,
+        # point estimates by broadcast-joining the 2048-row sketch;
+        # all-integer arithmetic so the oracle replays the estimate
+        # bitwise, with exact counts as the one-sided-error validator
+        from tildener_spark.operators.sketches import cms_heavy_hitters
+        return cms_heavy_hitters(_docs(spark, sf), threshold=50)
 
     def q63_pq_encode(spark, sf):
         # product-quantization codes (operators/clustering.py
@@ -3186,6 +3240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_recrawl_drift": q69_recrawl_drift,
         "q70_pmi_collocations": q70_pmi_collocations,
         "q71_bpe_fertility": q71_bpe_fertility,
+        "q72_cms_heavy_hitters": q72_cms_heavy_hitters,
         "q60_bpe_train": q60_bpe_train,
         "q60b_bpe_encode": q60b_bpe_encode,
         "q30_data_mixture": q30_data_mixture,
@@ -3619,6 +3674,10 @@ def oracle_sql() -> dict[str, str]:
         # side compiles, over the same md5 bits — the estimate is an
         # integer sum + one IEEE division, so it hashes identically
         "q68_hll_cardinality": _hll_oracle_sql(),
+        # from-scratch Count-Min: the SAME md5-prefix bucket rule
+        # (sketches.cms_bucket_sql) on both the build and probe side,
+        # all-integer counters, min over the 4 rows — bitwise replay
+        "q72_cms_heavy_hitters": _cms_oracle_sql(),
         # recrawl drift: identical snapshot synthesis CTE, lag window
         # keyed (ts, fingerprint), host rollup; one IEEE division for
         # the rate

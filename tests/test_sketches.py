@@ -82,3 +82,60 @@ def test_generated_cases_match_python_reference(spark):
         .collect()}
     for v, lc in got2.items():
         assert lc == round(M_REG * math.log(M_REG / v), 6)
+
+
+# --- Count-Min ------------------------------------------------------
+
+
+def test_cms_one_sided_and_exact_on_sparse_input(spark):
+    """CMS never underestimates (overcount >= 0 for every token);
+    with far fewer distinct tokens than buckets, collisions are
+    rare enough that the known heavy hitter is estimated exactly."""
+    from tildener_spark.operators.sketches import cms_heavy_hitters
+
+    text = " ".join(["hot"] * 80 + [f"cold{i}" for i in range(20)])
+    docs = spark.createDataFrame([(text,)], "text string")
+    rows = {r["token"]: r for r in
+            cms_heavy_hitters(docs, threshold=50).collect()}
+    assert "hot" in rows
+    assert rows["hot"]["n_exact"] == 80
+    assert rows["hot"]["cms_est"] >= 80
+    for r in rows.values():
+        assert r["overcount"] >= 0
+        assert r["cms_est"] == r["n_exact"] + r["overcount"]
+
+
+def test_cms_partition_invariant(spark):
+    """Same token multiset under adversarial partitioning/splitting
+    -> identical sketch estimates (all-integer partial aggregation)."""
+    from tildener_spark.operators.sketches import cms_heavy_hitters
+
+    toks = ["alpha"] * 60 + ["beta"] * 55 + [f"z{i}" for i in range(30)]
+    one = spark.createDataFrame([(" ".join(toks),)], "text string")
+    many = spark.createDataFrame(
+        [(" ".join(toks[i::7]),) for i in range(7)],
+        "text string").repartition(5)
+    a = sorted(map(tuple, cms_heavy_hitters(one, threshold=50).collect()))
+    b = sorted(map(tuple, cms_heavy_hitters(many, threshold=50).collect()))
+    assert a == b
+
+
+def test_cms_bucket_rule_matches_python(spark):
+    """The Spark bucket expression equals a pure-Python md5 replay
+    for every hash row — the rule the DuckDB oracle also mirrors."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tildener_spark.operators.sketches import (
+        CMS_D, CMS_W, cms_bucket_spark)
+
+    words = ["the", "entity", "ü-umlaut", "x1f\x1e", "123"]
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    cols = [cms_bucket_spark(F.col("tok"), j).alias(f"b{j}")
+            for j in range(CMS_D)]
+    got = {r["tok"]: r for r in df.select("tok", *cols).collect()}
+    for w in words:
+        for j in range(CMS_D):
+            h = hashlib.md5(f"r{j}\x1f{w}".encode()).hexdigest()
+            assert got[w][f"b{j}"] == int(h[:8], 16) % CMS_W

@@ -1,5 +1,6 @@
-"""Mergeable cardinality sketches — from-scratch HyperLogLog
-(Flajolet et al. 2007) with every step engine-portable.
+"""Mergeable sketches — from-scratch HyperLogLog (Flajolet et al.
+2007) and Count-Min (Cormode & Muthukrishnan 2005), every step
+engine-portable.
 
 Why this exists: at 10^12 documents, "how many distinct tokens /
 urls / shingles per corpus slice" is a routine report, and an exact
@@ -140,4 +141,89 @@ def hll_cardinality(docs: DataFrame, group_col: str = "source",
             F.col("grp").alias(group_col), "n_exact", "hll_est",
             F.round(F.abs(F.col("hll_est") - F.col("n_exact"))
                     / F.col("n_exact") * 100, 4).alias("err_pct"))
+    )
+
+
+# --- Count-Min sketch ------------------------------------------------
+
+CMS_D = 4       # independent hash rows
+CMS_W = 512     # buckets per row
+
+# Each row's hash is an independent md5 stream: 8 hex chars (32 bits)
+# of md5('r<j>\x1f' || token), mod CMS_W.  Pure integer arithmetic on
+# both engines, so the sketch — and every point estimate read from
+# it — replays bitwise in the oracle.
+
+
+def cms_bucket_spark(tok_col, row: int):
+    """Spark expression for hash row ``row``'s bucket of a token."""
+    h = F.md5(F.concat(F.lit(f"r{row}\x1f"), tok_col))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        F.lit(CMS_W))
+
+
+def cms_bucket_sql(tok_expr: str, row: int) -> str:
+    """DuckDB mirror of :func:`cms_bucket_spark` (same md5 prefix,
+    same 32-bit slice, same modulus)."""
+    return (f"(cast(concat('0x', substr(md5(concat('r{row}'"
+            f" || chr(31), {tok_expr})), 1, 8)) as bigint)"
+            f" % {CMS_W})")
+
+
+def cms_heavy_hitters(docs: DataFrame, text_col: str = "text",
+                      threshold: int = 50) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens via a from-scratch Count-Min
+    sketch: build the d x w counter matrix in one partial-agg pass,
+    then answer point queries for every distinct token by broadcast-
+    joining the (tiny, fixed-size) sketch and taking the row-wise
+    minimum.
+
+    Returns (token, n_exact, cms_est, overcount) for tokens whose
+    ESTIMATE clears ``threshold`` — the CMS one-sided guarantee
+    (cms_est >= n_exact always) means no true heavy hitter is ever
+    missed, only light tokens colliding upward can sneak in;
+    ``overcount = cms_est - n_exact`` (>= 0) is the validator column.
+
+    Scale shape: the sketch is ONE partial-aggregating shuffle whose
+    key space is fixed at d*w = 4*512 = 2048 rows regardless of
+    corpus size — the mergeability that makes CMS the standard
+    streaming frequency summary; point-query reads broadcast those
+    2048 rows, so the lookup join never shuffles the token table.
+    The exact count is the small-scale validator only (it is the
+    full-shuffle aggregate the sketch exists to avoid).
+    """
+    toks = (
+        docs
+        .select(F.explode(F.split(F.lower(text_col), WS_RE))
+                .alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    hits = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 cms_bucket_spark(F.col("tok"), j).alias("b"))
+        for j in range(CMS_D)])).alias("rb")
+    sketch = (
+        toks.select(hits)
+        .select("rb.j", "rb.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    probes = exact.select(
+        "tok", "n_exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     cms_bucket_spark(F.col("tok"), j).alias("b"))
+            for j in range(CMS_D)])).alias("rb"),
+    ).select("tok", "n_exact", "rb.j", "rb.b")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").alias("cms_est"))
+        .filter(F.col("cms_est") >= threshold)
+        .select(F.col("tok").alias("token"), "n_exact", "cms_est",
+                (F.col("cms_est") - F.col("n_exact")).cast("long")
+                .alias("overcount"))
     )
