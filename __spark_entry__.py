@@ -915,6 +915,93 @@ def _kg_bfs_sql(n_seeds: int = 3, max_hops: int = 4) -> str:
     """
 
 
+def _kg_kcore_sql(k: int = 3, max_rounds: int = 8) -> str:
+    """DuckDB replay of graphstats.graph_kcore: the peeling loop
+    unrolled one (degree, restrict) CTE pair per round — pure
+    integer set algebra, and peeling monotonicity makes running all
+    ``max_rounds`` rounds equivalent to the Spark side's early-exit
+    fixpoint (extra rounds are no-ops)."""
+    parts = ["""e0 as materialized (
+            select distinct src, dst from (
+                select src, dst from edges
+                union all
+                select dst as src, src as dst from edges
+            )
+        )"""]
+    for r in range(1, max_rounds + 1):
+        parts.append(f"""s{r} as materialized (
+            select src as node from e{r - 1}
+            group by src having count(*) >= {k}
+        ),
+        e{r} as materialized (
+            select src, dst from e{r - 1}
+            where src in (select node from s{r})
+              and dst in (select node from s{r})
+        )""")
+    return f"""
+        with {_entity_edges_cte()},
+        {",".join(parts)}
+        select string_split(node, '␟')[1] as ne_type,
+               string_split(node, '␟')[2] as canonical,
+               cast(c as bigint) as core_deg
+        from (select src as node, count(*) as c
+              from e{max_rounds} group by 1)
+        where c >= {k}
+    """
+
+
+def _kg_hits_sql(iterations: int = 5, quantize: int = 9) -> str:
+    """DuckDB replay of graphstats.graph_hits: the hub/authority
+    half-steps unrolled per iteration with the same round-then-
+    max-normalize contract (max is order-independent; the in-sum's
+    addition-order wobble is absorbed by round(., 9) exactly as in
+    _pagerank_sql)."""
+    q = quantize
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""ar{i} as materialized (
+            select e.dst, round(sum(p.s * e.w), {q}) as raw
+            from e join {prev_h} p on e.src = p.node group by 1
+        ),
+        am{i} as materialized (
+            select coalesce(max(raw), 1e0) as m from ar{i}),
+        a{i} as materialized (
+            select dst as node,
+                   round(raw / (select m from am{i}), {q}) as s
+            from ar{i}
+        ),
+        hr{i} as materialized (
+            select e.src, round(sum(a.s * e.w), {q}) as raw
+            from e join a{i} a on e.dst = a.node group by 1
+        ),
+        hm{i} as materialized (
+            select coalesce(max(raw), 1e0) as m from hr{i}),
+        h{i} as materialized (
+            select src as node,
+                   round(raw / (select m from hm{i}), {q}) as s
+            from hr{i}
+        )""")
+        prev_h = f"h{i}"
+    return f"""
+        with {_entity_edges_cte()},
+        e as materialized (
+            select src, dst, cast(n_evidence as double) as w
+            from edges),
+        nodes as materialized (
+            select src as node from e union select dst from e),
+        h0 as materialized (select node, 1e0 as s from nodes),
+        {",".join(steps)}
+        select string_split(n.node, '␟')[1] as ne_type,
+               string_split(n.node, '␟')[2] as canonical,
+               coalesce(a.s, 0e0) as authority,
+               coalesce(h.s, 0e0) as hub
+        from nodes n
+        left join a{iterations} a on n.node = a.node
+        left join {prev_h} h on n.node = h.node
+    """
+
+
 def _pagerank_sql(edges_cte: str, final_select: str,
                   weight: str = "n_evidence",
                   iterations: int = 5, damping: float = 0.85,
@@ -2882,6 +2969,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph_bfs(entity_edges(m["canon_triples"]),
                          n_seeds=3, max_hops=4)
 
+    def kg_kcore(spark, sf):
+        # k-core backbone of the undirected entity graph
+        # (operators/graphstats.py graph_kcore): iterative degree-
+        # peeling to fixpoint, all-integer set algebra; the oracle
+        # unrolls the peeling rounds (monotone, so a fixed unroll
+        # equals the early-exit fixpoint)
+        from tildener_spark.operators.graphstats import (
+            entity_edges, graph_kcore)
+        m = _kg_materialized(spark)
+        return graph_kcore(entity_edges(m["canon_triples"]),
+                           k=3, max_rounds=8)
+
+    def kg_hits(spark, sf):
+        # HITS hubs/authorities over the directed evidence-weighted
+        # entity graph (operators/graphstats.py graph_hits):
+        # round-then-MAX-normalize per half-step (max is order-
+        # independent, so the fixpoint replays bitwise); the oracle
+        # unrolls the 5 iterations
+        from tildener_spark.operators.graphstats import (
+            entity_edges, graph_hits)
+        m = _kg_materialized(spark)
+        return graph_hits(entity_edges(m["canon_triples"]),
+                          iterations=5)
+
     def kg_graph_stats(spark, sf):
         # per-entity graph topology (operators/graphstats.py
         # graph_degree_stats): directed/undirected degrees, evidence
@@ -3255,6 +3366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": kg_entities,
         "kg_pagerank": kg_pagerank,
         "kg_paths": kg_paths,
+        "kg_kcore": kg_kcore,
+        "kg_hits": kg_hits,
         "kg_graph_stats": kg_graph_stats,
         "kg_timeline": kg_timeline,
         "kg_communities": kg_communities,
@@ -5863,6 +5976,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": _kg_graph_sql(cross=True),
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_paths": _kg_bfs_sql(),
+        # k-core: unrolled peeling rounds, all-integer set algebra
+        "kg_kcore": _kg_kcore_sql(),
+        # HITS: unrolled half-steps, round + max-normalize contract
+        "kg_hits": _kg_hits_sql(),
         "kg_graph_stats": _kg_graph_stats_sql(),
         "kg_timeline": _kg_timeline_sql(),
         "kg_communities": _kg_communities_sql(),

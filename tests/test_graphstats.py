@@ -272,3 +272,59 @@ def test_link_prediction_excludes_existing_edges(spark):
         assert r["ra_q"] == 10**12 // 3
         # deg(a)=2 (b, c), deg(p)=1 (c) -> 1/(2+1-1)
         assert r["jaccard"] == 0.5
+
+
+def test_kcore_peels_fringe_keeps_clique(spark):
+    """K4 core with a pendant chain and a star fringe: 3-core must
+    keep exactly the K4 (each node's core degree = 3), peeling the
+    chain/star in cascade."""
+    from tildener_spark.operators.graphstats import graph_kcore
+
+    k4 = [("PER", a, "PER", b) for i, a in enumerate("abcd")
+          for b in "abcd"[i + 1:]]
+    fringe = [("PER", "a", "PER", "p1"), ("PER", "p1", "PER", "p2"),
+              ("PER", "b", "PER", "s1"), ("PER", "b", "PER", "s2"),
+              ("PER", "b", "PER", "s3")]
+    got = {r["canonical"]: r["core_deg"] for r in
+           graph_kcore(entity_edges(_triples(spark, k4 + fringe)),
+                       k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_empty_when_k_exceeds_connectivity(spark):
+    from tildener_spark.operators.graphstats import graph_kcore
+
+    rows = [("PER", "a", "PER", "b"), ("PER", "b", "PER", "c")]
+    assert graph_kcore(entity_edges(_triples(spark, rows)),
+                       k=2).count() == 0
+
+
+def test_hits_star_hub_authority(spark):
+    """Star subj h -> o1..o3 (+ one strong edge): h is the unique
+    hub (score 1.0), objects are authorities; the strong-evidence
+    target dominates with authority exactly 1.0 after max-norm."""
+    from tildener_spark.operators.graphstats import graph_hits
+
+    rows = ([("PER", "h", "ORG", "o1")] * 2
+            + [("PER", "h", "ORG", "o2"), ("PER", "h", "LOC", "o3")])
+    got = {r["canonical"]: r for r in
+           graph_hits(entity_edges(_triples(spark, rows)),
+                      iterations=3).collect()}
+    assert got["h"]["hub"] == 1.0 and got["h"]["authority"] == 0.0
+    assert got["o1"]["authority"] == 1.0  # max-normalized top
+    assert got["o1"]["hub"] == 0.0
+    assert 0.0 < got["o2"]["authority"] < 1.0
+    assert got["o2"]["authority"] == got["o3"]["authority"]
+
+
+def test_hits_partition_invariant(spark):
+    from tildener_spark.operators.graphstats import graph_hits
+
+    rows = [("PER", "a", "ORG", "b"), ("ORG", "b", "LOC", "c"),
+            ("PER", "a", "LOC", "c"), ("LOC", "c", "PER", "d")] * 2
+    e = entity_edges(_triples(spark, rows))
+    base = sorted(map(tuple, graph_hits(e, iterations=4).collect()))
+    again = sorted(map(tuple,
+                       graph_hits(e.repartition(7),
+                                  iterations=4).collect()))
+    assert base == again

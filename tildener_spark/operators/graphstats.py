@@ -547,3 +547,147 @@ def link_prediction(edges: DataFrame, k: int = 16,
         "n_common", "ra_q", "jaccard")
     mutual.unpersist()
     return out
+
+
+def graph_kcore(edges: DataFrame, k: int = 3,
+                max_rounds: int = 8) -> DataFrame:
+    """k-core of the undirected entity graph: iteratively peel nodes
+    of degree < ``k`` until fixpoint — the standard dense-subgraph
+    backbone extractor (Seidman 1983).  In KG curation the k-core is
+    the "well-evidenced center" of the graph: entities kept after
+    peeling have >= k distinct co-mention partners that themselves
+    survive, so hapax co-occurrences and star fringes fall away.
+
+    Returns (ne_type, canonical, core_deg) for nodes in the k-core,
+    where ``core_deg`` is the node's degree within the core subgraph
+    (>= k by the fixpoint property).
+
+    Semantics contract: the result is the subgraph after at most
+    ``max_rounds`` peeling rounds (with early exit at fixpoint).
+    Peeling is monotone — extra rounds after fixpoint are no-ops —
+    so an engine that always runs ``max_rounds`` rounds (the DuckDB
+    oracle's unrolled-CTE replay) computes the identical set; the
+    final ``>= k`` filter makes the not-yet-converged truncation
+    explicit on both sides.  Everything is integer set algebra: no
+    quantization needed anywhere.
+
+    Scale shape per round: one partial-agg shuffle for degrees
+    (|E'| rows, shrinking monotonically) and two semi-joins to
+    restrict the edge set — both on the same key the degree agg
+    used, so AQE coalesces them; the surviving-node table is the
+    broadcast side once peeling bites.  Rounds needed in practice ~
+    graph diameter of the fringe, bounded by ``max_rounds``
+    (production reruns with a higher bound if the fixpoint flag says
+    unconverged — monotonicity makes resumption safe).
+    """
+    e = (edges.select("src", "dst")
+         .union(edges.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+         .distinct().persist())
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        survivors = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+                     .filter(F.col("d") >= k)
+                     .select(F.col("src").alias("node"))
+                     .persist())
+        survivors.count()
+        nxt = (e.join(survivors.withColumnRenamed("node", "src"),
+                      "src")
+               .join(survivors.withColumnRenamed("node", "dst"),
+                     "dst")
+               .select("src", "dst").persist())
+        n_next = nxt.count()
+        e.unpersist()
+        survivors.unpersist()
+        if n_next == n_edges:
+            e = nxt
+            break
+        e, n_edges = nxt, n_next
+    deg = (e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+        .withColumnRenamed("src", "node"))
+    out = split_node(deg).select("ne_type", "canonical", "core_deg")
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def graph_hits(edges: DataFrame, iterations: int = 5,
+               quantize: int = 9) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    evidence-weighted entity graph -> (ne_type, canonical,
+    authority, hub).  In a subject->object KG, authorities are
+    entities much said ABOUT (frequent objects of strong evidence)
+    and hubs are entities that say much (frequent subjects) — the
+    complementary salience axes to PageRank's single score.
+
+    Determinism contract (the weighted_pagerank quantization family):
+    hubs start at 1; each half-step computes
+    ``raw = round(sum(in/out-neighbour score * weight), quantize)``
+    then normalizes by the MAXIMUM raw value —
+    ``round(raw / max_raw, quantize)`` — instead of the classical
+    L2 norm: max is order-independent (unlike a float sum of
+    squares), one IEEE division per node, and scores land in [0, 1]
+    with the top hub/authority pinned at exactly 1.0, so the
+    fixpoint replays bitwise on any engine and any partitioning.
+
+    Scale shape per iteration: two |V|x|E| equi-joins (score table
+    joined to the edge list on src resp. dst — the edge list is
+    persisted once), each followed by a partial-agg shuffle, plus a
+    scalar max.  Scores are persisted per half-step and the previous
+    iteration unpersisted (one-deep lineage, the iterative-plan
+    discipline of weighted_pagerank).
+    """
+    e = edges.select(
+        "src", "dst",
+        F.col("n_evidence").cast("double").alias("w")).persist()
+    e.count()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    nodes.count()
+    hub = nodes.select("node", F.lit(1.0).alias("s")).persist()
+    hub.count()
+    auth = None
+    for _ in range(iterations):
+        a_raw = (e.join(hub, e.src == hub.node)
+                 .groupBy("dst")
+                 .agg(F.round(F.sum(F.col("s") * F.col("w")),
+                              quantize).alias("raw")))
+        amax = a_raw.agg(F.max("raw")).collect()[0][0] or 1.0
+        new_auth = a_raw.select(
+            F.col("dst").alias("node"),
+            F.round(F.col("raw") / F.lit(amax), quantize).alias("s"),
+        ).persist()
+        new_auth.count()
+        if auth is not None:
+            auth.unpersist()
+        auth = new_auth
+        h_raw = (e.join(auth, e.dst == auth.node)
+                 .groupBy("src")
+                 .agg(F.round(F.sum(F.col("s") * F.col("w")),
+                              quantize).alias("raw")))
+        hmax = h_raw.agg(F.max("raw")).collect()[0][0] or 1.0
+        new_hub = h_raw.select(
+            F.col("src").alias("node"),
+            F.round(F.col("raw") / F.lit(hmax), quantize).alias("s"),
+        ).persist()
+        new_hub.count()
+        hub.unpersist()
+        hub = new_hub
+    out = (
+        nodes
+        .join(auth.withColumnRenamed("s", "authority"), "node",
+              "left")
+        .join(hub.withColumnRenamed("s", "hub"), "node", "left")
+        .select("node",
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+                F.coalesce("hub", F.lit(0.0)).alias("hub"))
+    )
+    out = split_node(out).select(
+        "ne_type", "canonical", "authority", "hub")
+    out = out.localCheckpoint(eager=True)
+    for df in (e, nodes, hub, auth):
+        df.unpersist()
+    return out
