@@ -124,13 +124,27 @@ def weighted_pagerank(edges: DataFrame,
     ).persist()
     ranks.count()
 
+    spent = []
     for _ in range(iterations):
+        # ONE action per iteration: the dangling-mass collect both
+        # fetches the scalar and (first time through) materializes
+        # the lazily-persisted rank table from the previous round,
+        # whose plan is a cache-backed projection — so no job ever
+        # recomputes a join.  Superseded caches are released one
+        # round late so nothing in a live lineage is dropped.
+        # (A broadcast-1-row-aggregate crossJoin was tried instead of
+        # the collect: the unmaterialized aggregate nests the full
+        # prior plan, the tree doubles per iteration, and AQE's
+        # plan-string rendering OOMs — scalars that gate the NEXT
+        # plan's literals belong on the driver.)
         dangling = (
             ranks.join(src_nodes, ranks.node == src_nodes.src,
                        "left_anti")
             .agg(F.sum("rank"))
             .collect()[0][0]
         ) or 0.0
+        while spent:  # ranks is now materialized; older caches free
+            spent.pop().unpersist()
         contrib = (
             ranks.join(frac, ranks.node == frac.src)
             .groupBy("dst")
@@ -150,10 +164,11 @@ def weighted_pagerank(edges: DataFrame,
             )
             .persist()
         )
-        new_ranks.count()
-        ranks.unpersist()
+        spent.append(ranks)
         ranks = new_ranks
-
+    ranks.count()
+    for df in spent:
+        df.unpersist()
     out = ranks.select("node", "rank")
     for df in (nodes, frac, src_nodes):
         df.unpersist()
@@ -423,7 +438,6 @@ def graph_bfs(edges: DataFrame, n_seeds: int = 3,
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
            .distinct().persist())
-    und.count()
     mass = (edges.select("src", F.col("n_evidence").alias("w"))
             .union(edges.select(F.col("dst").alias("src"),
                                 F.col("n_evidence").alias("w")))
@@ -433,9 +447,13 @@ def graph_bfs(edges: DataFrame, n_seeds: int = 3,
             .select(F.col("src").alias("node"),
                     F.lit(0).alias("dist"))
             .persist())
-    dist.count()
     frontier = dist.select("node")
+    spent = []
     for h in range(1, max_hops + 1):
+        # one action per hop: the early-exit count doubles as the
+        # materializer for the frontier AND the lazily-persisted
+        # cumulative dist union; superseded caches are released one
+        # round late so nothing in a live lineage is dropped
         nxt = (frontier.alias("f")
                .join(und.alias("a"), F.col("f.node") == F.col("a.src"))
                .select(F.col("a.dst").alias("node"))
@@ -447,11 +465,14 @@ def graph_bfs(edges: DataFrame, n_seeds: int = 3,
             nxt.unpersist()
             break
         new_dist = dist.union(nxt).persist()
-        new_dist.count()
-        dist.unpersist()
+        spent.append(dist)
         dist, frontier = new_dist, nxt.select("node")
     out = split_node(dist).select("ne_type", "canonical", "dist")
+    out = out.localCheckpoint(eager=True)
     und.unpersist()
+    for df in spent:
+        df.unpersist()
+    dist.unpersist()
     return out
 
 
@@ -586,11 +607,12 @@ def graph_kcore(edges: DataFrame, k: int = 3,
          .distinct().persist())
     n_edges = e.count()
     for _ in range(max_rounds):
+        # one action per round: nxt.count() (the fixpoint probe)
+        # materializes the lazily-persisted survivor set en route
         survivors = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
                      .filter(F.col("d") >= k)
                      .select(F.col("src").alias("node"))
                      .persist())
-        survivors.count()
         nxt = (e.join(survivors.withColumnRenamed("node", "src"),
                       "src")
                .join(survivors.withColumnRenamed("node", "dst"),
@@ -642,40 +664,44 @@ def graph_hits(edges: DataFrame, iterations: int = 5,
     e = edges.select(
         "src", "dst",
         F.col("n_evidence").cast("double").alias("w")).persist()
-    e.count()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct().persist())
-    nodes.count()
-    hub = nodes.select("node", F.lit(1.0).alias("s")).persist()
-    hub.count()
-    auth = None
+    hub0 = nodes.select("node", F.lit(1.0).alias("s")).persist()
+    hub, auth = hub0, None
+    spent = []
     for _ in range(iterations):
+        # per half-step, ONE action — the max collect — which also
+        # materializes the persisted RAW aggregate; the normalized
+        # score table is then a plain projection over that cache, so
+        # the next join reads memory and the plan tree stays one
+        # level deep.  (Persisting the projection instead and
+        # collecting the max separately runs every join twice; a
+        # broadcast-1-row-aggregate crossJoin nests the full prior
+        # plan and OOMs AQE's plan rendering at ~5 iterations.)
         a_raw = (e.join(hub, e.src == hub.node)
                  .groupBy("dst")
                  .agg(F.round(F.sum(F.col("s") * F.col("w")),
-                              quantize).alias("raw")))
-        amax = a_raw.agg(F.max("raw")).collect()[0][0] or 1.0
-        new_auth = a_raw.select(
+                              quantize).alias("raw"))
+                 .persist())
+        amax = a_raw.agg(F.max("raw")).collect()[0][0]
+        amax = 1.0 if amax is None else amax  # oracle's coalesce
+        auth = a_raw.select(
             F.col("dst").alias("node"),
-            F.round(F.col("raw") / F.lit(amax), quantize).alias("s"),
-        ).persist()
-        new_auth.count()
-        if auth is not None:
-            auth.unpersist()
-        auth = new_auth
+            F.round(F.col("raw") / F.lit(amax), quantize).alias("s"))
         h_raw = (e.join(auth, e.dst == auth.node)
                  .groupBy("src")
                  .agg(F.round(F.sum(F.col("s") * F.col("w")),
-                              quantize).alias("raw")))
-        hmax = h_raw.agg(F.max("raw")).collect()[0][0] or 1.0
-        new_hub = h_raw.select(
+                              quantize).alias("raw"))
+                 .persist())
+        hmax = h_raw.agg(F.max("raw")).collect()[0][0]
+        hmax = 1.0 if hmax is None else hmax
+        while spent:  # current raws materialized; last round's free
+            spent.pop().unpersist()
+        spent += [a_raw, h_raw]
+        hub = h_raw.select(
             F.col("src").alias("node"),
-            F.round(F.col("raw") / F.lit(hmax), quantize).alias("s"),
-        ).persist()
-        new_hub.count()
-        hub.unpersist()
-        hub = new_hub
+            F.round(F.col("raw") / F.lit(hmax), quantize).alias("s"))
     out = (
         nodes
         .join(auth.withColumnRenamed("s", "authority"), "node",
@@ -688,6 +714,6 @@ def graph_hits(edges: DataFrame, iterations: int = 5,
     out = split_node(out).select(
         "ne_type", "canonical", "authority", "hub")
     out = out.localCheckpoint(eager=True)
-    for df in (e, nodes, hub, auth):
+    for df in (e, nodes, hub0, *spent):
         df.unpersist()
     return out
