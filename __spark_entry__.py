@@ -1002,6 +1002,86 @@ def _kg_hits_sql(iterations: int = 5, quantize: int = 9) -> str:
     """
 
 
+def _kg_ppr_sql(n_seeds: int = 3, iterations: int = 5,
+                damping: float = 0.85, quantize: int = 9) -> str:
+    """DuckDB replay of graphstats.personalized_pagerank: integer-
+    exact seed selection (evidence mass, lexicographic tie-break),
+    then the unrolled seed-restricted fixpoint.  The per-iteration
+    seed constant replays Python's exact op order —
+    ``(1-d)/|S| + (d*dang)/|S|`` — and the in-sum wobble is absorbed
+    by round(., quantize) exactly as in _pagerank_sql."""
+    d = f"{damping!r}e0"
+    q = quantize
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""dang{i} as materialized (
+            select coalesce(sum(rank), 0e0) as dang from {prev}
+            where node not in (select src from frac)
+        ),
+        r{i} as materialized (
+            select n.node, n.is_seed,
+                   round(case when n.is_seed
+                         then (((1e0 - {d})
+                                / (select n from ns))
+                               + (({d} * (select dang from dang{i}))
+                                  / (select n from ns)))
+                         else 0e0 end
+                         + {d} * coalesce(c.c, 0e0), {q}) as rank
+            from nodes n
+            left join (
+                select f.dst, sum(r.rank * f.frac) as c
+                from {prev} r join frac f on r.node = f.src
+                group by 1
+            ) c on n.node = c.dst
+        )""")
+        prev = f"r{i}"
+    return f"""
+        with {_entity_edges_cte()},
+        mass as materialized (
+            select src, sum(w) as mass from (
+                select src, n_evidence as w from edges
+                union all
+                select dst as src, n_evidence as w from edges)
+            group by 1
+        ),
+        seeds as materialized (
+            select src as node from mass
+            order by mass desc, src asc limit {n_seeds}
+        ),
+        ns as materialized (
+            select cast(count(*) as double) as n from seeds),
+        nodes as materialized (
+            select n.node, s.node is not null as is_seed
+            from (select src as node from edges
+                  union select dst from edges) n
+            left join seeds s on n.node = s.node
+        ),
+        outw as materialized (
+            select src, sum(n_evidence) as out_w
+            from edges group by 1
+        ),
+        frac as materialized (
+            select e.src, e.dst,
+                   cast(e.n_evidence as double)
+                     / cast(o.out_w as double) as frac
+            from edges e join outw o using (src)
+        ),
+        r0 as materialized (
+            select node, is_seed,
+                   case when is_seed
+                        then round(1e0 / (select n from ns), {q})
+                        else 0e0 end as rank
+            from nodes
+        ),
+        {",".join(steps)}
+        select string_split(node, '␟')[1] as ne_type,
+               string_split(node, '␟')[2] as canonical,
+               rank, is_seed
+        from {prev}
+    """
+
+
 def _pagerank_sql(edges_cte: str, final_select: str,
                   weight: str = "n_evidence",
                   iterations: int = 5, damping: float = 0.85,
@@ -3018,6 +3098,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph_bfs(entity_edges(m["canon_triples"]),
                          n_seeds=3, max_hops=4)
 
+    def kg_ppr(spark, sf):
+        # personalized PageRank: random-walk-with-restart relatedness
+        # to the evidence-mass hub seeds (operators/graphstats.py
+        # personalized_pagerank); seed selection integer-exact, fixpoint
+        # quantized per iteration so the unrolled oracle replays bitwise
+        from tildener_spark.operators.graphstats import (
+            entity_edges, personalized_pagerank)
+        m = _kg_materialized(spark)
+        return personalized_pagerank(entity_edges(m["canon_triples"]),
+                                     n_seeds=3, iterations=5)
+
     def kg_kcore(spark, sf):
         # k-core backbone of the undirected entity graph
         # (operators/graphstats.py graph_kcore): iterative degree-
@@ -3352,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_stage": kg_entities_stage,
         "kg_bootstrap": kg_bootstrap,
         "kg_pagerank": kg_pagerank,
+        "kg_ppr": kg_ppr,
         "kg_paths": kg_paths,
         "kg_kcore": kg_kcore,
         "kg_hits": kg_hits,
@@ -5998,6 +6090,8 @@ def oracle_sql() -> dict[str, str]:
         # checks, so both canonicalization strategies are value-gated
         "kg_entities": _kg_graph_sql(cross=True),
         "kg_pagerank": _kg_pagerank_sql(),
+        # personalized pagerank: seed-restricted unrolled fixpoint
+        "kg_ppr": _kg_ppr_sql(),
         "kg_paths": _kg_bfs_sql(),
         # k-core: unrolled peeling rounds, all-integer set algebra
         "kg_kcore": _kg_kcore_sql(),

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from tildener_spark.materialize import materialize_once, release
+
 SEP = "␟"  # unit-separator glyph, matches operators/graph.py
 
 
@@ -144,13 +146,22 @@ def weighted_pagerank(edges: DataFrame,
             .collect()[0][0]
         ) or 0.0
         while spent:  # ranks is now materialized; older caches free
-            spent.pop().unpersist()
+            release(spent.pop())
         contrib = (
             ranks.join(frac, ranks.node == frac.src)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("c"))
         )
-        new_ranks = (
+        # materialize_once (localCheckpoint locally) also TRUNCATES
+        # the logical plan: each iteration references the previous
+        # rank table twice (dangling + contrib), so without
+        # truncation the logical tree doubles per iteration and deep
+        # runs OOM the driver's plan machinery.  On a cluster the
+        # persist path keeps lineage (executor-loss recompute); for
+        # deep iteration counts there, insert a reliable checkpoint
+        # every ~8 rounds — same monotone-safe resumption argument
+        # as graph_kcore.
+        new_ranks = materialize_once(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 nodes.node,
@@ -162,13 +173,12 @@ def weighted_pagerank(edges: DataFrame,
                     quantize,
                 ).alias("rank"),
             )
-            .persist()
         )
         spent.append(ranks)
         ranks = new_ranks
     ranks.count()
     for df in spent:
-        df.unpersist()
+        release(df)
     out = ranks.select("node", "rank")
     for df in (nodes, frac, src_nodes):
         df.unpersist()
@@ -184,6 +194,124 @@ def entity_pagerank(edges: DataFrame, iterations: int = 5,
     pr = weighted_pagerank(edges, "n_evidence", iterations, damping,
                            quantize)
     return split_node(pr).select("ne_type", "canonical", "rank")
+
+
+def personalized_pagerank(edges: DataFrame, n_seeds: int = 3,
+                          iterations: int = 5,
+                          damping: float = 0.85,
+                          quantize: int = 9) -> DataFrame:
+    """Personalized PageRank: random-walk-with-restart relatedness to
+    the hub-entity seed set (Jeh & Widom 2003) -> (ne_type,
+    canonical, rank, is_seed).  The KG query behind "entities most
+    related to the graph's core": unlike global PageRank, teleport
+    (and dangling mass) returns ONLY to the seeds, so rank decays
+    with walk distance from them.
+
+    Seeds are the ``n_seeds`` nodes with the largest total incident
+    evidence mass, tie-break lexicographically smallest node — the
+    same fully-data-derived rule as :func:`graph_bfs`, so the query
+    is deterministic with no free parameters.  Seed mass sums are
+    integer (n_evidence), making seed selection engine-exact.
+
+    Determinism contract (the weighted_pagerank family): ranks start
+    at ``round(1/|S|, quantize)`` on seeds and 0 elsewhere; per
+    iteration ``round(seed_teleport + d * (in_sum + seed_dangling),
+    quantize)`` where ``seed_teleport = (1-d)/|S|`` and the dangling
+    mass is redistributed over the seeds only.  Products/divisions
+    are IEEE-identical cross-engine; the in-sum's addition-order
+    wobble is absorbed by the per-iteration round, so the DuckDB
+    unrolled-CTE replay hashes bitwise.
+
+    Scale shape: identical to :func:`weighted_pagerank` — |V|+|E|
+    keyed shuffles per iteration, one scalar collect (dangling), the
+    seed table broadcast-sized by construction.
+    """
+    mass = (edges.select("src", F.col("n_evidence").alias("w"))
+            .union(edges.select(F.col("dst").alias("src"),
+                                F.col("n_evidence").alias("w")))
+            .groupBy("src").agg(F.sum("w").alias("mass")))
+    seeds = (mass.orderBy(F.desc("mass"), F.asc("src"))
+             .limit(n_seeds)
+             .select(F.col("src").alias("node"))
+             .persist())
+    n_s = seeds.count()
+    if n_s == 0:
+        return split_node(seeds).select(
+            "ne_type", "canonical",
+            F.lit(0.0).alias("rank"), F.lit(False).alias("is_seed"))
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(seeds.withColumnRenamed("node", "s"),
+              F.col("node") == F.col("s"), "left")
+        .select("node", F.col("s").isNotNull().alias("is_seed"))
+        .persist()
+    )
+    out_w = edges.groupBy("src").agg(
+        F.sum("n_evidence").alias("out_w"))
+    frac = (
+        edges.join(out_w, "src")
+        .select("src", "dst",
+                (F.col("n_evidence").cast("double")
+                 / F.col("out_w").cast("double")).alias("frac"))
+        .repartition("src")
+        .persist()
+    )
+    src_nodes = frac.select("src").distinct().persist()
+    frac.count()
+
+    teleport = (1.0 - damping) / n_s
+    ranks = nodes.select(
+        "node", "is_seed",
+        F.when(F.col("is_seed"),
+               F.round(F.lit(1.0 / n_s), quantize))
+        .otherwise(F.lit(0.0)).alias("rank")).persist()
+    spent = []
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(src_nodes, ranks.node == src_nodes.src,
+                       "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+        ) or 0.0
+        while spent:
+            release(spent.pop())
+        contrib = (
+            ranks.join(frac, ranks.node == frac.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("c"))
+        )
+        # materialize_once truncates the per-iteration logical plan
+        # (see weighted_pagerank) — deep relatedness runs (12+
+        # restarts) would otherwise double the tree per round
+        new_ranks = materialize_once(
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                nodes.node, nodes.is_seed,
+                F.round(
+                    F.when(nodes.is_seed,
+                           F.lit(teleport + damping * dangling / n_s))
+                    .otherwise(F.lit(0.0))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("c"), F.lit(0.0)),
+                    quantize,
+                ).alias("rank"),
+            )
+        )
+        spent.append(ranks)
+        ranks = new_ranks
+    ranks.count()
+    for df in spent:
+        release(df)
+    out = split_node(ranks).select(
+        "ne_type", "canonical", "rank", "is_seed")
+    out = out.localCheckpoint(eager=True)
+    for df in (seeds, nodes, frac, src_nodes):
+        df.unpersist()
+    release(ranks)
+    return out
 
 
 def entity_timeline(canon_triples: DataFrame,
@@ -609,18 +737,20 @@ def graph_kcore(edges: DataFrame, k: int = 3,
     for _ in range(max_rounds):
         # one action per round: nxt.count() (the fixpoint probe)
         # materializes the lazily-persisted survivor set en route
-        survivors = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-                     .filter(F.col("d") >= k)
-                     .select(F.col("src").alias("node"))
-                     .persist())
-        nxt = (e.join(survivors.withColumnRenamed("node", "src"),
-                      "src")
-               .join(survivors.withColumnRenamed("node", "dst"),
-                     "dst")
-               .select("src", "dst").persist())
+        survivors = materialize_once(
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("src").alias("node")))
+        # materialize_once truncates each round's plan (the edge set
+        # is referenced three times per round, so lineage would grow
+        # 3^rounds without it)
+        nxt = materialize_once(
+            e.join(survivors.withColumnRenamed("node", "src"), "src")
+            .join(survivors.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst"))
         n_next = nxt.count()
-        e.unpersist()
-        survivors.unpersist()
+        release(e)
+        release(survivors)
         if n_next == n_edges:
             e = nxt
             break
