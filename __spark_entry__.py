@@ -1002,6 +1002,69 @@ def _kg_hits_sql(iterations: int = 5, quantize: int = 9) -> str:
     """
 
 
+def _nt_esc(expr: str) -> str:
+    """DuckDB mirror of operators/rdf.py iri_escape: the identical
+    literal-replace chain in the identical order (% first)."""
+    out = expr
+    for raw, enc in [("%", "%25"), (" ", "%20"), ("<", "%3C"),
+                     (">", "%3E"), ('"', "%22"), ("{", "%7B"),
+                     ("}", "%7D"), ("|", "%7C"), ("^", "%5E"),
+                     ("`", "%60"), ("\\", "%5C")]:
+        q = "''" if raw == "'" else raw
+        out = f"replace({out}, '{q}', '{enc}')"
+    return out
+
+
+def _kg_ntriples_sql() -> str:
+    """DuckDB replay of rdf.triples_to_ntriples over the materialized
+    canonical triples: same distinct-edge collapse, same IRI escape
+    chain, same three statement families."""
+    B = "http://kg.example.org/"
+    RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    XSD = "<http://www.w3.org/2001/XMLSchema#integer>"
+    s_iri = ("'<" + B + "entity/' || " + _nt_esc("subj_type")
+             + " || '/' || " + _nt_esc("subj_canonical") + " || '>'")
+    o_iri = ("'<" + B + "entity/' || " + _nt_esc("obj_type")
+             + " || '/' || " + _nt_esc("obj_canonical") + " || '>'")
+    p_iri = ("'<" + B + "pred/' || " + _nt_esc("pred") + " || '>'")
+    ev_iri = ("'<" + B + "pred/count/' || " + _nt_esc("pred")
+              + " || '>'")
+    e_iri = ("'<" + B + "entity/' || " + _nt_esc("t")
+             + " || '/' || " + _nt_esc("c") + " || '>'")
+    return f"""
+        with ct as materialized (
+            select * from read_parquet(
+                '{{cache}}/canon_triples.parquet/*.parquet')
+        ),
+        edges as materialized (
+            select subj_type, subj_canonical, pred,
+                   obj_type, obj_canonical,
+                   cast(count(*) as bigint) as n
+            from ct group by 1, 2, 3, 4, 5
+        ),
+        endpoints as materialized (
+            select distinct t, c from (
+                select subj_type as t, subj_canonical as c from ct
+                union all
+                select obj_type, obj_canonical from ct)
+        )
+        select 'edge' as kind,
+               {s_iri} || ' ' || {p_iri} || ' ' || {o_iri} || ' .'
+                   as line
+        from edges
+        union all
+        select 'evidence' as kind,
+               {s_iri} || ' ' || {ev_iri} || ' "' || cast(n as varchar)
+                   || '"^^{XSD} .' as line
+        from edges
+        union all
+        select 'type' as kind,
+               {e_iri} || ' {RDF_TYPE} <{B}type/' || {_nt_esc("t")}
+                   || '> .' as line
+        from endpoints
+    """.replace("{cache}", _KG_CACHE)
+
+
 def _kg_ppr_sql(n_seeds: int = 3, iterations: int = 5,
                 damping: float = 0.85, quantize: int = 9) -> str:
     """DuckDB replay of graphstats.personalized_pagerank: integer-
@@ -3098,6 +3161,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph_bfs(entity_edges(m["canon_triples"]),
                          n_seeds=3, max_hops=4)
 
+    def kg_ntriples(spark, sf):
+        # W3C N-Triples export of the canonical KG (operators/rdf.py):
+        # rdf:type per endpoint, one line per distinct edge, evidence
+        # counts as xsd:integer literals; IRI escaping is a fixed
+        # literal-replace chain shared verbatim with the oracle
+        from tildener_spark.operators.rdf import triples_to_ntriples
+        m = _kg_materialized(spark)
+        return triples_to_ntriples(m["canon_triples"])
+
     def kg_ppr(spark, sf):
         # personalized PageRank: random-walk-with-restart relatedness
         # to the evidence-mass hub seeds (operators/graphstats.py
@@ -3433,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_links": kg_links,
         "kg_entities": kg_entities,
+        "kg_ntriples": kg_ntriples,
         "kg_triple_parity": kg_triple_parity,
         "kg_span_eval": kg_token_eval,
         "kg_top_sentences": kg_top_sentences,
@@ -6092,6 +6165,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_sql(),
         # personalized pagerank: seed-restricted unrolled fixpoint
         "kg_ppr": _kg_ppr_sql(),
+        # N-Triples export: shared literal-replace escape chain
+        "kg_ntriples": _kg_ntriples_sql(),
         "kg_paths": _kg_bfs_sql(),
         # k-core: unrolled peeling rounds, all-integer set algebra
         "kg_kcore": _kg_kcore_sql(),
