@@ -72,3 +72,27 @@ def test_multiword_canonical_percent_encodes_spaces(spark):
                for ln in lines)
     assert not any(" universitate" in ln.split(">")[0]
                    for ln in lines)  # no bare space inside an IRI
+
+
+def test_materialize_graph_rdf_sink_roundtrip(spark, tmp_path):
+    """rdf=True ships N-Triples text shards alongside nodes/edges;
+    reading them back yields exactly the operator's line set."""
+    from tildener_spark.operators.graph import materialize_graph
+
+    ct = spark.createDataFrame(
+        [("u1", 0, "Janis", "janis", "PER", "vadi",
+          "Banka", "banka", "ORG", 0.9, "pattern")] * 2,
+        "url string, sent_id int, subj string, subj_canonical string, "
+        "subj_type string, pred string, obj string, "
+        "obj_canonical string, obj_type string, prob double, "
+        "kind string")
+    ents = ct.selectExpr("subj_canonical as canonical",
+                         "subj_type as ne_type").distinct()
+    got = materialize_graph(ents, ct, str(tmp_path / "g"),
+                            buckets=2, rdf=True)
+    assert "ntriples" in got
+    back = {r["value"] for r in
+            spark.read.text(got["ntriples"]).collect()}
+    expect = {r["line"] for r in
+              triples_to_ntriples(ct).collect()}
+    assert back == expect and len(back) == 4  # edge+ev+2 types

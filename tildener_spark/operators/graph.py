@@ -353,7 +353,8 @@ def canonicalize_triples_fused(triples_dc: DataFrame,
 
 def materialize_graph(entities: DataFrame, canon_triples: DataFrame,
                       out_dir: str, buckets: int = 64,
-                      fmt: str = "parquet") -> dict:
+                      fmt: str = "parquet",
+                      rdf: bool = False) -> dict:
     """Write partitioned nodes/edges tables; returns paths.
 
     ``fmt`` selects the DataFrameWriter format (EngineConfig.
@@ -364,6 +365,12 @@ def materialize_graph(entities: DataFrame, canon_triples: DataFrame,
     explicit repartition still co-locates rows but directory fan-out
     is the table's concern.  The sandbox has no Iceberg runtime jar;
     parquet/orc are exercised in tests/test_pipeline.py.
+
+    ``rdf=True`` additionally ships the graph as W3C N-Triples text
+    shards under ``{out_dir}/ntriples`` (operators/rdf.py) — the
+    interchange dump a triple store bulk-loads.  Lines are sorted
+    within partitions so shard contents are deterministic under a
+    fixed partitioning (N-Triples itself is order-independent).
     """
     nodes = entities.withColumn(
         "bucket", F.pmod(F.hash("canonical"), F.lit(buckets)))
@@ -385,4 +392,14 @@ def materialize_graph(entities: DataFrame, canon_triples: DataFrame,
         if fmt != "iceberg":
             w = w.partitionBy("bucket")
         w.save(path)
-    return {"nodes": nodes_path, "edges": edges_path, "format": fmt}
+    out = {"nodes": nodes_path, "edges": edges_path, "format": fmt}
+    if rdf:
+        from tildener_spark.operators.rdf import triples_to_ntriples
+        nt_path = f"{out_dir}/ntriples"
+        (triples_to_ntriples(canon_triples)
+         .repartition(F.pmod(F.xxhash64("line"), F.lit(buckets)))
+         .sortWithinPartitions("line")
+         .select("line")
+         .write.mode("overwrite").text(nt_path))
+        out["ntriples"] = nt_path
+    return out
