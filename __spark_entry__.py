@@ -1562,6 +1562,33 @@ def _kg_timeline_sql() -> str:
     """
 
 
+def _kg_edge_timeline_sql() -> str:
+    """DuckDB mirror of graphstats.edge_timeline (span_s =
+    epoch(last)-epoch(first), integer-exact; n_evidence counts
+    triple rows, n_docs distinct urls)."""
+    return f"""
+        with ct as (
+            select * from read_parquet(
+                '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+        ),
+        p as (
+            select url, warc_ts from read_parquet(
+                '{_KG_CACHE}/pages.parquet/*.parquet')
+        )
+        select subj_type, subj_canonical, pred,
+               obj_type, obj_canonical,
+               min(warc_ts) as first_seen,
+               max(warc_ts) as last_seen,
+               cast(count(distinct ct.url) as bigint) as n_docs,
+               cast(count(*) as bigint) as n_evidence,
+               cast(cast(epoch(max(warc_ts)) as bigint)
+                    - cast(epoch(min(warc_ts)) as bigint) as bigint)
+                   as span_s
+        from ct join p using (url)
+        group by 1, 2, 3, 4, 5
+    """
+
+
 def _kg_communities_sql(iterations: int = 4) -> str:
     """Unrolled-CTE replay of graphstats.entity_communities'
     synchronous weighted label propagation (integer weights +
@@ -3161,6 +3188,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph_bfs(entity_edges(m["canon_triples"]),
                          n_seeds=3, max_hops=4)
 
+    def kg_edge_timeline(spark, sf):
+        # per-edge freshness profile (operators/graphstats.py
+        # edge_timeline): first/last crawl sighting + integer-exact
+        # active span per distinct (subj, pred, obj)
+        from tildener_spark.operators.graphstats import edge_timeline
+        m = _kg_materialized(spark)
+        return edge_timeline(m["canon_triples"], m["pages"])
+
     def kg_ntriples(spark, sf):
         # W3C N-Triples export of the canonical KG (operators/rdf.py):
         # rdf:type per endpoint, one line per distinct edge, evidence
@@ -3522,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": kg_hits,
         "kg_graph_stats": kg_graph_stats,
         "kg_timeline": kg_timeline,
+        "kg_edge_timeline": kg_edge_timeline,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -6174,6 +6210,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _kg_hits_sql(),
         "kg_graph_stats": _kg_graph_stats_sql(),
         "kg_timeline": _kg_timeline_sql(),
+        "kg_edge_timeline": _kg_edge_timeline_sql(),
         "kg_communities": _kg_communities_sql(),
         "kg_triangles": _kg_triangles_sql(),
         "kg_linkpred": _kg_linkpred_sql(),

@@ -385,3 +385,29 @@ def test_ppr_partition_invariant(spark):
                        personalized_pagerank(e.repartition(9),
                                              n_seeds=2).collect()))
     assert base == again
+
+
+def test_edge_timeline_span_and_counts(spark):
+    """One edge seen in two crawls 3600s apart plus a single-doc
+    edge: spans, doc counts, and evidence counts are exact."""
+    from tildener_spark.operators.graphstats import edge_timeline
+
+    ct = spark.createDataFrame(
+        [("u1", "PER", "a", "vadi", "ORG", "b"),
+         ("u1", "PER", "a", "vadi", "ORG", "b"),   # same doc twice
+         ("u2", "PER", "a", "vadi", "ORG", "b"),
+         ("u2", "LOC", "c", "atrodas", "PER", "d")],
+        "url string, subj_type string, subj_canonical string, "
+        "pred string, obj_type string, obj_canonical string")
+    pages = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00"), ("u2", "2024-01-01 01:00:00")],
+        "url string, ts string").select(
+        "url", F.col("ts").cast("timestamp").alias("warc_ts"))
+    got = {(r["subj_canonical"], r["pred"], r["obj_canonical"]): r
+           for r in edge_timeline(ct, pages).collect()}
+    ab = got[("a", "vadi", "b")]
+    assert ab["n_docs"] == 2 and ab["n_evidence"] == 3
+    assert ab["span_s"] == 3600
+    cd = got[("c", "atrodas", "d")]
+    assert cd["n_docs"] == 1 and cd["span_s"] == 0
+    assert cd["first_seen"] == cd["last_seen"]

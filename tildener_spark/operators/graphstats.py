@@ -347,6 +347,42 @@ def entity_timeline(canon_triples: DataFrame,
     )
 
 
+def edge_timeline(canon_triples: DataFrame,
+                  pages: DataFrame) -> DataFrame:
+    """Per-EDGE temporal profile: when each distinct
+    (subj, pred, obj) relation was first/last observed in the crawl,
+    across how many documents, and its active span.
+
+    The relation-level freshness signal (complement of
+    :func:`entity_timeline`'s node view): KG curation ages out edges
+    whose last sighting is stale, and a wide first→last span with
+    many distinct docs separates durable facts from one-crawl noise.
+
+    ``span_s`` is ``epoch(last) - epoch(first)`` in whole seconds —
+    integer-exact on both engines (no date-boundary/timezone
+    arithmetic, unlike day diffs).
+
+    Scale shape: one url-keyed shuffle-hash equi-join (both sides
+    crawl-scale, co-partitioned), then one partial-agg shuffle keyed
+    by the 5-column edge identity — head edges absorbed map-side.
+    """
+    j = canon_triples.select(
+        "subj_type", "subj_canonical", "pred",
+        "obj_type", "obj_canonical", "url") \
+        .join(pages.select("url", "warc_ts"), "url")
+    return (
+        j.groupBy("subj_type", "subj_canonical", "pred",
+                  "obj_type", "obj_canonical")
+        .agg(F.min("warc_ts").alias("first_seen"),
+             F.max("warc_ts").alias("last_seen"),
+             F.countDistinct("url").alias("n_docs"),
+             F.count(F.lit(1)).cast("long").alias("n_evidence"),
+             (F.max(F.unix_timestamp("warc_ts"))
+              - F.min(F.unix_timestamp("warc_ts")))
+             .cast("long").alias("span_s"))
+    )
+
+
 def entity_communities(edges: DataFrame,
                        iterations: int = 4) -> DataFrame:
     """Deterministic synchronous label propagation over the
