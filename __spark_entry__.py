@@ -1589,6 +1589,50 @@ def _kg_edge_timeline_sql() -> str:
     """
 
 
+def _kg_pred_profile_sql() -> str:
+    """DuckDB mirror of graphstats.predicate_profile: integer counts,
+    total-order argmax for the dominant signature, one round(.,6)
+    share division."""
+    return f"""
+        with ct as materialized (
+            select * from read_parquet(
+                '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+        ),
+        sig as materialized (
+            select pred, subj_type, obj_type,
+                   cast(count(*) as bigint) as n_sig
+            from ct group by 1, 2, 3
+        ),
+        per_pred as materialized (
+            select pred, cast(count(*) as bigint) as n_triples,
+                   cast(count(distinct subj_canonical
+                             || chr(31) || obj_canonical) as bigint)
+                       as n_pairs
+            from ct group by 1
+        ),
+        top as materialized (
+            select pred, n_signatures, subj_type as top_subj_type,
+                   obj_type as top_obj_type, n_sig as top_sig_n
+            from (
+                select *,
+                       row_number() over (
+                           partition by pred
+                           order by n_sig desc, subj_type asc,
+                                    obj_type asc) as rn,
+                       cast(count(*) over (partition by pred)
+                            as bigint) as n_signatures
+                from sig
+            ) where rn = 1
+        )
+        select p.pred, p.n_triples, p.n_pairs, t.n_signatures,
+               t.top_subj_type, t.top_obj_type, t.top_sig_n,
+               round(cast(t.top_sig_n as double)
+                     / cast(p.n_triples as double), 6)
+                   as top_sig_share
+        from per_pred p join top t using (pred)
+    """
+
+
 def _kg_communities_sql(iterations: int = 4) -> str:
     """Unrolled-CTE replay of graphstats.entity_communities'
     synchronous weighted label propagation (integer weights +
@@ -3196,6 +3240,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = _kg_materialized(spark)
         return edge_timeline(m["canon_triples"], m["pages"])
 
+    def kg_pred_profile(spark, sf):
+        # predicate type-signature profile (operators/graphstats.py
+        # predicate_profile): per-pred volume, distinct pairs, and the
+        # dominant (subj_type, obj_type) signature + share — schema
+        # induction for the extracted relation set
+        from tildener_spark.operators.graphstats import (
+            predicate_profile)
+        m = _kg_materialized(spark)
+        return predicate_profile(m["canon_triples"])
+
     def kg_ntriples(spark, sf):
         # W3C N-Triples export of the canonical KG (operators/rdf.py):
         # rdf:type per endpoint, one line per distinct edge, evidence
@@ -3558,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_stats": kg_graph_stats,
         "kg_timeline": kg_timeline,
         "kg_edge_timeline": kg_edge_timeline,
+        "kg_pred_profile": kg_pred_profile,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -6211,6 +6266,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_stats": _kg_graph_stats_sql(),
         "kg_timeline": _kg_timeline_sql(),
         "kg_edge_timeline": _kg_edge_timeline_sql(),
+        "kg_pred_profile": _kg_pred_profile_sql(),
         "kg_communities": _kg_communities_sql(),
         "kg_triangles": _kg_triangles_sql(),
         "kg_linkpred": _kg_linkpred_sql(),

@@ -411,3 +411,29 @@ def test_edge_timeline_span_and_counts(spark):
     cd = got[("c", "atrodas", "d")]
     assert cd["n_docs"] == 1 and cd["span_s"] == 0
     assert cd["first_seen"] == cd["last_seen"]
+
+
+def test_predicate_profile_dominant_signature(spark):
+    """vadi: 3x PER->ORG + 1x ORG->ORG (tie-safe), viena: single
+    triple — volumes, pair counts, signature counts, and shares are
+    exact; the dominant signature argmax follows (count desc, types
+    asc)."""
+    from tildener_spark.operators.graphstats import predicate_profile
+
+    ct = spark.createDataFrame(
+        [("PER", "a", "vadi", "ORG", "x"),
+         ("PER", "a", "vadi", "ORG", "x"),   # duplicate pair
+         ("PER", "b", "vadi", "ORG", "y"),
+         ("ORG", "z", "vadi", "ORG", "x"),
+         ("LOC", "r", "viena", "PER", "a")],
+        "subj_type string, subj_canonical string, pred string, "
+        "obj_type string, obj_canonical string")
+    got = {r["pred"]: r for r in predicate_profile(ct).collect()}
+    v = got["vadi"]
+    assert v["n_triples"] == 4 and v["n_pairs"] == 3
+    assert v["n_signatures"] == 2
+    assert (v["top_subj_type"], v["top_obj_type"]) == ("PER", "ORG")
+    assert v["top_sig_n"] == 3 and v["top_sig_share"] == 0.75
+    u = got["viena"]
+    assert u["n_triples"] == u["n_pairs"] == u["n_signatures"] == 1
+    assert u["top_sig_share"] == 1.0

@@ -383,6 +383,55 @@ def edge_timeline(canon_triples: DataFrame,
     )
 
 
+def predicate_profile(canon_triples: DataFrame) -> DataFrame:
+    """Per-predicate type-signature profile — lightweight KG schema
+    induction: for every predicate, its volume, distinct entity-pair
+    count, how many (subj_type, obj_type) signatures it appears
+    with, and the dominant signature with its share.
+
+    A curator reads this as the relation's implied schema ("vadi:
+    PER→ORG at 0.96 share") and flags low-share predicates as
+    extraction noise or genuine polysemy.
+
+    Determinism: all counts integer; the dominant signature is the
+    (count desc, subj_type asc, obj_type asc) argmax — a total
+    order; the share is one ``round(n_sig/n_triples, 6)`` division.
+
+    Scale shape: one (pred, types)-keyed partial agg (signature
+    space is tiny — |preds| × |types|²), one pred-keyed rollup, one
+    argmax window over the signature table (vocabulary-sized, never
+    corpus-sized).
+    """
+    sig = (canon_triples
+           .groupBy("pred", "subj_type", "obj_type")
+           .agg(F.count(F.lit(1)).alias("n_sig")))
+    per_pred = (canon_triples.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj_canonical", "obj_canonical")
+        .cast("long").alias("n_pairs")))
+    w = Window.partitionBy("pred").orderBy(
+        F.desc("n_sig"), F.asc("subj_type"), F.asc("obj_type"))
+    top = (sig
+           .withColumn("rn", F.row_number().over(w))
+           .withColumn("n_signatures",
+                       F.count(F.lit(1)).over(
+                           Window.partitionBy("pred")))
+           .filter(F.col("rn") == 1)
+           .select("pred",
+                   F.col("n_signatures").cast("long"),
+                   F.col("subj_type").alias("top_subj_type"),
+                   F.col("obj_type").alias("top_obj_type"),
+                   F.col("n_sig").cast("long").alias("top_sig_n")))
+    return (per_pred.join(top, "pred")
+            .withColumn("top_sig_share",
+                        F.round(F.col("top_sig_n").cast("double")
+                                / F.col("n_triples").cast("double"),
+                                6))
+            .select("pred", "n_triples", "n_pairs", "n_signatures",
+                    "top_subj_type", "top_obj_type", "top_sig_n",
+                    "top_sig_share"))
+
+
 def entity_communities(edges: DataFrame,
                        iterations: int = 4) -> DataFrame:
     """Deterministic synchronous label propagation over the
