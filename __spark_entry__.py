@@ -2522,6 +2522,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.sketches import cms_heavy_hitters
         return cms_heavy_hitters(_docs(spark, sf), threshold=50)
 
+    def q73_asof_join(spark, sf):
+        # purchase -> latest-prior-click attribution as-of join
+        # (operators/asof.py asof_join): the union + ordered-window
+        # spelling — ONE hash shuffle on user_id and an in-partition
+        # sort, never the |L|x|R-per-key| range cross product; the
+        # oracle runs the identical windowed scan with the same
+        # pinned (ts, side, carry) tie order
+        from tildener_spark.operators.asof import asof_join
+        e = _tbl(spark, sf, "events")
+        p = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value")
+        c = e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value")
+        out = asof_join(p, c, keys=["user_id"], left_ts="ts",
+                        right_ts="ts", right_cols=["value"])
+        return out.select(
+            "event_id", "user_id", "ts", "value",
+            F.col("ts_r").alias("click_ts"),
+            F.col("value_r").alias("click_value"))
+
+    def q74_range_join(spark, sf):
+        # 2-hour post-purchase click window (operators/asof.py
+        # range_join): intervals explode onto the hour grid (3 rows
+        # each), points bucket once, then a plain equi-join on
+        # (user_id, bucket) + the exact half-open containment filter;
+        # integer cents keep the attributed sum order-independent,
+        # and the aggregate left-joins back so zero-click purchases
+        # survive
+        from tildener_spark.operators.asof import range_join
+        e = _tbl(spark, sf, "events")
+        p = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.col("ts").alias("p_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"))
+        c = e.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("c_ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("c_cents"))
+        j = range_join(p, c, keys=["user_id"], start="p_ts",
+                       end="end_ts", point_ts="c_ts", bucket_s=3600)
+        agg = j.groupBy("event_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.sum("c_cents").cast("bigint").alias("click_cents"))
+        return (
+            p.select("event_id", "user_id", "p_ts")
+            .join(agg, "event_id", "left")
+            .select(
+                "event_id", "user_id", "p_ts",
+                F.coalesce("n_clicks", F.lit(0)).cast("bigint")
+                .alias("n_clicks"),
+                F.coalesce("click_cents", F.lit(0)).cast("bigint")
+                .alias("click_cents"))
+        )
+
     def q63_pq_encode(spark, sf):
         # product-quantization codes (operators/clustering.py
         # pq_encode): 4 subspaces x 16 centroids over the 64-dim
@@ -3694,6 +3746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_pmi_collocations": q70_pmi_collocations,
         "q71_bpe_fertility": q71_bpe_fertility,
         "q72_cms_heavy_hitters": q72_cms_heavy_hitters,
+        "q73_asof_join": q73_asof_join,
+        "q74_range_join": q74_range_join,
     }
 
 
@@ -4103,6 +4157,67 @@ def oracle_sql() -> dict[str, str]:
         # (sketches.cms_bucket_sql) on both the build and probe side,
         # all-integer counters, min over the 4 rows — bitwise replay
         "q72_cms_heavy_hitters": _cms_oracle_sql(),
+        # as-of join: the identical union + ordered-window scan with
+        # the pinned (ts, side, r_ts, r_value) tie order — the window
+        # spelling IS the semantics, so both engines replay it exactly
+        "q73_asof_join": """
+            with p as (
+                select event_id, user_id, ts, value from events
+                where event_type = 'purchase'
+            ), c as (
+                select user_id, ts, value from events
+                where event_type = 'click'
+            ), u as (
+                select user_id, ts as _ts, 1 as side, event_id, value,
+                       cast(null as timestamp) as r_ts,
+                       cast(null as double) as r_value
+                from p
+                union all
+                select user_id, ts, 0, null, null, ts, value from c
+            ), s as (
+                select *,
+                       last_value(r_ts ignore nulls) over w as m_ts,
+                       last_value(r_value ignore nulls) over w as m_value
+                from u
+                window w as (
+                    partition by user_id
+                    order by _ts asc, side asc,
+                             r_ts asc nulls first,
+                             r_value asc nulls first
+                    rows between unbounded preceding and current row)
+            )
+            select event_id, user_id, _ts as ts, value,
+                   m_ts as click_ts, m_value as click_value
+            from s where side = 1
+        """,
+        # range join: the plain inequality join DuckDB can afford at
+        # oracle scale — the Spark side's bucket-join + exact filter
+        # must recover exactly these pairs; integer cents make the
+        # sum order-independent on both engines
+        "q74_range_join": """
+            with p as (
+                select event_id, user_id, ts as p_ts,
+                       ts + interval 2 hour as end_ts
+                from events where event_type = 'purchase'
+            ), c as (
+                select user_id, ts as c_ts,
+                       cast(round(value * 100) as bigint) as c_cents
+                from events where event_type = 'click'
+            ), j as (
+                select p.event_id,
+                       cast(count(*) as bigint) as n_clicks,
+                       cast(sum(c.c_cents) as bigint) as click_cents
+                from p join c
+                  on p.user_id = c.user_id
+                 and c.c_ts >= p.p_ts and c.c_ts < p.end_ts
+                group by p.event_id
+            )
+            select p.event_id, p.user_id, p.p_ts,
+                   cast(coalesce(j.n_clicks, 0) as bigint) as n_clicks,
+                   cast(coalesce(j.click_cents, 0) as bigint)
+                       as click_cents
+            from p left join j using (event_id)
+        """,
         # recrawl drift: identical snapshot synthesis CTE, lag window
         # keyed (ts, fingerprint), host rollup; one IEEE division for
         # the rate
