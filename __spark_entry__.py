@@ -1838,6 +1838,88 @@ def _hll_oracle_sql() -> str:
     """
 
 
+def _kmv_oracle_sql() -> str:
+    """DuckDB mirror of sketches.kmv_set_ops: identical 60-bit md5
+    hash, bottom-k distinct per source (row_number over distinct ==
+    the salted dense_rank two-stage), the same theta = least(kth_a,
+    kth_b) with the 2^60 under-full sentinel, and the same
+    count * 2^60 / theta IEEE division for every estimate."""
+    from tildener_spark.operators.sketches import (
+        _H_BITS, KMV_K, kmv_hash_sql)
+    full = 1 << _H_BITS
+    space = repr(float(full))
+    return rf"""
+        with toks as (
+            select source as grp, {kmv_hash_sql('tok')} as h from (
+                select source,
+                       unnest(string_split_regex(
+                           lower(text), '[ \t\n\x0b\f\r]+')) as tok
+                from documents
+            ) where tok <> ''
+        ),
+        d as materialized (select distinct grp, h from toks),
+        bk as materialized (
+            select grp, h from (
+                select grp, h,
+                       row_number() over (partition by grp
+                                          order by h) as rk
+                from d
+            ) where rk <= {KMV_K}
+        ),
+        sk as materialized (
+            select grp,
+                   case when count(*) >= {KMV_K} then max(h)
+                        else {full} end as theta_h
+            from bk group by grp
+        ),
+        pairs as materialized (
+            select a.grp as sa, b.grp as sb,
+                   least(a.theta_h, b.theta_h) as th
+            from sk a join sk b on a.grp < b.grp
+        ),
+        u as (
+            select p.sa, p.sb, p.th,
+                   cast(count(distinct bk.h) as bigint) as ucnt
+            from pairs p join bk
+              on bk.grp in (p.sa, p.sb) and bk.h < p.th
+            group by 1, 2, 3
+        ),
+        i as (
+            select p.sa, p.sb, cast(count(*) as bigint) as icnt
+            from pairs p
+            join bk x on x.grp = p.sa and x.h < p.th
+            join bk y on y.grp = p.sb and y.h = x.h
+            group by 1, 2
+        ),
+        sizes as (
+            select grp, cast(count(*) as bigint) as n
+            from d group by 1
+        ),
+        ie as (
+            select a.grp as sa, b.grp as sb,
+                   cast(count(*) as bigint) as icnt_e
+            from d a join d b on a.h = b.h and a.grp < b.grp
+            group by 1, 2
+        )
+        select u.sa as src_a, u.sb as src_b,
+               round(cast(u.ucnt as double) * {space}
+                     / cast(u.th as double), 6) as union_est,
+               round(cast(coalesce(i.icnt, 0) as double) * {space}
+                     / cast(u.th as double), 6) as inter_est,
+               round(cast(coalesce(i.icnt, 0) as double)
+                     / cast(greatest(u.ucnt, 1) as double), 6)
+                   as jaccard_est,
+               cast(na.n + nb.n - coalesce(ie.icnt_e, 0) as bigint)
+                   as union_exact,
+               cast(coalesce(ie.icnt_e, 0) as bigint) as inter_exact
+        from u
+        left join i on i.sa = u.sa and i.sb = u.sb
+        join sizes na on na.grp = u.sa
+        join sizes nb on nb.grp = u.sb
+        left join ie on ie.sa = u.sa and ie.sb = u.sb
+    """
+
+
 def _cms_oracle_sql(threshold: int = 50) -> str:
     """DuckDB mirror of sketches.cms_heavy_hitters: identical md5
     bucket rule per hash row (imported from the operator module so
@@ -2521,6 +2603,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bitwise, with exact counts as the one-sided-error validator
         from tildener_spark.operators.sketches import cms_heavy_hitters
         return cms_heavy_hitters(_docs(spark, sf), threshold=50)
+
+    def q75_kmv_setops(spark, sf):
+        # pairwise distinct-set algebra between corpus slices from
+        # merged KMV/theta bottom-k sketches (operators/sketches.py
+        # kmv_set_ops): salted two-stage bottom-k build (no distinct
+        # shuffle of the full key space), k-sized array merges on a
+        # broadcast pair join, one IEEE division per estimate so the
+        # oracle replays bitwise; exact union/intersection kept as
+        # the small-scale validators
+        from tildener_spark.operators.sketches import kmv_set_ops
+        return kmv_set_ops(_docs(spark, sf))
 
     def q73_asof_join(spark, sf):
         # purchase -> latest-prior-click attribution as-of join
@@ -3748,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_cms_heavy_hitters": q72_cms_heavy_hitters,
         "q73_asof_join": q73_asof_join,
         "q74_range_join": q74_range_join,
+        "q75_kmv_setops": q75_kmv_setops,
     }
 
 
@@ -4153,6 +4247,9 @@ def oracle_sql() -> dict[str, str]:
         # side compiles, over the same md5 bits — the estimate is an
         # integer sum + one IEEE division, so it hashes identically
         "q68_hll_cardinality": _hll_oracle_sql(),
+        # KMV/theta bottom-k: same md5-derived 60-bit hashes, same
+        # bottom-k sample sets, same theta sentinel and IEEE division
+        "q75_kmv_setops": _kmv_oracle_sql(),
         # from-scratch Count-Min: the SAME md5-prefix bucket rule
         # (sketches.cms_bucket_sql) on both the build and probe side,
         # all-integer counters, min over the 4 rows — bitwise replay

@@ -227,3 +227,158 @@ def cms_heavy_hitters(docs: DataFrame, text_col: str = "text",
                 (F.col("cms_est") - F.col("n_exact")).cast("long")
                 .alias("overcount"))
     )
+
+
+# --- KMV / theta bottom-k distinct sketch ----------------------------
+
+KMV_K = 64           # sketch size (bottom-k distinct hashes)
+KMV_SALTS = 16       # stage-1 sort salt cells per group
+_H_BITS = 60         # md5 hex chars 1..15 -> 60-bit integer hash
+_H_SPACE = float(1 << _H_BITS)   # 2^60, exactly double-representable
+
+
+def _kmv_hash(tok_col):
+    """60-bit integer hash: first 15 hex chars of md5 — identical
+    integer on any engine (DuckDB: ``from_hex``-free conv replay)."""
+    return F.conv(F.substring(F.md5(tok_col), 1, 15), 16, 10) \
+        .cast("long")
+
+
+def kmv_hash_sql(tok_expr: str) -> str:
+    """The DuckDB spelling of :func:`_kmv_hash`:
+    ``('0x' || first-15-hex)::bigint`` == Spark conv(hex, 16, 10)."""
+    return f"(('0x' || substring(md5({tok_expr}), 1, 15))::bigint)"
+
+
+def bottom_k_hashes(toks: DataFrame, k: int = KMV_K,
+                    grp_col: str = "grp",
+                    hash_col: str = "h") -> DataFrame:
+    """Per-group bottom-k DISTINCT hash values, the KMV sketch body
+    (Bar-Yossef et al. 2002 / the theta-sketch sample set).
+
+    Scale shape: the big sort is salted — stage 1 ranks within
+    (group, h % KMV_SALTS) cells so no single reducer ever sorts a
+    whole group's hash stream (head-group skew defused), and emits at
+    most ``KMV_SALTS * k`` candidates per group; stage 2 re-ranks
+    that bounded candidate set.  ``dense_rank`` (not row_number)
+    makes both stages duplicate-tolerant, so no distinct shuffle of
+    the full key space ever runs — replacing exactly the aggregate
+    the sketch exists to avoid.
+
+    Returns (grp, h, rk) with rk in 1..k over distinct h ascending.
+    """
+    from pyspark.sql import Window
+    cand = (
+        toks
+        .withColumn("_salt", F.pmod(F.col(hash_col), F.lit(KMV_SALTS)))
+        .withColumn("_rk1", F.dense_rank().over(
+            Window.partitionBy(grp_col, "_salt")
+            .orderBy(F.col(hash_col).asc())))
+        .filter(F.col("_rk1") <= k)
+        .select(grp_col, hash_col)
+        .distinct()
+    )
+    return (
+        cand
+        .withColumn("rk", F.dense_rank().over(
+            Window.partitionBy(grp_col)
+            .orderBy(F.col(hash_col).asc())))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_set_ops(docs: DataFrame, group_col: str = "source",
+                text_col: str = "text", k: int = KMV_K) -> DataFrame:
+    """Pairwise distinct-set algebra between corpus slices from
+    merged KMV sketches: union / intersection cardinality estimates
+    and a sketch Jaccard, with exact validators.
+
+    The theta estimator: per pair, theta_h = min of the two k-th
+    minima (2^60 when a side has < k distinct — its sketch IS the
+    exact set and theta must not clip the partner's sample); any set
+    expression over the below-theta samples estimates its true
+    cardinality as ``count * 2^60 / theta_h`` (one IEEE division of
+    integer inputs, so the oracle replays it bitwise).  Sketches
+    merge by array algebra over k-sized lists — the per-pair work is
+    O(k log k) on a #groups^2-row broadcast join, nothing rescans the
+    corpus.
+
+    Returns (src_a, src_b, union_est, inter_est, jaccard_est,
+    union_exact, inter_exact) for src_a < src_b.  The exact columns
+    are small-scale validators (the distinct-token join the sketch
+    replaces).
+    """
+    toks = (
+        docs
+        .select(F.col(group_col).alias("grp"),
+                F.explode(F.split(F.lower(text_col), WS_RE))
+                .alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("grp", _kmv_hash(F.col("tok")).alias("h"))
+    )
+    bk = bottom_k_hashes(toks, k)
+    sk = (
+        bk.groupBy("grp")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+        .select(
+            "grp", "hs",
+            # theta_h: k-th minimum, or full space when under-full
+            F.when(F.size("hs") >= k,
+                   F.element_at("hs", k))
+            .otherwise(F.lit(1 << _H_BITS)).cast("long")
+            .alias("theta_h"))
+    )
+    a = sk.select(F.col("grp").alias("src_a"),
+                  F.col("hs").alias("ha"),
+                  F.col("theta_h").alias("ta"))
+    b = sk.select(F.col("grp").alias("src_b"),
+                  F.col("hs").alias("hb"),
+                  F.col("theta_h").alias("tb"))
+    theta = F.least("ta", "tb")
+    below = lambda arr: F.size(F.filter(  # noqa: E731
+        arr, lambda x: x < theta))
+    est = lambda cnt: F.round(  # noqa: E731
+        cnt.cast("double") * F.lit(_H_SPACE)
+        / theta.cast("double"), 6)
+    pairs = (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a", "src_b",
+            est(below(F.array_union("ha", "hb"))).alias("union_est"),
+            est(below(F.array_intersect("ha", "hb")))
+            .alias("inter_est"),
+            F.round(
+                below(F.array_intersect("ha", "hb")).cast("double")
+                / F.greatest(below(F.array_union("ha", "hb")),
+                             F.lit(1)).cast("double"), 6)
+            .alias("jaccard_est"))
+    )
+    d = toks.distinct()
+    da = d.select(F.col("grp").alias("src_a"), "h")
+    db = d.select(F.col("grp").alias("src_b"), "h")
+    inter_exact = (
+        da.join(db, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    sizes = d.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    exact = (
+        sizes.select(F.col("grp").alias("src_a"),
+                     F.col("n").alias("na"))
+        .join(sizes.select(F.col("grp").alias("src_b"),
+                           F.col("n").alias("nb")),
+              F.col("src_a") < F.col("src_b"))
+        .join(inter_exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a", "src_b",
+            (F.col("na") + F.col("nb")
+             - F.coalesce("inter_exact", F.lit(0))).cast("long")
+            .alias("union_exact"),
+            F.coalesce("inter_exact", F.lit(0)).cast("long")
+            .alias("inter_exact"))
+    )
+    return pairs.join(exact, ["src_a", "src_b"]).select(
+        "src_a", "src_b", "union_est", "inter_est", "jaccard_est",
+        "union_exact", "inter_exact")
