@@ -1633,6 +1633,112 @@ def _kg_pred_profile_sql() -> str:
     """
 
 
+def _kg_entity_cards_sql(k: int = 5) -> str:
+    """DuckDB mirror of graphstats.entity_cards: same endpoints
+    union, integer aggregates, and rank-ordered string_agg over the
+    (count desc, name asc) top-k windows."""
+    return f"""
+        with ct as materialized (
+            select * from read_parquet(
+                '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+        ),
+        ends as materialized (
+            select subj_type || '␟' || subj_canonical as node,
+                   obj_type || '␟' || obj_canonical as other,
+                   pred, url, 1 as is_out
+            from ct
+            union all
+            select obj_type || '␟' || obj_canonical,
+                   subj_type || '␟' || subj_canonical,
+                   pred, url, 0
+            from ct
+        ),
+        base as (
+            select node,
+                   cast(count(distinct url) as bigint) as n_docs,
+                   cast(sum(is_out) as bigint) as n_out,
+                   cast(sum(1 - is_out) as bigint) as n_in,
+                   cast(count(*) as bigint) as n_evidence
+            from ends group by 1
+        ),
+        tp as (
+            select node,
+                   string_agg(pred, '|' order by rn) as top_preds
+            from (
+                select node, pred,
+                       row_number() over (
+                           partition by node
+                           order by c desc, pred asc) as rn
+                from (select node, pred, count(*) as c
+                      from ends group by 1, 2)
+            ) where rn <= {k} group by node
+        ),
+        tn as (
+            select node,
+                   string_agg(other, '|' order by rn)
+                       as top_neighbors
+            from (
+                select node, other,
+                       row_number() over (
+                           partition by node
+                           order by c desc, other asc) as rn
+                from (select node, other, count(*) as c
+                      from ends group by 1, 2)
+            ) where rn <= {k} group by node
+        )
+        select string_split(node, '␟')[1] as ne_type,
+               string_split(node, '␟')[2] as canonical,
+               n_docs, n_out, n_in, n_evidence,
+               top_preds, top_neighbors
+        from base join tp using (node) join tn using (node)
+    """
+
+
+def _kg_metapaths_sql(k: int = 16) -> str:
+    """DuckDB mirror of graphstats.metapath_profile: identical
+    capped top-k-per-mid edge tables (w desc, pred asc, partner asc
+    total order), same self-path exclusion and integer counts."""
+    return f"""
+        with ct as materialized (
+            select * from read_parquet(
+                '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+        ),
+        e as materialized (
+            select subj_type || '␟' || subj_canonical as src,
+                   pred,
+                   obj_type || '␟' || obj_canonical as dst,
+                   count(*) as w
+            from ct group by 1, 2, 3
+        ),
+        hop1 as (
+            select x, pred1, mid from (
+                select src as x, pred as pred1, dst as mid,
+                       row_number() over (
+                           partition by dst
+                           order by w desc, pred asc, src asc) as rn
+                from e
+            ) where rn <= {k}
+        ),
+        hop2 as (
+            select mid, pred2, z from (
+                select src as mid, pred as pred2, dst as z,
+                       row_number() over (
+                           partition by src
+                           order by w desc, pred asc, dst asc) as rn
+                from e
+            ) where rn <= {k}
+        )
+        select pred1, pred2,
+               cast(count(*) as bigint) as n_paths,
+               cast(count(distinct mid) as bigint) as n_mid,
+               cast(count(distinct x || chr(31) || z) as bigint)
+                   as n_pairs
+        from hop1 join hop2 using (mid)
+        where x <> z
+        group by 1, 2
+    """
+
+
 def _kg_communities_sql(iterations: int = 4) -> str:
     """Unrolled-CTE replay of graphstats.entity_communities'
     synchronous weighted label propagation (integer weights +
@@ -3395,6 +3501,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = _kg_materialized(spark)
         return predicate_profile(m["canon_triples"])
 
+    def kg_entity_cards(spark, sf):
+        # per-entity summary cards (operators/graphstats.py
+        # entity_cards): direction-split degree, doc support,
+        # evidence mass, and rank-ordered top-5 predicate/neighbour
+        # lists — every top-k a (count desc, name asc) total-order
+        # prefix so the joined strings replay exactly
+        from tildener_spark.operators.graphstats import entity_cards
+        m = _kg_materialized(spark)
+        return entity_cards(m["canon_triples"], k=5)
+
+    def kg_metapaths(spark, sf):
+        # two-hop metapath census (operators/graphstats.py
+        # metapath_profile): per (pred1, pred2) path/mid/pair counts
+        # over the top-16-per-mid capped edge tables — the hub guard
+        # keeps the mid join fanout at k^2, and the oracle replays
+        # the identical capped join
+        from tildener_spark.operators.graphstats import (
+            metapath_profile)
+        m = _kg_materialized(spark)
+        return metapath_profile(m["canon_triples"], k=16)
+
     def kg_ntriples(spark, sf):
         # W3C N-Triples export of the canonical KG (operators/rdf.py):
         # rdf:type per endpoint, one line per distinct edge, evidence
@@ -3758,6 +3885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_timeline": kg_timeline,
         "kg_edge_timeline": kg_edge_timeline,
         "kg_pred_profile": kg_pred_profile,
+        "kg_entity_cards": kg_entity_cards,
+        "kg_metapaths": kg_metapaths,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -6479,6 +6608,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_timeline": _kg_timeline_sql(),
         "kg_edge_timeline": _kg_edge_timeline_sql(),
         "kg_pred_profile": _kg_pred_profile_sql(),
+        # entity cards: rank-ordered string_agg over the same
+        # total-order top-k windows; metapaths: identical capped join
+        "kg_entity_cards": _kg_entity_cards_sql(),
+        "kg_metapaths": _kg_metapaths_sql(),
         "kg_communities": _kg_communities_sql(),
         "kg_triangles": _kg_triangles_sql(),
         "kg_linkpred": _kg_linkpred_sql(),

@@ -437,3 +437,63 @@ def test_predicate_profile_dominant_signature(spark):
     u = got["viena"]
     assert u["n_triples"] == u["n_pairs"] == u["n_signatures"] == 1
     assert u["top_sig_share"] == 1.0
+
+
+def _full_triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, subj_type string, subj_canonical string, "
+              "pred string, obj_type string, obj_canonical string")
+
+
+def test_entity_cards_ranks_and_degrees(spark):
+    from tildener_spark.operators.graphstats import entity_cards
+    t = _full_triples(spark, [
+        ("u1", "PER", "a", "works", "ORG", "b"),
+        ("u1", "PER", "a", "works", "ORG", "b"),
+        ("u2", "PER", "a", "born", "LOC", "c"),
+        ("u2", "ORG", "b", "in", "LOC", "c"),
+    ])
+    got = {(r["ne_type"], r["canonical"]): r
+           for r in entity_cards(t, k=2).collect()}
+    a = got[("PER", "a")]
+    assert (a["n_docs"], a["n_out"], a["n_in"], a["n_evidence"]) \
+        == (2, 3, 0, 3)
+    # works (2) outranks born (1); ties on count break name-asc
+    assert a["top_preds"] == "works|born"
+    assert a["top_neighbors"].startswith(f"ORG{SEP}b")
+    c = got[("LOC", "c")]
+    assert (c["n_out"], c["n_in"]) == (0, 2)
+    # k=2 cap: a has 2 distinct preds, card shows exactly both
+    assert len(a["top_preds"].split("|")) == 2
+
+
+def test_metapath_census_counts_and_self_exclusion(spark):
+    from tildener_spark.operators.graphstats import metapath_profile
+    t = _full_triples(spark, [
+        # x -p-> y -q-> z  (one composable path)
+        ("u1", "PER", "x", "p", "ORG", "y"),
+        ("u1", "ORG", "y", "q", "LOC", "z"),
+        # round trip x -p-> y -r-> x must be excluded
+        ("u2", "ORG", "y", "r", "PER", "x"),
+    ])
+    got = {(r["pred1"], r["pred2"]): (r["n_paths"], r["n_mid"],
+                                      r["n_pairs"])
+           for r in metapath_profile(t, k=16).collect()}
+    assert got[("p", "q")] == (1, 1, 1)
+    assert ("p", "r") not in got          # self-path excluded
+    # hop2 edges also start at x? none besides p — q,r only from y
+    assert set(got) == {("p", "q")}
+
+
+def test_metapath_hub_cap_bounds_fanout(spark):
+    from tildener_spark.operators.graphstats import metapath_profile
+    rows = []
+    # hub mid node with 10 in-edges and 10 out-edges
+    for i in range(10):
+        rows.append(("u", "PER", f"in{i}", "p", "ORG", "hub"))
+        rows.append(("u", "ORG", "hub", "q", "LOC", f"out{i}"))
+    t = _full_triples(spark, rows)
+    uncapped = metapath_profile(t, k=16).collect()[0]
+    assert uncapped["n_paths"] == 100
+    capped = metapath_profile(t, k=3).collect()[0]
+    assert capped["n_paths"] == 9  # 3 in x 3 out

@@ -432,6 +432,124 @@ def predicate_profile(canon_triples: DataFrame) -> DataFrame:
                     "top_sig_share"))
 
 
+def entity_cards(canon_triples: DataFrame, k: int = 5) -> DataFrame:
+    """Per-entity summary card — the "entity page" a KG consumer
+    renders: degree split by direction, document support, total
+    evidence, and the top-k predicates and neighbour entities as
+    deterministic ``|``-joined lists.
+
+    Determinism: every top-k is the (count desc, name asc) prefix of
+    a total order, and the joined string concatenates in rank order
+    via ``sort_array`` over (rank, name) structs — no
+    ``collect_list`` ordering dependence anywhere.
+
+    Scale shape: three keyed partial aggs off one endpoints table
+    ((entity), (entity, pred), (entity, neighbour)) plus two
+    vocabulary-bounded top-k windows; the heavy inputs are
+    |triples|-sized with map-side combine, the windows run over at
+    most |V| x |preds| / |E| distinct rows.  No per-entity fanout is
+    unbounded: the card keeps k rows per entity by construction.
+    """
+    ends = canon_triples.select(
+        F.concat_ws(SEP, "subj_type", "subj_canonical").alias("node"),
+        F.concat_ws(SEP, "obj_type", "obj_canonical").alias("other"),
+        "pred", "url", F.lit(1).alias("is_out"),
+    ).unionByName(canon_triples.select(
+        F.concat_ws(SEP, "obj_type", "obj_canonical").alias("node"),
+        F.concat_ws(SEP, "subj_type", "subj_canonical").alias("other"),
+        "pred", "url", F.lit(0).alias("is_out"),
+    ))
+
+    base = ends.groupBy("node").agg(
+        F.countDistinct("url").cast("long").alias("n_docs"),
+        F.sum("is_out").cast("long").alias("n_out"),
+        F.sum(1 - F.col("is_out")).cast("long").alias("n_in"),
+        F.count(F.lit(1)).cast("long").alias("n_evidence"),
+    )
+
+    def topk_join(key_col: str, alias: str) -> DataFrame:
+        cnt = ends.groupBy("node", key_col).agg(
+            F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(
+            F.desc("c"), F.asc(key_col))
+        return (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy("node")
+            .agg(F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct("rn", F.col(key_col).alias("v")))),
+                    lambda s: s["v"]),
+                "|").alias(alias))
+        )
+
+    return (
+        base
+        .join(topk_join("pred", "top_preds"), "node")
+        .join(topk_join("other", "top_neighbors"), "node")
+        .select(
+            F.split_part("node", F.lit(SEP), F.lit(1))
+            .alias("ne_type"),
+            F.split_part("node", F.lit(SEP), F.lit(2))
+            .alias("canonical"),
+            "n_docs", "n_out", "n_in", "n_evidence",
+            "top_preds", "top_neighbors")
+    )
+
+
+def metapath_profile(canon_triples: DataFrame,
+                     k: int = 16) -> DataFrame:
+    """Two-hop metapath census — for every predicate pair (p1, p2),
+    how many x -p1-> y -p2-> z paths the KG contains, through how
+    many distinct mid entities, reaching how many distinct (x, z)
+    pairs.  The schema-induction companion to
+    :func:`predicate_profile`: high-volume metapaths are the join
+    patterns worth materializing or indexing.
+
+    Scale shape: the mid-entity join is the one quadratic-in-degree
+    step, so both sides are capped at the top-``k`` distinct edges
+    per mid entity by (evidence desc, pred asc, partner asc) — the
+    same hub guard as the 2-hop expansion in
+    :func:`graph_degree_stats`; fanout is bounded at k^2 per mid
+    entity and the output is |preds|^2-sized.  Self-paths (x == z)
+    are excluded: x -p1-> y -p2-> x round trips say nothing about
+    composable relations.
+    """
+    e = (canon_triples
+         .groupBy("subj_type", "subj_canonical", "pred",
+                  "obj_type", "obj_canonical")
+         .agg(F.count(F.lit(1)).alias("w"))
+         .select(
+             F.concat_ws(SEP, "subj_type", "subj_canonical")
+             .alias("src"),
+             "pred",
+             F.concat_ws(SEP, "obj_type", "obj_canonical")
+             .alias("dst"),
+             "w"))
+    w_in = Window.partitionBy("dst").orderBy(
+        F.desc("w"), F.asc("pred"), F.asc("src"))
+    w_out = Window.partitionBy("src").orderBy(
+        F.desc("w"), F.asc("pred"), F.asc("dst"))
+    first = (e.withColumn("rn", F.row_number().over(w_in))
+             .filter(F.col("rn") <= k)
+             .select(F.col("src").alias("x"),
+                     F.col("pred").alias("pred1"),
+                     F.col("dst").alias("mid")))
+    second = (e.withColumn("rn", F.row_number().over(w_out))
+              .filter(F.col("rn") <= k)
+              .select(F.col("src").alias("mid"),
+                      F.col("pred").alias("pred2"),
+                      F.col("dst").alias("z")))
+    paths = (first.join(second, "mid")
+             .filter(F.col("x") != F.col("z")))
+    return (paths.groupBy("pred1", "pred2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths"),
+        F.countDistinct("mid").cast("long").alias("n_mid"),
+        F.countDistinct("x", "z").cast("long").alias("n_pairs"))
+    )
+
+
 def entity_communities(edges: DataFrame,
                        iterations: int = 4) -> DataFrame:
     """Deterministic synchronous label propagation over the
