@@ -1739,6 +1739,156 @@ def _kg_metapaths_sql(k: int = 16) -> str:
     """
 
 
+def _kg_negatives_sql(seed: str = "neg42") -> str:
+    """DuckDB mirror of kgtrain.negative_sampling: same ranked
+    per-type vocabulary, same md5 draw key (US-joined), the same
+    step-on-collision rule and existence anti-join."""
+    def h32(slot: str, typ: str) -> str:
+        key = (f"'{seed}' || chr(31) || s_type || chr(31) || s"
+               " || chr(31) || pred || chr(31) || o_type"
+               f" || chr(31) || o || chr(31) || '{slot}'")
+        return (f"(('0x' || substring(md5({key}), 1, 8))::bigint"
+                f" % z.n_type)")
+    return f"""
+        with ct as materialized (
+            select * from read_parquet(
+                '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+        ),
+        pos as materialized (
+            select distinct subj_type as s_type,
+                   subj_canonical as s, pred,
+                   obj_type as o_type, obj_canonical as o
+            from ct
+        ),
+        ents as materialized (
+            select ne_type, ent,
+                   row_number() over (partition by ne_type
+                                      order by ent asc) - 1 as idx
+            from (
+                select distinct subj_type as ne_type,
+                       subj_canonical as ent from ct
+                union
+                select distinct obj_type, obj_canonical from ct
+            )
+        ),
+        sizes as materialized (
+            select ne_type, count(*) as n_type from ents group by 1
+        ),
+        sneg as (
+            select 'subj' as slot, p.s_type as subj_type,
+                   e2.ent as subj, p.pred,
+                   p.o_type as obj_type, p.o as obj
+            from pos p
+            join sizes z on z.ne_type = p.s_type and z.n_type > 1
+            join ents eo on eo.ne_type = p.s_type and eo.ent = p.s
+            join ents e2 on e2.ne_type = p.s_type
+             and e2.idx = (case when {h32('subj', 's_type')} = eo.idx
+                                then ({h32('subj', 's_type')} + 1)
+                                     % z.n_type
+                                else {h32('subj', 's_type')} end)
+        ),
+        oneg as (
+            select 'obj' as slot, p.s_type as subj_type,
+                   p.s as subj, p.pred,
+                   p.o_type as obj_type, e2.ent as obj
+            from pos p
+            join sizes z on z.ne_type = p.o_type and z.n_type > 1
+            join ents eo on eo.ne_type = p.o_type and eo.ent = p.o
+            join ents e2 on e2.ne_type = p.o_type
+             and e2.idx = (case when {h32('obj', 'o_type')} = eo.idx
+                                then ({h32('obj', 'o_type')} + 1)
+                                     % z.n_type
+                                else {h32('obj', 'o_type')} end)
+        ),
+        negs as (select * from sneg union all select * from oneg)
+        select n.slot, n.subj_type, n.subj, n.pred,
+               n.obj_type, n.obj
+        from negs n
+        where not exists (
+            select 1 from pos p
+            where p.s_type = n.subj_type and p.s = n.subj
+              and p.pred = n.pred
+              and p.o_type = n.obj_type and p.o = n.obj)
+    """
+
+
+def _kg_walks_sql(n_seeds: int = 8, walks_per_seed: int = 4,
+                  n_steps: int = 5, max_deg: int = 64,
+                  seed: str = "walk42") -> str:
+    """DuckDB mirror of kgtrain.random_walks: identical capped
+    rank-indexed adjacency, seed selection, per-step md5 draw, and
+    dead-end absorption — each step one unrolled left join."""
+    wis = ", ".join(str(i) for i in range(walks_per_seed))
+    steps = []
+    prev = "w0"
+    for s in range(1, n_steps + 1):
+        key = (f"'{seed}' || chr(31) || w.walk_id || chr(31) ||"
+               f" '{s}' || chr(31) || w.cur")
+        steps.append(f"""
+        w{s} as (
+            select w.walk_id,
+                   coalesce(a.dst, w.cur) as cur,
+                   case when a.dst is not null
+                        then w.path || '>' || a.dst
+                        else w.path end as path
+            from {prev} w
+            left join deg d on d.src = w.cur
+            left join adj a on a.src = w.cur
+             and a.rk = (('0x' || substring(md5({key}), 1, 8))::bigint
+                         % d.outdeg)
+        )""")
+        prev = f"w{s}"
+    steps_sql = ",".join(steps)
+    return f"""
+        with ct as materialized (
+            select * from read_parquet(
+                '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+        ),
+        e as materialized (
+            select subj_type || '␟' || subj_canonical as src,
+                   obj_type || '␟' || obj_canonical as dst,
+                   count(*) as w
+            from ct group by 1, 2
+        ),
+        adj as materialized (
+            select src, rk, dst from (
+                select src, dst,
+                       row_number() over (
+                           partition by src
+                           order by w desc, dst asc) - 1 as rk
+                from e
+            ) where rk < {max_deg}
+        ),
+        deg as materialized (
+            select src, count(*) as outdeg from adj group by 1
+        ),
+        mass as (
+            select node, sum(w) as mass from (
+                select src as node, w from e
+                union all
+                select dst as node, w from e
+            ) group by 1
+        ),
+        seeds as (
+            select node from (
+                select node,
+                       row_number() over (
+                           order by mass desc, node asc) as srk
+                from mass
+            ) where srk <= {n_seeds}
+        ),
+        w0 as (
+            select node || '#' || cast(wi as varchar) as walk_id,
+                   node as cur, node as path
+            from seeds, (select unnest([{wis}]) as wi)
+        ),{steps_sql}
+        select walk_id, path,
+               cast(len(string_split(path, '>')) - 1 as bigint)
+                   as n_steps
+        from {prev}
+    """
+
+
 def _kg_communities_sql(iterations: int = 4) -> str:
     """Unrolled-CTE replay of graphstats.entity_communities'
     synchronous weighted label propagation (integer weights +
@@ -3522,6 +3672,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = _kg_materialized(spark)
         return metapath_profile(m["canon_triples"], k=16)
 
+    def kg_negatives(spark, sf):
+        # filtered type-consistent negative sampling for KG-embedding
+        # training (operators/kgtrain.py negative_sampling): md5-drawn
+        # replacement index into the ranked per-type vocabulary,
+        # step-on-collision, existence anti-join — the whole sample
+        # replays bitwise in DuckDB
+        from tildener_spark.operators.kgtrain import negative_sampling
+        m = _kg_materialized(spark)
+        return negative_sampling(m["canon_triples"])
+
+    def kg_walks(spark, sf):
+        # deterministic uniform random walks from the hub seeds
+        # (operators/kgtrain.py random_walks): rank-indexed capped
+        # adjacency, md5 draw mod outdeg per step, dead-end
+        # absorption; the oracle unrolls the 5 steps as joins
+        from tildener_spark.operators.kgtrain import random_walks
+        m = _kg_materialized(spark)
+        return random_walks(m["canon_triples"])
+
     def kg_ntriples(spark, sf):
         # W3C N-Triples export of the canonical KG (operators/rdf.py):
         # rdf:type per endpoint, one line per distinct edge, evidence
@@ -3887,6 +4056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_profile": kg_pred_profile,
         "kg_entity_cards": kg_entity_cards,
         "kg_metapaths": kg_metapaths,
+        "kg_negatives": kg_negatives,
+        "kg_walks": kg_walks,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -6612,6 +6783,10 @@ def oracle_sql() -> dict[str, str]:
         # total-order top-k windows; metapaths: identical capped join
         "kg_entity_cards": _kg_entity_cards_sql(),
         "kg_metapaths": _kg_metapaths_sql(),
+        # negative sampling / random walks: md5-pinned draws replayed
+        # relationally (ranked-vocabulary joins, unrolled walk steps)
+        "kg_negatives": _kg_negatives_sql(),
+        "kg_walks": _kg_walks_sql(),
         "kg_communities": _kg_communities_sql(),
         "kg_triangles": _kg_triangles_sql(),
         "kg_linkpred": _kg_linkpred_sql(),
