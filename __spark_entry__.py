@@ -3691,6 +3691,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = _kg_materialized(spark)
         return random_walks(m["canon_triples"])
 
+    def kg_pattern(spark, sf):
+        # conjunctive graph-pattern query (operators/query.py
+        # KGQuery): PERS ?x -strādāt-> ?y -atrasties-> LOC ?z,
+        # compiled selectivity-first with literals pushed into the
+        # scans; the oracle is the equivalent relational join
+        from tildener_spark.operators.query import KGQuery
+        m = _kg_materialized(spark)
+        return (KGQuery(m["canon_triples"])
+                .match("?x", "vadīt", "?y")
+                .match("?y", "atrasties", "?z")
+                .where_type("?x", "PERS")
+                .where_type("?z", "LOC")
+                .select("?x", "?y", "?z"))
+
     def kg_ntriples(spark, sf):
         # W3C N-Triples export of the canonical KG (operators/rdf.py):
         # rdf:type per endpoint, one line per distinct edge, evidence
@@ -4058,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapaths": kg_metapaths,
         "kg_negatives": kg_negatives,
         "kg_walks": kg_walks,
+        "kg_pattern": kg_pattern,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -6787,6 +6802,36 @@ def oracle_sql() -> dict[str, str]:
         # relationally (ranked-vocabulary joins, unrolled walk steps)
         "kg_negatives": _kg_negatives_sql(),
         "kg_walks": _kg_walks_sql(),
+        # pattern query: the equivalent relational join of the two
+        # triple patterns with identical pushed filters and dedups
+        "kg_pattern": f"""
+            with ct as materialized (
+                select * from read_parquet(
+                    '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+            ),
+            p1 as (
+                select distinct
+                       subj_type || '␟' || subj_canonical as x,
+                       obj_type || '␟' || obj_canonical as y
+                from ct
+                where pred = 'vadīt' and subj_type = 'PERS'
+            ),
+            p2 as (
+                select distinct
+                       subj_type || '␟' || subj_canonical as y,
+                       obj_type || '␟' || obj_canonical as z
+                from ct
+                where pred = 'atrasties' and obj_type = 'LOC'
+            )
+            select distinct
+                   string_split(x, '␟')[1] as x_type,
+                   string_split(x, '␟')[2] as x,
+                   string_split(y, '␟')[1] as y_type,
+                   string_split(y, '␟')[2] as y,
+                   string_split(z, '␟')[1] as z_type,
+                   string_split(z, '␟')[2] as z
+            from p1 join p2 using (y)
+        """,
         "kg_communities": _kg_communities_sql(),
         "kg_triangles": _kg_triangles_sql(),
         "kg_linkpred": _kg_linkpred_sql(),
