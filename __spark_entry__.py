@@ -2871,6 +2871,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.sketches import kmv_set_ops
         return kmv_set_ops(_docs(spark, sf))
 
+    def q76_scd2_versions(spark, sf):
+        # SCD-2 version intervals over the multi-snapshot crawl
+        # (operators/urls.py scd2_versions): change rows open
+        # half-open validity intervals under the (ts, fingerprint)
+        # total order; two windows on one url-hash partitioning
+        from tildener_spark.operators.urls import scd2_versions
+        return scd2_versions(_snapshot_crawl(spark))
+
+    def q77_funnel(spark, sf):
+        # ordered first-occurrence funnel view -> click -> purchase
+        # (operators/events.py funnel): one user-keyed aggregate per
+        # step with monotonically shrinking join sides; integer reach
+        # counts + one rounded division per stage
+        from tildener_spark.operators.events import funnel
+        e = _tbl(spark, sf, "events")
+        return funnel(e, ["view", "click", "purchase"])
+
     def q73_asof_join(spark, sf):
         # purchase -> latest-prior-click attribution as-of join
         # (operators/asof.py asof_join): the union + ordered-window
@@ -4157,6 +4174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_asof_join": q73_asof_join,
         "q74_range_join": q74_range_join,
         "q75_kmv_setops": q75_kmv_setops,
+        "q76_scd2_versions": q76_scd2_versions,
+        "q77_funnel": q77_funnel,
     }
 
 
@@ -4569,6 +4588,75 @@ def oracle_sql() -> dict[str, str]:
         # (sketches.cms_bucket_sql) on both the build and probe side,
         # all-integer counters, min over the 4 rows — bitwise replay
         "q72_cms_heavy_hitters": _cms_oracle_sql(),
+        # SCD-2: same (ts, fingerprint) total order, change-row
+        # filter, and lead() interval close
+        "q76_scd2_versions": f"""
+            with crawl as ({_SNAPSHOT_CRAWL_SQL}),
+            pf as (
+                select url, warc_ts, md5(text) as fp,
+                       lag(md5(text)) over (
+                           partition by url
+                           order by warc_ts, md5(text)) as prev_fp
+                from crawl
+            ),
+            st as (
+                select url, warc_ts, fp from pf
+                where prev_fp is null or prev_fp <> fp
+            )
+            select url,
+                   cast(row_number() over (
+                       partition by url
+                       order by warc_ts, fp) as bigint) as version,
+                   fp,
+                   warc_ts as valid_from,
+                   lead(warc_ts) over (
+                       partition by url
+                       order by warc_ts, fp) as valid_to,
+                   (lead(warc_ts) over (
+                       partition by url
+                       order by warc_ts, fp) is null) as is_current
+            from st
+        """,
+        # funnel: per-step first-occurrence chain as three shrinking
+        # user-keyed aggregates, then the lag conversion over 3 rows
+        "q77_funnel": """
+            with s0 as (
+                select user_id, min(ts) as r0 from events
+                where event_type = 'view' group by 1
+            ),
+            s1 as (
+                select e.user_id, min(e.ts) as r1
+                from events e join s0 using (user_id)
+                where e.event_type = 'click' and e.ts >= s0.r0
+                group by 1
+            ),
+            s2 as (
+                select e.user_id, min(e.ts) as r2
+                from events e join s1 using (user_id)
+                where e.event_type = 'purchase' and e.ts >= s1.r1
+                group by 1
+            ),
+            counts as (
+                select 0 as stage_idx, 'view' as stage,
+                       cast(count(*) as bigint) as n_users from s0
+                union all
+                select 1, 'click', cast(count(*) as bigint) from s1
+                union all
+                select 2, 'purchase', cast(count(*) as bigint) from s2
+            )
+            select cast(stage_idx as bigint) as stage_idx, stage,
+                   n_users,
+                   case when lag(n_users) over (order by stage_idx)
+                             is null then 1.0
+                        when lag(n_users) over (order by stage_idx)
+                             = 0 then 0.0
+                        else round(cast(n_users as double)
+                                   / cast(lag(n_users) over (
+                                         order by stage_idx)
+                                       as double), 6)
+                   end as conv_from_prev
+            from counts
+        """,
         # as-of join: the identical union + ordered-window scan with
         # the pinned (ts, side, r_ts, r_value) tie order — the window
         # spelling IS the semantics, so both engines replay it exactly

@@ -302,3 +302,46 @@ def recrawl_drift(crawl: DataFrame, url_col: str = "url",
                    F.round(F.col("n_changes") / F.col("n_revisits"), 6))
             .otherwise(F.lit(0.0)).alias("change_rate"))
     )
+
+
+def scd2_versions(crawl: DataFrame, url_col: str = "url",
+                  ts_col: str = "warc_ts",
+                  text_col: str = "text") -> DataFrame:
+    """Slowly-changing-dimension type-2 version table from a
+    multi-snapshot crawl: one row per distinct consecutive content
+    version per URL, with half-open validity intervals.
+
+    Consecutive refetches with identical content collapse into the
+    earlier version; a change opens a new interval at its fetch time
+    and closes the previous one (A -> B -> A yields three versions —
+    validity is temporal, not content-keyed).  ``valid_to`` is null
+    on the live version.  Downstream, a point-in-time page lookup is
+    :func:`tildener_spark.operators.asof.asof_join` against
+    ``valid_from`` — the SCD-2 read pattern.
+
+    Determinism: fetch order is the (ts, fingerprint) total order
+    (same tie rule as :func:`recrawl_drift`); version numbers are
+    row_number over that order restricted to change rows.
+
+    Scale shape: two windows over the same (url)-hash partitioning —
+    one shuffle, reused; no joins, no driver state.
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col, "fp")
+    starts = (
+        crawl
+        .select(url_col, ts_col, F.md5(text_col).alias("fp"))
+        .withColumn("prev_fp", F.lag("fp").over(w))
+        .filter(F.col("prev_fp").isNull()
+                | (F.col("prev_fp") != F.col("fp")))
+    )
+    w2 = Window.partitionBy(url_col).orderBy(ts_col, "fp")
+    return (
+        starts
+        .select(
+            url_col,
+            F.row_number().over(w2).cast("long").alias("version"),
+            "fp",
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w2).alias("valid_to"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
