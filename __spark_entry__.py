@@ -1889,6 +1889,52 @@ def _kg_walks_sql(n_seeds: int = 8, walks_per_seed: int = 4,
     """
 
 
+def _kg_bottleneck_sql(n_seeds: int = 3,
+                       iterations: int = 6) -> str:
+    """Unrolled-CTE replay of graphstats.graph_bottleneck: same
+    symmetric integer edge weights, mass-ranked seeds, and the
+    monotone max-of-min relaxation one CTE per round."""
+    from tildener_spark.operators.graphstats import BOTTLENECK_CAP
+    steps = []
+    prev = "f0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+        f{i} as (
+            select node, max(strength) as strength from (
+                select node, strength from {prev}
+                union all
+                select u.src as node,
+                       least(f.strength, u.w) as strength
+                from und u join {prev} f on u.dst = f.node
+            ) group by node
+        )""")
+        prev = f"f{i}"
+    return f"""
+        with {_entity_edges_cte()},{_UND_CTE},
+        mass as (
+            select src, sum(w) as mass from und group by 1
+        ),
+        seeds as (
+            select src as node from (
+                select src,
+                       row_number() over (
+                           order by mass desc, src asc) as srk
+                from mass
+            ) where srk <= {n_seeds}
+        ),
+        f0 as (
+            select node,
+                   cast({BOTTLENECK_CAP} as bigint) as strength
+            from seeds
+        ),{",".join(steps)}
+        select string_split(node, '␟')[1] as ne_type,
+               string_split(node, '␟')[2] as canonical,
+               cast(strength as bigint) as strength,
+               (strength = {BOTTLENECK_CAP}) as is_seed
+        from {prev}
+    """
+
+
 def _kg_communities_sql(iterations: int = 4) -> str:
     """Unrolled-CTE replay of graphstats.entity_communities'
     synchronous weighted label propagation (integer weights +
@@ -3722,6 +3768,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where_type("?z", "LOC")
                 .select("?x", "?y", "?z"))
 
+    def kg_bottleneck(spark, sf):
+        # widest-path (max-bottleneck) strength from the hub seeds
+        # (operators/graphstats.py graph_bottleneck): all-integer
+        # monotone fixpoint, 6 unrolled rounds in the oracle
+        from tildener_spark.operators.graphstats import (
+            entity_edges, graph_bottleneck)
+        m = _kg_materialized(spark)
+        return graph_bottleneck(entity_edges(m["canon_triples"]),
+                                n_seeds=3, iterations=6)
+
     def kg_ntriples(spark, sf):
         # W3C N-Triples export of the canonical KG (operators/rdf.py):
         # rdf:type per endpoint, one line per distinct edge, evidence
@@ -4090,6 +4146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": kg_negatives,
         "kg_walks": kg_walks,
         "kg_pattern": kg_pattern,
+        "kg_bottleneck": kg_bottleneck,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -6890,6 +6947,9 @@ def oracle_sql() -> dict[str, str]:
         # relationally (ranked-vocabulary joins, unrolled walk steps)
         "kg_negatives": _kg_negatives_sql(),
         "kg_walks": _kg_walks_sql(),
+        # widest path: all-integer monotone fixpoint, 6 unrolled
+        # relaxation rounds
+        "kg_bottleneck": _kg_bottleneck_sql(),
         # pattern query: the equivalent relational join of the two
         # triple patterns with identical pushed filters and dedups
         "kg_pattern": f"""

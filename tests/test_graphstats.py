@@ -497,3 +497,55 @@ def test_metapath_hub_cap_bounds_fanout(spark):
     assert uncapped["n_paths"] == 100
     capped = metapath_profile(t, k=3).collect()[0]
     assert capped["n_paths"] == 9  # 3 in x 3 out
+
+
+def test_bottleneck_matches_bruteforce(spark):
+    from itertools import permutations
+
+    from tildener_spark.operators.graphstats import (
+        BOTTLENECK_CAP, entity_edges, graph_bottleneck)
+    # weighted path diversity: direct weak edge vs stronger detour
+    t = _triples(spark, (
+        [("PER", "s", "ORG", "a")] * 9       # s-a: 9
+        + [("PER", "s", "ORG", "b")] * 1     # s-b: 1 (weak direct)
+        + [("ORG", "a", "ORG", "b")] * 5     # a-b: 5 (detour wins: 5)
+        + [("ORG", "b", "LOC", "c")] * 3     # c via b: min(5,3)=3
+        + [("PER", "s", "PER", "hub")] * 20  # make s the top seed? no:
+    ))
+    edges = entity_edges(t)
+    got = {(r["ne_type"], r["canonical"]): (r["strength"], r["is_seed"])
+           for r in graph_bottleneck(edges, n_seeds=1,
+                                     iterations=6).collect()}
+    # seed = max-mass node = s (9+1+20 = 30)
+    assert got[("PER", "s")] == (BOTTLENECK_CAP, True)
+    assert got[("ORG", "a")][0] == 9
+    assert got[("ORG", "b")][0] == 5      # detour s->a->b beats direct 1
+    assert got[("LOC", "c")][0] == 3
+    assert got[("PER", "hub")][0] == 20
+
+    # exhaustive check: max over simple paths of min edge weight
+    w = {}
+    for r in edges.collect():
+        u, v = r["src"], r["dst"]
+        w[(u, v)] = w.get((u, v), 0) + r["n_evidence"]
+    und = {}
+    for (u, v), ev in w.items():
+        und[frozenset((u, v))] = und.get(frozenset((u, v)), 0) + ev
+    nodes = sorted({n for p in und for n in p})
+    seed = f"PER{SEP}s"
+    for target in nodes:
+        if target == seed:
+            continue
+        best = 0
+        for k in range(1, len(nodes)):
+            for mid in permutations([n for n in nodes
+                                     if n not in (seed, target)], k - 1):
+                path = [seed, *mid, target]
+                ok = all(frozenset((a, b)) in und
+                         for a, b in zip(path, path[1:]))
+                if ok:
+                    best = max(best, min(
+                        und[frozenset((a, b))]
+                        for a, b in zip(path, path[1:])))
+        typ, can = target.split(SEP)
+        assert got[(typ, can)][0] == best, target

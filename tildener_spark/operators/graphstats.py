@@ -605,6 +605,72 @@ def entity_communities(edges: DataFrame,
     return out
 
 
+BOTTLENECK_CAP = 1 << 40  # seed strength sentinel (> any evidence)
+
+
+def graph_bottleneck(edges: DataFrame, n_seeds: int = 3,
+                     iterations: int = 6) -> DataFrame:
+    """Max-bottleneck (widest-path) connection strength from the
+    evidence-mass hub seeds: for every reachable node, the maximum
+    over paths of the MINIMUM edge evidence along the path — "how
+    strong is this entity's strongest chain of evidence to a hub".
+    The all-integer companion to personalized PageRank: no float,
+    no quantization, the fixpoint replays exactly.
+
+    Dynamics: ``strength(v) = max(strength(v), max over incident
+    (u, w) of min(strength(u), w))`` with seeds pinned at
+    ``BOTTLENECK_CAP``; strengths are monotone nondecreasing, so a
+    fixed ``iterations`` unroll is a sound under-approximation that
+    equals the fixpoint once the graph's bottleneck diameter is
+    covered (6 hops on a linked-entity graph; the oracle unrolls the
+    same count).  Nodes not reached within the horizon are absent.
+
+    Plan shape per iteration: one |E| join on ``dst`` against the
+    frontier table + one node-keyed max partial-agg — same cost
+    class as a pagerank step, materialized once per round so the
+    logical plan stays linear in rounds.
+    """
+    und = (
+        edges.select("src", "dst", "n_evidence")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "n_evidence"))
+        .groupBy("src", "dst")
+        .agg(F.sum("n_evidence").alias("w"))
+        .persist()
+    )
+    und.count()
+    mass = und.groupBy("src").agg(F.sum("w").alias("mass"))
+    seeds = (mass
+             .withColumn("srk", F.row_number().over(
+                 Window.orderBy(F.desc("mass"), F.asc("src"))))
+             .filter(F.col("srk") <= n_seeds)
+             .select(F.col("src").alias("node")))
+    f = seeds.select(
+        "node", F.lit(BOTTLENECK_CAP).cast("long").alias("strength"),
+    ).persist()
+    f.count()
+    for _ in range(iterations):
+        relax = (
+            und.join(f, und.dst == f.node)
+            .select(und.src.alias("node"),
+                    F.least("strength", "w").cast("long")
+                    .alias("strength"))
+        )
+        nxt = (f.unionByName(relax)
+               .groupBy("node")
+               .agg(F.max("strength").alias("strength"))
+               .persist())
+        nxt.count()
+        f.unpersist()
+        f = nxt
+    out = split_node(f).select(
+        "ne_type", "canonical", F.col("strength").cast("long")
+        .alias("strength"),
+        (F.col("strength") == BOTTLENECK_CAP).alias("is_seed"))
+    und.unpersist()
+    return out
+
+
 def graph_triangles(edges: DataFrame, k: int = 16) -> DataFrame:
     """Per-entity triangle count and local clustering coefficient
     over the MUTUAL top-``k`` graph.
