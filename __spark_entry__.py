@@ -4049,6 +4049,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_surfaces").cast("long").alias("n_surfaces"))
 
+    def kg_incremental(spark, sf):
+        # incremental KG maintenance == full batch, cross-engine: a
+        # prior CHECKPOINTED run over pages 0-89 is merged with the
+        # 90-119 delta batch (plans/incremental.py — per-doc pass on
+        # the delta only, prior partition entering CC as collapsed
+        # star edges, broadcast-correction rewrite of stored
+        # triples_dc), and the merged entity table must hash against
+        # the SAME full-corpus relational derivation that oracles
+        # kg_entities_stage (_kg_graph_sql(cross=True)).  Hash-green
+        # therefore proves merge-vs-batch bit-identity, not just
+        # plausibility.
+        import shutil
+
+        from tildener_spark.config import EngineConfig
+        from tildener_spark.datagen import gazetteer_df
+        from tildener_spark.materialize import materialize_once
+        from tildener_spark.plans.incremental import (
+            run_pipeline_incremental)
+        from tildener_spark.plans.pipeline import run_pipeline
+        m = _kg_materialized(spark)
+        pages = m["pages"]
+        num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+        base = pages.filter(num < 90)
+        delta = pages.filter(num >= 90)
+        gaz = gazetteer_df(spark)
+        prior = os.path.join(_KG_CACHE, "incr_prior")
+        stamp = _kg_source_stamp()
+        marker = os.path.join(prior, "_PRIOR_STAMP")
+        if not (os.path.exists(marker)
+                and open(marker).read() == stamp):
+            shutil.rmtree(prior, ignore_errors=True)
+            run_pipeline(spark, base, gaz,
+                         EngineConfig(checkpoint_dir=prior))
+            with open(marker, "w") as f:
+                f.write(stamp)
+        inc = run_pipeline_incremental(spark, prior, delta, gaz,
+                                       EngineConfig())
+        ent = materialize_once(inc["entities"].select(
+            "component", "ne_type", "canonical",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_surfaces").cast("long").alias("n_surfaces")))
+        for c in inc["caches"]:
+            c.unpersist()
+        return ent
+
     def _kg_bootstrap_materialized(spark):
         """Two self-training iterations with the positive-iteration
         gate (plans/bootstrap.py; BootstrapNEModel.pl:206-357), run
@@ -4131,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links_stage": kg_links_stage,
         "kg_graph_stage": kg_graph_stage,
         "kg_entities_stage": kg_entities_stage,
+        "kg_incremental": kg_incremental,
         "kg_bootstrap": kg_bootstrap,
         "kg_pagerank": kg_pagerank,
         "kg_ppr": kg_ppr,
@@ -6919,6 +6965,10 @@ def oracle_sql() -> dict[str, str]:
         # banded self-join -> length/folded-first-char prefilters ->
         # Jaro-Winkler >= 0.94 -> extra hub-hub edges -> CC)
         "kg_entities_stage": _kg_graph_sql(cross=True),
+        # incremental merge vs the SAME full-batch derivation: the
+        # oracle is deliberately identical to kg_entities_stage's —
+        # hash-green == merge/batch bit-identity proven in DuckDB
+        "kg_incremental": _kg_graph_sql(cross=True),
         # the FUSED graph fast path (per-document surfaces/hub_pairs
         # from the Arrow pass + broadcast-correction canonicalization,
         # graph.py:200-251) against the same recursive-CTE mirror —

@@ -50,6 +50,98 @@ def _hub_node(ne_type, surface):
     return F.concat(F.lit("g:"), ne_type, F.lit(SEP), surface)
 
 
+def corrections_from_cc(hub_cc: DataFrame) -> DataFrame:
+    """CC labels -> the tiny broadcastable correction table
+    (hub, corr_canonical) for hubs whose component representative is
+    not themselves.  The representative is the lexicographically
+    smallest hub = "g:<type>␟<canonical>", so component id ==
+    hub-of-canonical and the canonical surface is the id's second
+    field; the table is bounded by the number of linked surface
+    pairs, not by corpus size."""
+    return (
+        hub_cc.filter(F.col("node") != F.col("component"))
+        .withColumn(
+            "parts",
+            F.split(F.substring("component", 3, 1 << 20), SEP))
+        .select(
+            F.col("node").alias("hub"),
+            F.col("parts")[1].alias("corr_canonical"))
+    )
+
+
+def fused_canonical_tables(mention_hub: DataFrame,
+                           corr: DataFrame) -> tuple[DataFrame,
+                                                     DataFrame]:
+    """Broadcast-correction canonicalization (the fused fast path):
+    (mention_hub = (url, ne_type, surface, hub), corr) ->
+    (mapping, components).  The correction table is broadcast (if a
+    pathological corpus made it large, AQE would still execute the
+    same join hash-partitioned by dropping the hint)."""
+    mapping = (
+        mention_hub
+        .join(F.broadcast(corr), ["hub"], "left")
+        .select(
+            "url", "ne_type", "surface",
+            F.coalesce(
+                "corr_canonical",
+                F.split(F.substring("hub", 3, 1 << 20), SEP)[1])
+            .alias("canonical"))
+        .withColumn(
+            "component",
+            _hub_node(F.col("ne_type"), F.col("canonical")))
+    )
+    components = (
+        mapping.select(
+            _mention_node(F.col("url"), F.col("ne_type"),
+                          F.col("surface")).alias("node"),
+            "component")
+        .union(
+            mention_hub.select(F.col("hub").alias("node")).distinct()
+            .join(F.broadcast(corr), F.col("node") == F.col("hub"),
+                  "left")
+            .select(
+                "node",
+                F.coalesce(
+                    _hub_node(
+                        F.split(F.substring("node", 3, 1 << 20),
+                                SEP)[0],
+                        F.col("corr_canonical")),
+                    F.col("node")).alias("component")))
+    )
+    return mapping, components
+
+
+def score_cross_pairs(cand: DataFrame,
+                      cfg: EngineConfig | None = None) -> DataFrame:
+    """JVM-side prefilters BEFORE the (Python) Jaro-Winkler pass over
+    LSH candidate pairs (ne_type, a, b), then the score threshold.
+
+    At score >= 0.94 the lengths must be close and (in practice) the
+    first character equal — cuts the candidate volume by orders of
+    magnitude, which is what keeps this stage viable when band
+    buckets collide (measured: unfiltered JW dominated the whole
+    pipeline at low core counts).  The first-char comparison is
+    ACCENT-FOLDED: a leading-diacritic typo ("Āboliņš"/"Abolins") is
+    exactly the recall this stage exists for, so a raw lowercase
+    equality would filter it away (VERDICT.md r01 item 10).
+    """
+    cfg = cfg or EngineConfig()
+    fold = lambda c: F.translate(  # noqa: E731
+        F.lower(c), _ACCENTS, _ACCENTS_FOLDED)
+    cand = cand.filter(
+        (F.abs(F.length("a") - F.length("b"))
+         * F.lit(5) <= F.length("a"))
+        & (fold(F.substring("a", 1, 1))
+           == fold(F.substring("b", 1, 1)))
+    )
+    return (
+        cand.withColumn(
+            "score",
+            jaro_winkler(F.lower("a"), F.lower("b")))
+        .filter(F.col("score") >= cfg.cross_doc_min_score)
+    )
+
+
 def build_entity_graph(mentions: DataFrame,
                        cfg: EngineConfig | None = None,
                        initialisms: frozenset[str] | set[str] = frozenset(),
@@ -160,30 +252,7 @@ def build_entity_graph(mentions: DataFrame,
         cand = lsh_candidate_pairs(vocab, cfg, handles=lsh_handles,
                                    counters=counters)
         _stage_mark("lsh_banding_materialize")
-        # JVM-side prefilters BEFORE the (Python) Jaro-Winkler pass:
-        # at score >= 0.94 the lengths must be close and (in practice)
-        # the first character equal — cuts the candidate volume by
-        # orders of magnitude, which is what keeps this stage viable
-        # when band buckets collide (measured: unfiltered JW dominated
-        # the whole pipeline at low core counts).  The first-char
-        # comparison is ACCENT-FOLDED: a leading-diacritic typo
-        # ("Āboliņš"/"Abolins") is exactly the recall this stage
-        # exists for, so a raw lowercase equality would filter it away
-        # (VERDICT.md r01 item 10).
-        fold = lambda c: F.translate(  # noqa: E731
-            F.lower(c), _ACCENTS, _ACCENTS_FOLDED)
-        cand = cand.filter(
-            (F.abs(F.length("a") - F.length("b"))
-             * F.lit(5) <= F.length("a"))
-            & (fold(F.substring("a", 1, 1))
-               == fold(F.substring("b", 1, 1)))
-        )
-        scored = (
-            cand.withColumn(
-                "score",
-                jaro_winkler(F.lower("a"), F.lower("b")))
-            .filter(F.col("score") >= cfg.cross_doc_min_score)
-        )
+        scored = score_cross_pairs(cand, cfg)
         cross_edges = scored.select(
             _hub_node(F.col("ne_type"), F.col("a")).alias("src"),
             _hub_node(F.col("ne_type"), F.col("b")).alias("dst"),
@@ -209,46 +278,8 @@ def build_entity_graph(mentions: DataFrame,
         # the number of chained alias pairs, not by corpus size; if a
         # pathological corpus made it large, AQE would still execute
         # the same join hash-partitioned by dropping the hint).
-        corr = (
-            hub_cc.filter(F.col("node") != F.col("component"))
-            .withColumn(
-                "parts",
-                F.split(F.substring("component", 3, 1 << 20), SEP))
-            .select(
-                F.col("node").alias("hub"),
-                F.col("parts")[1].alias("corr_canonical"))
-        )
-        mapping = (
-            mention_hub
-            .join(F.broadcast(corr), ["hub"], "left")
-            .select(
-                "url", "ne_type", "surface",
-                F.coalesce(
-                    "corr_canonical",
-                    F.split(F.substring("hub", 3, 1 << 20), SEP)[1])
-                .alias("canonical"))
-            .withColumn(
-                "component",
-                _hub_node(F.col("ne_type"), F.col("canonical")))
-        )
-        components = (
-            mapping.select(
-                _mention_node(F.col("url"), F.col("ne_type"),
-                              F.col("surface")).alias("node"),
-                "component")
-            .union(
-                mention_hub.select(F.col("hub").alias("node")).distinct()
-                .join(F.broadcast(corr), F.col("node") == F.col("hub"),
-                      "left")
-                .select(
-                    "node",
-                    F.coalesce(
-                        _hub_node(
-                            F.split(F.substring("node", 3, 1 << 20),
-                                    SEP)[0],
-                            F.col("corr_canonical")),
-                        F.col("node")).alias("component")))
-        )
+        corr = corrections_from_cc(hub_cc)
+        mapping, components = fused_canonical_tables(mention_hub, corr)
     else:
         # hub -> component (hubs outside any alias chain are their own)
         hub_component = (

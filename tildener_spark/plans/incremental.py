@@ -1,0 +1,207 @@
+"""Incremental KG maintenance: merge a delta batch of pages into a
+prior checkpointed pipeline run WITHOUT re-running the per-document
+pass over the prior corpus.
+
+The north rule asks for a resumable pipeline; resumability's natural
+extension is incrementality — at 10^12 documents a daily crawl batch
+must never force a full-corpus recompute.  The per-stage checkpoint
+layout (plans/lineage.py) already materializes everything a merge
+needs, so the incremental run's cost profile is:
+
+* corpus-sized work ONLY on the delta: one fused Arrow pass over the
+  new pages (the >95% cost center of a full run);
+* vocabulary-sized work on the union: minhash banding re-runs over
+  the combined surface vocabulary (|V|, orders of magnitude below
+  corpus size), but candidate scoring — the expensive Python step —
+  runs ONLY for pairs touching a genuinely new surface: pairs between
+  two prior surfaces were already decided in the prior run and are
+  encoded in its component assignments;
+* connected components over (prior hub->component assignments ∪
+  delta alias edges ∪ new cross-document links) — the prior
+  partition enters as pre-collapsed star edges, so CC input is
+  |prior hubs| + |delta links|, never corpus-sized;
+* canonical-triple rewrite of prior docs via the broadcast
+  correction table (a prior entity CAN change canonical surface when
+  a delta surface merges into — or lexicographically undercuts — its
+  cluster; the rewrite is two broadcast joins against the stored
+  triples_dc stage table, not a recompute).
+
+Exactness: the merged output is bit-identical to a full-batch run
+over (prior ∪ delta) pages — LSH candidacy is pair-local (per-surface
+signatures, shared band bucket), Jaro-Winkler acceptance is
+pair-local, and CC is generated-edge-set invariant.  The ONE
+documented divergence source is the LSH ``max_bucket`` skew guard: a
+band bucket under the cap in the prior run can exceed it in the
+full-batch union, dropping prior-internal pairs the incremental run
+has already committed to (the incremental result then merges MORE
+than the batch result — conservative for dedup).
+``tests/test_incremental.py`` pins bit-identity on corpora below the
+cap and documents the guard interaction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tildener_spark.config import EngineConfig
+from tildener_spark.operators.document import (
+    explode_docs, make_process_document_udf)
+from tildener_spark.operators.components import connected_components
+from tildener_spark.operators.graph import (
+    _hub_node, canonicalize_triples_fused, corrections_from_cc,
+    fused_canonical_tables, score_cross_pairs)
+from tildener_spark.operators.linking import lsh_candidate_pairs
+
+__all__ = ["read_stage", "run_pipeline_incremental"]
+
+
+def read_stage(spark: SparkSession, checkpoint_dir: str,
+               stage: str) -> DataFrame:
+    """Read a committed stage table from a prior run's checkpoint
+    dir, transparently handling the per-slice layout."""
+    path = os.path.join(checkpoint_dir, stage)
+    if os.path.isdir(os.path.join(path, "slice_0")):
+        return spark.read.parquet(os.path.join(path, "slice_*"))
+    return spark.read.parquet(path)
+
+
+def _resolved(docs: DataFrame) -> DataFrame:
+    """(url, ne_type, surface, doc_canonical) from a docs stage
+    table (fused per-document output struct)."""
+    return (docs.select("url", F.explode("doc.surfaces").alias("x"))
+            .select("url", "x.*")
+            .select("url", "ne_type", "surface", "doc_canonical"))
+
+
+def run_pipeline_incremental(
+    spark: SparkSession,
+    prior_checkpoint_dir: str,
+    pages_delta: DataFrame,
+    gazetteer: DataFrame,
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Merge ``pages_delta`` into the prior checkpointed fused run at
+    ``prior_checkpoint_dir`` (stages ``docs``/``triples_dc``/
+    ``mapping`` must be committed).
+
+    Returns {"canonical_triples", "mapping", "components",
+    "entities", "triples_dc", "counters"} for the MERGED corpus —
+    the same tables a full-batch ``run_pipeline`` produces, with
+    counters recording the delta/recheck row volumes.
+    """
+    cfg = cfg or EngineConfig()
+    counters: dict[str, dict] = {}
+
+    # ---- prior state (stage tables; no recompute) ----------------
+    docs_prior = read_stage(spark, prior_checkpoint_dir, "docs")
+    triples_dc_prior = read_stage(spark, prior_checkpoint_dir,
+                                  "triples_dc")
+    mapping_prior = read_stage(spark, prior_checkpoint_dir, "mapping")
+    resolved_prior = _resolved(docs_prior)
+
+    # prior partition as pre-collapsed star edges: every prior hub
+    # points at its component representative (self-edges for
+    # singleton hubs are dropped; they add nothing to CC)
+    prior_hub_edges = (
+        resolved_prior
+        .join(mapping_prior, ["url", "ne_type", "surface"])
+        .select(
+            _hub_node(F.col("ne_type"), F.col("doc_canonical"))
+            .alias("src"),
+            F.col("component").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    # ---- delta corpus: the only corpus-sized work ----------------
+    initialisms = {
+        r["surface"] for r in gazetteer
+        .filter(F.col("ne_type") == "ORG_INIT").collect()}
+    gaz_rows = [(r["ne_type"], r["surface"])
+                for r in gazetteer.collect()]
+    doc_udf = make_process_document_udf(gaz_rows, cfg, initialisms)
+    docs_delta = pages_delta.select(
+        "url", "lang", doc_udf(F.col("text")).alias("doc")).persist()
+    docs_delta.count()  # one materializing pass (see run_pipeline)
+
+    triples_dc_delta = explode_docs(docs_delta, "triples")
+    resolved_delta = _resolved(docs_delta)
+    hub_pairs_delta = (
+        docs_delta.select(F.explode("doc.hub_pairs").alias("x"))
+        .select("x.*").select("src", "dst").distinct())
+
+    # ---- vocabulary delta + new-pair-only linking ----------------
+    def vocab(resolved):
+        return (resolved
+                .select("ne_type",
+                        F.col("doc_canonical").alias("surface"))
+                .filter(F.length("surface") >= cfg.cross_doc_min_len)
+                .distinct())
+
+    v_prior = vocab(resolved_prior).persist()
+    v_new = (vocab(resolved_delta)
+             .join(v_prior, ["ne_type", "surface"], "left_anti")
+             .persist())
+    n_new = v_new.count()
+    counters["vocab_delta"] = {"rows_out": n_new}
+    v_all = v_prior.unionByName(v_new)
+
+    lsh_handles: list = []
+    cand = lsh_candidate_pairs(v_all, cfg, handles=lsh_handles,
+                               counters=counters)
+    # keep only pairs that touch a NEW surface: prior-internal pairs
+    # were decided in the prior run and live in prior_hub_edges
+    flag_a = v_new.select(
+        "ne_type", F.col("surface").alias("a"),
+        F.lit(True).alias("_na"))
+    flag_b = v_new.select(
+        "ne_type", F.col("surface").alias("b"),
+        F.lit(True).alias("_nb"))
+    cand_new = (
+        cand.join(F.broadcast(flag_a), ["ne_type", "a"], "left")
+        .join(F.broadcast(flag_b), ["ne_type", "b"], "left")
+        .filter(F.col("_na").isNotNull() | F.col("_nb").isNotNull())
+        .drop("_na", "_nb")
+    )
+    cross_edges_new = score_cross_pairs(cand_new, cfg).select(
+        _hub_node(F.col("ne_type"), F.col("a")).alias("src"),
+        _hub_node(F.col("ne_type"), F.col("b")).alias("dst"),
+    )
+
+    # ---- merged components + broadcast-correction rewrite --------
+    edges = (prior_hub_edges
+             .unionByName(hub_pairs_delta)
+             .unionByName(cross_edges_new))
+    hub_cc = connected_components(edges, cfg)
+    for h in lsh_handles:
+        h.unpersist()
+    corr = corrections_from_cc(hub_cc)
+
+    resolved_all = resolved_prior.unionByName(resolved_delta)
+    mention_hub = resolved_all.select(
+        "url", "ne_type", "surface",
+        _hub_node(F.col("ne_type"), F.col("doc_canonical"))
+        .alias("hub"))
+    mapping, components = fused_canonical_tables(mention_hub, corr)
+
+    triples_dc_all = triples_dc_prior.unionByName(triples_dc_delta)
+    canon = canonicalize_triples_fused(triples_dc_all, corr)
+
+    entities = (
+        mapping.groupBy("component", "ne_type", "canonical")
+        .agg(F.countDistinct("url").alias("n_docs"),
+             F.countDistinct("surface").alias("n_surfaces"))
+    )
+    v_prior.unpersist()
+    v_new.unpersist()
+    return {
+        "canonical_triples": canon,
+        "mapping": mapping,
+        "components": components,
+        "entities": entities,
+        "triples_dc": triples_dc_all,
+        "counters": counters,
+        "caches": [docs_delta],
+    }
