@@ -1,0 +1,89 @@
+"""Streaming KG maintenance (streaming/kgstream.py): per-micro-batch
+incremental merges must leave the canonical KG bit-identical to a
+full-batch run over everything ingested, and replaying the drained
+stream must be a no-op (offsets + epoch markers = exactly-once
+commits)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tildener_spark.config import EngineConfig
+from tildener_spark.datagen import corpus_df, gazetteer_df, split_gold
+from tildener_spark.plans.pipeline import run_pipeline
+from tildener_spark.streaming.kgstream import (
+    KGState, kg_maintenance_query)
+
+SCHEMA = "url string, warc_ts timestamp, text string, lang string"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols)
+                  for r in df.select(*cols).collect())
+
+
+CANON_COLS = ["url", "sent_id", "subj", "subj_canonical", "subj_type",
+              "pred", "obj", "obj_canonical", "obj_type", "prob",
+              "kind"]
+
+
+def test_stream_equals_full_batch_and_replay_is_noop(spark, tmp_path):
+    corpus = corpus_df(spark, 40).cache()
+    pages, *_ = split_gold(corpus)
+    pages = pages.select("url", "warc_ts", "text", "lang").cache()
+    gaz = gazetteer_df(spark)
+
+    src = str(tmp_path / "src")
+    pages.repartition(4).write.parquet(src)
+    n_files = len([f for f in os.listdir(src)
+                   if f.endswith(".parquet")])
+    assert n_files == 4
+
+    state_dir = str(tmp_path / "state")
+    offsets = str(tmp_path / "offsets")
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (kg_maintenance_query(spark, stream, gaz, state_dir, offsets)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    state = KGState(spark, state_dir)
+    eps = state.epochs()
+    assert len(eps) == 2  # 4 files / 2 per trigger
+
+    full = run_pipeline(spark, pages, gaz, EngineConfig())
+    assert _rows(state.canonical_triples(), CANON_COLS) \
+        == _rows(full.canonical_triples, CANON_COLS)
+
+    # replay the drained stream: offsets say nothing new -> no epoch
+    q2 = (kg_maintenance_query(spark,
+                               spark.readStream.schema(SCHEMA)
+                               .option("maxFilesPerTrigger", 2)
+                               .parquet(src),
+                               gaz, state_dir, offsets)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert len(KGState(spark, state_dir).epochs()) == 2
+
+    # new files arriving -> exactly one more epoch, still == batch
+    extra = corpus_df(spark, 48).cache()
+    extra_pages, *_ = split_gold(extra)
+    extra_pages = extra_pages.select(
+        "url", "warc_ts", "text", "lang").filter(
+        F.regexp_extract("url", r"doc/([0-9]+)$", 1)
+        .cast("int") >= 40)
+    extra_pages.coalesce(1).write.mode("append").parquet(src)
+    q3 = (kg_maintenance_query(spark,
+                               spark.readStream.schema(SCHEMA)
+                               .option("maxFilesPerTrigger", 2)
+                               .parquet(src),
+                               gaz, state_dir, offsets)
+          .trigger(availableNow=True).start())
+    q3.awaitTermination()
+    state3 = KGState(spark, state_dir)
+    assert len(state3.epochs()) == 3
+
+    all_pages = pages.unionByName(extra_pages)
+    full3 = run_pipeline(spark, all_pages, gaz, EngineConfig())
+    assert _rows(state3.canonical_triples(), CANON_COLS) \
+        == _rows(full3.canonical_triples, CANON_COLS)

@@ -254,6 +254,15 @@ def run_pipeline(
                                     counters=counters)
         mapping = checkpoint_stage(spark, mapping, ckpt, "mapping",
                                    counters=counters)
+        # vocabulary-sized hub partition (hub node -> component):
+        # the incremental merge plan (plans/incremental.py) seeds CC
+        # and the prior vocabulary from this table, so a batch merge
+        # never has to rejoin the mention-level docs/mapping tables
+        checkpoint_stage(
+            spark,
+            graph["components"].filter(F.col("node").startswith("g:"))
+            .select("node", "component"),
+            ckpt, "hub_components", counters=counters)
     elif not fused:
         mapping = mapping.persist()  # joined twice (subj + obj sides)
 

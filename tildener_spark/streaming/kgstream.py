@@ -1,0 +1,169 @@
+"""Streaming KG maintenance: continuously arriving page batches are
+merged into the canonical knowledge graph per micro-batch.
+
+streaming/incremental.py streams the STATELESS tagging chain and
+defers linking/CC to periodic batch compaction; this module closes
+that gap with ``foreachBatch`` + the incremental merge plan
+(plans/incremental.py): every micro-batch runs the fused per-document
+pass on its own pages only, links its new surfaces against the
+accumulated vocabulary, re-solves components with the prior partition
+entering as collapsed star edges, and commits an append-only state
+epoch.  The canonical KG is therefore correct — bit-identical to a
+full-batch run over everything ingested so far — after EVERY batch,
+not only after a nightly compaction.
+
+State layout (``state_dir``)::
+
+    epoch_00000/          first batch: a full checkpoint layout
+                          (run_pipeline(checkpoint_dir=...))
+    epoch_00001/          each later batch: docs + triples_dc for the
+      docs/               batch's pages (append-only facts), mapping/
+      triples_dc/         canonical_triples for the MERGED corpus
+      mapping/            (current view), _SUCCESS marker written
+      canonical_triples/  LAST so a crashed commit is invisible
+      _SUCCESS
+
+Readers take docs/triples_dc as the union of ALL committed epochs and
+mapping/canonical_triples from the NEWEST — so the current canonical
+view is one directory read, while per-batch facts are never
+rewritten.  A crash mid-commit leaves no ``_SUCCESS``; the streaming
+checkpoint (offsets) replays the batch and the half-written epoch is
+overwritten — the same at-least-once + idempotent-commit contract as
+the batch pipeline's stage checkpoints.
+
+At 10^12-document scale the merged-view tables (mapping,
+canonical_triples) would be maintained as partition-merge writes
+rather than full rewrites per epoch; the epoch contract is the same.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tildener_spark.config import EngineConfig
+from tildener_spark.plans.incremental import (
+    read_stage, run_pipeline_incremental)
+from tildener_spark.plans.pipeline import run_pipeline
+
+__all__ = ["KGState", "kg_maintenance_query"]
+
+_EPOCH_RE = re.compile(r"^epoch_(\d{5})$")
+
+
+class KGState:
+    """Epoch-structured KG state under ``state_dir`` (local or any
+    Hadoop-visible FS path in cluster deployments)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def epochs(self) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if _EPOCH_RE.match(name) and os.path.exists(
+                    os.path.join(self.dir, name, "_SUCCESS")):
+                out.append(os.path.join(self.dir, name))
+        return out
+
+    def _next_path(self) -> str:
+        nums = [int(_EPOCH_RE.match(os.path.basename(p)).group(1))
+                for p in self.epochs()]
+        return os.path.join(
+            self.dir, f"epoch_{(max(nums) + 1 if nums else 0):05d}")
+
+    def read(self) -> dict:
+        """Prior tables for the next merge: append-only facts from
+        every epoch, current view from the newest."""
+        eps = self.epochs()
+        if not eps:
+            raise ValueError(f"no committed epochs in {self.dir}")
+        docs = read_stage(self.spark, eps[0], "docs")
+        tdc = read_stage(self.spark, eps[0], "triples_dc")
+        for e in eps[1:]:
+            docs = docs.unionByName(
+                read_stage(self.spark, e, "docs"))
+            tdc = tdc.unionByName(
+                read_stage(self.spark, e, "triples_dc"))
+        prior = {"docs": docs, "triples_dc": tdc,
+                 "mapping": read_stage(self.spark, eps[-1],
+                                       "mapping")}
+        if os.path.isdir(os.path.join(eps[-1], "hub_components")):
+            prior["hub_components"] = read_stage(
+                self.spark, eps[-1], "hub_components")
+        return prior
+
+    def canonical_triples(self) -> DataFrame:
+        return read_stage(self.spark, self.epochs()[-1],
+                          "canonical_triples")
+
+    def merge_batch(self, pages: DataFrame, gazetteer: DataFrame,
+                    cfg: EngineConfig | None = None) -> None:
+        """Commit one batch: full checkpointed run for the first
+        epoch, incremental merge + epoch commit afterwards.  Writes
+        the ``_SUCCESS`` marker last (commit atomicity)."""
+        cfg = cfg or EngineConfig()
+        if pages.isEmpty():
+            return
+        path = self._next_path()
+        if not self.epochs():
+            import dataclasses
+            run_pipeline(self.spark, pages, gazetteer,
+                         dataclasses.replace(cfg,
+                                             checkpoint_dir=path))
+            # run_pipeline's stage tables carry their own markers;
+            # the epoch marker seals the whole layout
+            with open(os.path.join(path, "_SUCCESS"), "w") as f:
+                f.write("")
+            return
+        res = run_pipeline_incremental(self.spark, self.read(),
+                                       pages, gazetteer, cfg)
+        os.makedirs(path, exist_ok=True)
+        res["docs_delta"].write.mode("overwrite").parquet(
+            os.path.join(path, "docs"))
+        res["triples_dc_delta"].write.mode("overwrite").parquet(
+            os.path.join(path, "triples_dc"))
+        res["mapping"].write.mode("overwrite").parquet(
+            os.path.join(path, "mapping"))
+        res["components"].filter(
+            F.col("node").startswith("g:")).select(
+            "node", "component").write.mode("overwrite").parquet(
+            os.path.join(path, "hub_components"))
+        res["canonical_triples"].write.mode("overwrite").parquet(
+            os.path.join(path, "canonical_triples"))
+        for c in res["caches"]:
+            c.unpersist()
+        with open(os.path.join(path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+
+def kg_maintenance_query(spark: SparkSession, pages_stream: DataFrame,
+                         gazetteer: DataFrame, state_dir: str,
+                         checkpoint_dir: str,
+                         cfg: EngineConfig | None = None):
+    """Wire a streaming pages source into per-micro-batch KG
+    maintenance.  Returns the (unstarted) DataStreamWriter; callers
+    start it with ``.trigger(availableNow=True).start()`` for
+    drain-and-exit ingestion or a processingTime trigger for
+    continuous operation.
+
+    ``checkpoint_dir`` is the Structured Streaming offsets log —
+    distinct from the KG state: offsets decide WHICH files each batch
+    replays, the epoch markers decide whether a replayed batch's
+    commit is visible; together they give exactly-once state commits
+    over an at-least-once stream.
+    """
+    state = KGState(spark, state_dir)
+    gaz_cached = gazetteer.persist()
+    gaz_cached.count()
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        state.merge_batch(batch_df, gaz_cached, cfg)
+
+    return (pages_stream.writeStream
+            .foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir))
