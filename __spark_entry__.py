@@ -2917,6 +2917,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.sketches import kmv_set_ops
         return kmv_set_ops(_docs(spark, sf))
 
+    def q78_bucketed_join(spark, sf):
+        # co-located fact-fact join (sources/bucketed.py): both sides
+        # bucketed + sorted by the order key at write time, so the
+        # recurring sort-merge join reads matching bucket files with
+        # NO Exchange on either side (plan shape asserted by
+        # tests/test_bucketing.py); decimal-exact revenue like q24
+        from tildener_spark.sources.bucketed import (
+            bucketed_order_revenue)
+        _tune_session(spark)
+        return bucketed_order_revenue(spark, sf)
+
     def q76_scd2_versions(spark, sf):
         # SCD-2 version intervals over the multi-snapshot crawl
         # (operators/urls.py scd2_versions): change rows open
@@ -4279,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_kmv_setops": q75_kmv_setops,
         "q76_scd2_versions": q76_scd2_versions,
         "q77_funnel": q77_funnel,
+        "q78_bucketed_join": q78_bucketed_join,
     }
 
 
@@ -4691,6 +4703,23 @@ def oracle_sql() -> dict[str, str]:
         # (sketches.cms_bucket_sql) on both the build and probe side,
         # all-integer counters, min over the 4 rows — bitwise replay
         "q72_cms_heavy_hitters": _cms_oracle_sql(),
+        # bucketed join: the layout changes the plan, not the answer
+        # — the oracle is the plain relational join with the same
+        # decimal-exact arithmetic
+        "q78_bucketed_join": """
+            select o.o_orderpriority,
+                   cast(sum(cast(
+                       cast(l.l_extendedprice as decimal(18,2))
+                       * (cast(1 as decimal(18,2))
+                          - cast(l.l_discount as decimal(18,2)))
+                       as decimal(38,4))) as double) as revenue,
+                   cast(count(*) as bigint) as n_lines,
+                   cast(count(distinct o.o_orderkey) as bigint)
+                       as n_orders
+            from lineitem l
+            join orders o on l.l_orderkey = o.o_orderkey
+            group by o.o_orderpriority
+        """,
         # SCD-2: same (ts, fingerprint) total order, change-row
         # filter, and lead() interval close
         "q76_scd2_versions": f"""
