@@ -2917,6 +2917,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.sketches import kmv_set_ops
         return kmv_set_ops(_docs(spark, sf))
 
+    def q79_grouping_sets(spark, sf):
+        # multi-level rollup in ONE pass: cube over (returnflag,
+        # linestatus) with grouping_id disambiguating the levels —
+        # the reporting shape that otherwise costs four scans;
+        # decimal-exact qty sum
+        li = _tbl(spark, sf, "lineitem")
+        return (
+            li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"))
+            .select("l_returnflag", "l_linestatus", "gid", "n",
+                    "sum_qty")
+        )
+
     def q78_bucketed_join(spark, sf):
         # co-located fact-fact join (sources/bucketed.py): both sides
         # bucketed + sorted by the order key at write time, so the
@@ -3789,6 +3805,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph_bottleneck(entity_edges(m["canon_triples"]),
                                 n_seeds=3, iterations=6)
 
+    def kg_calibration(spark, sf):
+        # classifier-confidence calibration against gold: per
+        # avg_prob percent-bin, mention volume and exact span+type
+        # precision — the reliability-diagram table behind the R_θ
+        # low-prob filter's threshold choice.  Integer tallies + one
+        # rounded division per bucket.
+        m = _kg_materialized(spark)
+        pred = m["mentions"].select(
+            "url", "line_from", "col_from", "line_to", "col_to",
+            "ne_type",
+            F.least(F.floor(F.col("avg_prob") * 100), F.lit(99))
+            .cast("int").alias("bucket"))
+        gold = m["gold_mentions"].select(
+            "url", "line_from", "col_from", "line_to", "col_to",
+            "ne_type", F.lit(1).alias("hit"))
+        key = ["url", "line_from", "col_from", "line_to", "col_to",
+               "ne_type"]
+        return (
+            pred.join(gold, key, "left")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                 .alias("n_correct"))
+            .select("bucket", "n_mentions", "n_correct",
+                    F.round(F.col("n_correct").cast("double")
+                            / F.col("n_mentions").cast("double"), 6)
+                    .alias("precision"))
+        )
+
     def kg_ntriples(spark, sf):
         # W3C N-Triples export of the canonical KG (operators/rdf.py):
         # rdf:type per endpoint, one line per distinct edge, evidence
@@ -4291,6 +4336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_scd2_versions": q76_scd2_versions,
         "q77_funnel": q77_funnel,
         "q78_bucketed_join": q78_bucketed_join,
+        "q79_grouping_sets": q79_grouping_sets,
+        "kg_calibration": kg_calibration,
     }
 
 
@@ -4703,6 +4750,44 @@ def oracle_sql() -> dict[str, str]:
         # (sketches.cms_bucket_sql) on both the build and probe side,
         # all-integer counters, min over the 4 rows — bitwise replay
         "q72_cms_heavy_hitters": _cms_oracle_sql(),
+        # cube: same grouping-id bit convention (first listed column
+        # = most significant bit) on both engines
+        "q79_grouping_sets": """
+            select l_returnflag, l_linestatus,
+                   cast(grouping(l_returnflag, l_linestatus)
+                        as bigint) as gid,
+                   cast(count(*) as bigint) as n,
+                   cast(sum(cast(l_quantity as decimal(18,2)))
+                        as double) as sum_qty
+            from lineitem
+            group by cube (l_returnflag, l_linestatus)
+        """,
+        # calibration: same percent-bin rule, same exact span+type match
+        "kg_calibration": f"""
+            with pred as (
+                select url, line_from, col_from, line_to, col_to,
+                       ne_type,
+                       cast(least(floor(avg_prob * 100), 99) as int)
+                           as bucket
+                from read_parquet(
+                    '{_KG_CACHE}/mentions.parquet/*.parquet')
+            ),
+            gold as (
+                select url, line_from, col_from, line_to, col_to,
+                       ne_type, 1 as hit
+                from read_parquet(
+                    '{_KG_CACHE}/gold_mentions.parquet/*.parquet')
+            )
+            select bucket,
+                   cast(count(*) as bigint) as n_mentions,
+                   cast(sum(coalesce(hit, 0)) as bigint) as n_correct,
+                   round(cast(sum(coalesce(hit, 0)) as double)
+                         / cast(count(*) as double), 6) as precision
+            from pred
+            left join gold using (url, line_from, col_from,
+                                  line_to, col_to, ne_type)
+            group by bucket
+        """,
         # bucketed join: the layout changes the plan, not the answer
         # — the oracle is the plain relational join with the same
         # decimal-exact arithmetic
