@@ -2917,6 +2917,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.sketches import kmv_set_ops
         return kmv_set_ops(_docs(spark, sf))
 
+    def q80_salted_join(spark, sf):
+        # salted skew-defused equi-join (operators/skew.py): the
+        # shuffle key widens to (user_id, md5-salt) so a hot user's
+        # events spread over 8 reducers, purchases replicate 8x;
+        # semantically identical to the plain join — which is exactly
+        # what the oracle runs
+        from tildener_spark.operators.skew import salted_join
+        e = _tbl(spark, sf, "events")
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id",
+            F.round(F.col("value") * 100).cast("bigint")
+            .alias("click_cents"))
+        purchases = e.filter(F.col("event_type") == "purchase") \
+            .groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        j = salted_join(clicks, purchases, ["user_id"],
+                        salt_cols=["event_id"], n_salt=8, how="left")
+        return (j.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("n_clicks"),
+                     F.sum("click_cents").cast("bigint")
+                     .alias("click_cents"),
+                     F.max(F.coalesce("n_purchases", F.lit(0)))
+                     .cast("bigint").alias("n_purchases")))
+
     def q79_grouping_sets(spark, sf):
         # multi-level rollup in ONE pass: cube over (returnflag,
         # linestatus) with grouping_id disambiguating the levels —
@@ -4337,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_funnel": q77_funnel,
         "q78_bucketed_join": q78_bucketed_join,
         "q79_grouping_sets": q79_grouping_sets,
+        "q80_salted_join": q80_salted_join,
         "kg_calibration": kg_calibration,
     }
 
@@ -4750,6 +4776,29 @@ def oracle_sql() -> dict[str, str]:
         # (sketches.cms_bucket_sql) on both the build and probe side,
         # all-integer counters, min over the 4 rows — bitwise replay
         "q72_cms_heavy_hitters": _cms_oracle_sql(),
+        # salted join: salting changes the shuffle, not the answer —
+        # the oracle is the plain join + rollup
+        "q80_salted_join": """
+            with clicks as (
+                select event_id, user_id,
+                       cast(round(value * 100) as bigint)
+                           as click_cents
+                from events where event_type = 'click'
+            ),
+            purchases as (
+                select user_id,
+                       cast(count(*) as bigint) as n_purchases
+                from events where event_type = 'purchase'
+                group by 1
+            )
+            select c.user_id,
+                   cast(count(*) as bigint) as n_clicks,
+                   cast(sum(c.click_cents) as bigint) as click_cents,
+                   cast(max(coalesce(p.n_purchases, 0)) as bigint)
+                       as n_purchases
+            from clicks c left join purchases p using (user_id)
+            group by c.user_id
+        """,
         # cube: same grouping-id bit convention (first listed column
         # = most significant bit) on both engines
         "q79_grouping_sets": """
