@@ -87,3 +87,44 @@ def test_stream_equals_full_batch_and_replay_is_noop(spark, tmp_path):
     full3 = run_pipeline(spark, all_pages, gaz, EngineConfig())
     assert _rows(state3.canonical_triples(), CANON_COLS) \
         == _rows(full3.canonical_triples, CANON_COLS)
+
+
+def test_compaction_preserves_state_and_continues(spark, tmp_path):
+    corpus = corpus_df(spark, 40).cache()
+    pages, *_ = split_gold(corpus)
+    pages = pages.select("url", "warc_ts", "text", "lang").cache()
+    gaz = gazetteer_df(spark)
+    num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+
+    state = KGState(spark, str(tmp_path / "state"))
+    state.merge_batch(pages.filter(num < 20), gaz)
+    state.merge_batch(pages.filter((num >= 20) & (num < 30)), gaz)
+    state.merge_batch(pages.filter((num >= 30) & (num < 35)), gaz)
+    assert len(state.epochs()) == 3
+
+    before = _rows(state.canonical_triples(), CANON_COLS)
+    state.compact()
+    assert len(state.epochs()) == 1
+    assert _rows(state.canonical_triples(), CANON_COLS) == before
+
+    # merging continues off the compacted epoch, still == full batch
+    state.merge_batch(pages.filter(num >= 35), gaz)
+    full = run_pipeline(spark, pages, gaz, EngineConfig())
+    assert _rows(state.canonical_triples(), CANON_COLS) \
+        == _rows(full.canonical_triples, CANON_COLS)
+
+
+def test_supersede_manifest_filters_uncollected_epochs(spark,
+                                                      tmp_path):
+    # crash between the compacted epoch's _SUCCESS and the cleanup:
+    # old dirs still on disk, manifest must hide them
+    d = tmp_path / "state"
+    for i, sup in ((0, None), (1, None), (2, "epoch_00000\nepoch_00001")):
+        e = d / f"epoch_{i:05d}"
+        e.mkdir(parents=True)
+        (e / "_SUCCESS").write_text("")
+        if sup:
+            (e / "_SUPERSEDES").write_text(sup)
+    state = KGState(spark, str(d))
+    assert [os.path.basename(p) for p in state.epochs()] \
+        == ["epoch_00002"]

@@ -63,12 +63,21 @@ class KGState:
         os.makedirs(state_dir, exist_ok=True)
 
     def epochs(self) -> list[str]:
-        out = []
+        committed, superseded = [], set()
         for name in sorted(os.listdir(self.dir)):
-            if _EPOCH_RE.match(name) and os.path.exists(
-                    os.path.join(self.dir, name, "_SUCCESS")):
-                out.append(os.path.join(self.dir, name))
-        return out
+            path = os.path.join(self.dir, name)
+            if not (_EPOCH_RE.match(name) and os.path.exists(
+                    os.path.join(path, "_SUCCESS"))):
+                continue
+            committed.append(path)
+            manifest = os.path.join(path, "_SUPERSEDES")
+            if os.path.exists(manifest):
+                superseded.update(
+                    line.strip()
+                    for line in open(manifest).read().splitlines()
+                    if line.strip())
+        return [p for p in committed
+                if os.path.basename(p) not in superseded]
 
     def _next_path(self) -> str:
         nums = [int(_EPOCH_RE.match(os.path.basename(p)).group(1))
@@ -139,6 +148,46 @@ class KGState:
             c.unpersist()
         with open(os.path.join(path, "_SUCCESS"), "w") as f:
             f.write("")
+
+
+    def compact(self) -> None:
+        """Rewrite the multi-epoch state as one epoch: append-only
+        facts (docs, triples_dc) unioned, the current view (mapping,
+        hub_components, canonical_triples) carried from the newest.
+
+        Crash-safe: the compacted epoch carries a ``_SUPERSEDES``
+        manifest naming the epochs it replaces, written BEFORE its
+        own ``_SUCCESS`` marker; ``epochs()`` filters superseded
+        dirs, so a crash between the marker and the cleanup leaves a
+        correct (merely un-garbage-collected) state, and a crash
+        before the marker leaves the old epochs untouched.  Cleanup
+        of superseded dirs is best-effort afterwards.
+        """
+        eps = self.epochs()
+        if len(eps) <= 1:
+            return
+        prior = self.read()
+        newest = eps[-1]
+        path = self._next_path()
+        os.makedirs(path, exist_ok=True)
+        prior["docs"].write.mode("overwrite").parquet(
+            os.path.join(path, "docs"))
+        prior["triples_dc"].write.mode("overwrite").parquet(
+            os.path.join(path, "triples_dc"))
+        for view in ("mapping", "hub_components",
+                     "canonical_triples"):
+            src = os.path.join(newest, view)
+            if os.path.isdir(src):
+                read_stage(self.spark, newest, view) \
+                    .write.mode("overwrite").parquet(
+                    os.path.join(path, view))
+        with open(os.path.join(path, "_SUPERSEDES"), "w") as f:
+            f.write("\n".join(os.path.basename(e) for e in eps))
+        with open(os.path.join(path, "_SUCCESS"), "w") as f:
+            f.write("")
+        import shutil
+        for e in eps:
+            shutil.rmtree(e, ignore_errors=True)
 
 
 def kg_maintenance_query(spark: SparkSession, pages_stream: DataFrame,
