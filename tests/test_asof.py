@@ -150,3 +150,87 @@ def test_range_join_no_duplicate_pairs(spark):
     assert out.groupBy("pv").count().filter(
         F.col("count") > 1).count() == 0
     assert out.count() == 2
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Differential vs pandas.merge_asof — an independent reference
+    implementation — across direction/strictness/tolerance on seeded
+    random inputs with duplicate timestamps and missing keys."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n_l, n_r = 120, 150
+        left_pd = pd.DataFrame({
+            "k": rng.choice(list("abcd"), n_l),
+            "lts": pd.to_datetime(
+                rng.integers(0, 500, n_l), unit="s"),
+            "lv": np.arange(n_l, dtype="int64"),
+        })
+        right_pd = pd.DataFrame({
+            "k": rng.choice(list("abce"), n_r),   # 'e' never matches
+            "rts": pd.to_datetime(
+                rng.integers(0, 500, n_r), unit="s"),
+            # unique rv so the deterministic tiebreak (max carry
+            # tuple among ts-duplicates) is well-defined in pandas
+            # terms: merge_asof takes the LAST among equal ts rows
+            # after sorting, so sort by (rts, rv) to align
+            "rv": rng.permutation(n_r).astype("int64"),
+        })
+        direction = ["backward", "forward"][trial % 2]
+        strict = trial >= 2
+        tol = pd.Timedelta(seconds=120) if trial == 1 else None
+
+        ref = pd.merge_asof(
+            left_pd.sort_values(["lts", "lv"]),
+            right_pd.sort_values(["rts", "rv"]),
+            left_on="lts", right_on="rts", by="k",
+            direction=direction,
+            allow_exact_matches=not strict,
+            tolerance=tol)
+
+        got = asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            ["k"], "lts", "rts", ["rv"],
+            direction=direction, strict=strict,
+            tolerance_s=None if tol is None else 120).collect()
+
+        got_map = {r["lv"]: r["rv_r"] for r in got}
+        assert len(got) == n_l
+        for _, row in ref.iterrows():
+            want = None if pd.isna(row["rv"]) else int(row["rv"])
+            assert got_map[row["lv"]] == want, (
+                trial, row["k"], row["lts"], want, got_map[row["lv"]])
+
+
+def test_range_join_matches_bruteforce_randomized(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    ivals_pd = pd.DataFrame({
+        "k": rng.choice(list("ab"), 40),
+        "s": pd.to_datetime(rng.integers(0, 3000, 40), unit="s"),
+        "iid": np.arange(40, dtype="int64"),
+    })
+    ivals_pd["e"] = ivals_pd["s"] + pd.to_timedelta(
+        rng.integers(1, 900, 40), unit="s")
+    pts_pd = pd.DataFrame({
+        "k": rng.choice(list("ab"), 200),
+        "pts": pd.to_datetime(rng.integers(0, 4000, 200), unit="s"),
+        "pid": np.arange(200, dtype="int64"),
+    })
+    expect = {
+        (int(i["iid"]), int(p["pid"]))
+        for _, i in ivals_pd.iterrows()
+        for _, p in pts_pd.iterrows()
+        if i["k"] == p["k"] and i["s"] <= p["pts"] < i["e"]}
+    got = {
+        (r["iid"], r["pid"])
+        for r in range_join(
+            spark.createDataFrame(ivals_pd),
+            spark.createDataFrame(pts_pd),
+            ["k"], "s", "e", "pts", bucket_s=300).collect()}
+    assert got == expect

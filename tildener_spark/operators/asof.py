@@ -114,8 +114,17 @@ def asof_join(
            else F.col("_side").desc())
     ts_ord = (F.col("_ts").asc() if direction == "backward"
               else F.col("_ts").desc())
-    order = [ts_ord, tie,
-             *[F.col(f"_r_{c}").asc_nulls_first() for c in carry]]
+    # carry tiebreak among right rows tied on (key, ts): backward
+    # keeps the LAST of the tied rows under ascending carry order,
+    # forward keeps the FIRST — matching pandas.merge_asof's
+    # convention on (ts, carry)-sorted input, which the differential
+    # test pins
+    carry_tie = [
+        (F.col(f"_r_{c}").asc_nulls_first()
+         if direction == "backward"
+         else F.col(f"_r_{c}").desc_nulls_first())
+        for c in carry]
+    order = [ts_ord, tie, *carry_tie]
     w = (Window.partitionBy(*keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
