@@ -229,8 +229,16 @@ the query set inflates it 2-4× from heap/cache pollution) with a
 24g driver heap (an 8g heap GC-thrashes at 48k docs: 52.9 s vs
 ~11 s for the same run).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BENCH/BASELINE.md accumulates hand-curated sections (floor
+    # hunts, checkpoint/skew/streaming/incremental benches, gate wall
+    # times) BELOW the generated header; overwriting the whole file
+    # once destroyed them.  Write the generated summary to a sidecar
+    # and leave the curated baseline to be updated deliberately.
+    with open(os.path.join(REPO, "BENCH", "SCALING_LAST_RUN.md"),
+              "w") as f:
         f.write(md)
+    print("wrote BENCH/SCALING_LAST_RUN.md (BASELINE.md is curated; "
+          "fold numbers in manually)")
 
 
 if __name__ == "__main__":
