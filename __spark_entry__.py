@@ -2917,6 +2917,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tildener_spark.operators.sketches import kmv_set_ops
         return kmv_set_ops(_docs(spark, sf))
 
+    def q81_json_props(spark, sf):
+        # semi-structured property extraction: the events table's
+        # props JSON parsed JVM-side (from_json with an explicit
+        # schema — no inference pass, no UDF), bucketed and rolled
+        # up; integer k so the aggregate is exact
+        e = _tbl(spark, sf, "events")
+        k = F.from_json(
+            F.col("props"), "k bigint").getField("k")
+        return (
+            e.select("event_type", k.alias("k"))
+            .withColumn("k_bucket",
+                        (F.floor(F.col("k") / 10) * 10).cast("int"))
+            .groupBy("event_type", "k_bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("k").cast("bigint").alias("k_sum"),
+                 F.min("k").cast("bigint").alias("k_min"),
+                 F.max("k").cast("bigint").alias("k_max"))
+        )
+
+    def q82_pivot(spark, sf):
+        # pivot report: one row per user, one integer event-count
+        # column per event type (explicit value list -> deterministic
+        # schema, single partial-agg shuffle under the hood)
+        e = _tbl(spark, sf, "events")
+        types = ["click", "error", "purchase", "signup", "view"]
+        out = (e.groupBy("user_id")
+               .pivot("event_type", types)
+               .agg(F.count(F.lit(1))))
+        return out.select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("bigint")
+              .alias(f"n_{t}") for t in types])
+
     def q80_salted_join(spark, sf):
         # salted skew-defused equi-join (operators/skew.py): the
         # shuffle key widens to (user_id, md5-salt) so a hot user's
@@ -4363,6 +4396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_bucketed_join": q78_bucketed_join,
         "q79_grouping_sets": q79_grouping_sets,
         "q80_salted_join": q80_salted_join,
+        "q81_json_props": q81_json_props,
+        "q82_pivot": q82_pivot,
         "kg_calibration": kg_calibration,
     }
 
@@ -4776,6 +4811,45 @@ def oracle_sql() -> dict[str, str]:
         # (sketches.cms_bucket_sql) on both the build and probe side,
         # all-integer counters, min over the 4 rows — bitwise replay
         "q72_cms_heavy_hitters": _cms_oracle_sql(),
+        # JSON props: DuckDB's json_extract_string == Spark's typed
+        # from_json field read; integer-exact rollup
+        "q81_json_props": """
+            select event_type,
+                   cast(floor(k / 10) * 10 as int) as k_bucket,
+                   cast(count(*) as bigint) as n,
+                   cast(sum(k) as bigint) as k_sum,
+                   cast(min(k) as bigint) as k_min,
+                   cast(max(k) as bigint) as k_max
+            from (
+                select event_type,
+                       cast(json_extract_string(props, '$.k')
+                            as bigint) as k
+                from events
+            )
+            group by 1, 2
+        """,
+        # pivot: the explicit-value CASE aggregation DuckDB spells
+        # the same result as
+        "q82_pivot": """
+            select user_id,
+                   cast(sum(case when event_type = 'click'
+                                 then 1 else 0 end) as bigint)
+                       as n_click,
+                   cast(sum(case when event_type = 'error'
+                                 then 1 else 0 end) as bigint)
+                       as n_error,
+                   cast(sum(case when event_type = 'purchase'
+                                 then 1 else 0 end) as bigint)
+                       as n_purchase,
+                   cast(sum(case when event_type = 'signup'
+                                 then 1 else 0 end) as bigint)
+                       as n_signup,
+                   cast(sum(case when event_type = 'view'
+                                 then 1 else 0 end) as bigint)
+                       as n_view
+            from events
+            group by user_id
+        """,
         # salted join: salting changes the shuffle, not the answer —
         # the oracle is the plain join + rollup
         "q80_salted_join": """
