@@ -30,9 +30,15 @@ Decoder coverage (essentially all real-world JPEGs):
   restart-aware — round trips are bit-exact by definition, which is
   its own conformance check.
 
-Hierarchical/differential modes raise a declared
-``NotImplementedError`` — genuinely different coding pipelines, not
-missing glue.
+* HIERARCHICAL lossless (Annex J over the Annex H process): DHP
+  header, reduced-resolution SOF3 base frame, EXP reference
+  expansion with the normative J.1.1.2 filter, SOF7 differential
+  lossless frames reconstructing modulo 2^16 — every stage lossless,
+  so the pyramid round trip is bit-exact (tests/test_jpeg_hier.py).
+
+The remaining differential modes (DCT-differential SOF5/6 and the
+arithmetic differentials SOF13-15) raise a declared
+``NotImplementedError``.
 
 The encoder exists (a) so pipelines can write thumbnails and (b) as
 the decoder's adversary in round-trip tests: it uses formula-generated
@@ -351,12 +357,18 @@ def _predict(sp, r: int, c: int, predictor: int, default: int):
 
 
 def _lossless_scan(parts, scan, samples, h: int, w: int,
-                   predictor: int, pt: int, restart: int) -> None:
+                   predictor: int, pt: int, restart: int,
+                   reference=None) -> None:
     """Lossless (SOF3) scan: raster DPCM per sample, differences
     Huffman-coded exactly like DC categories (SSSS 0..16, category
     16 = +32768 with no extra bits).  All components 1x1 sampling;
     MCU = one sample per component; at each restart segment the
-    prediction re-initializes to the default (T.81 H.2.1)."""
+    prediction re-initializes to the default (T.81 H.2.1).
+
+    ``reference``: per-component reference planes for a DIFFERENTIAL
+    lossless frame (SOF7, hierarchical Annex J): the prediction is
+    the reference sample itself — no DPCM, no restart default — and
+    reconstruction is modulo 2^16 (J.1.2)."""
     default = 1 << (8 - 1 - pt)
     n_mcus = h * w
     mcu = 0
@@ -370,8 +382,12 @@ def _lossless_scan(parts, scan, samples, h: int, w: int,
                 if dcl is None:
                     raise ValueError("lossless scan without DC table")
                 sp = samples[cid]
-                pred = (default if fresh
-                        else _predict(sp, ri, ci, predictor, default))
+                if reference is not None:
+                    pred = int(reference[cid][ri, ci])
+                else:
+                    pred = (default if fresh
+                            else _predict(sp, ri, ci, predictor,
+                                          default))
                 s = _huff(r, dcl)
                 diff = (32768 if s == 16
                         else (_extend(r.read(s), s) if s else 0))
@@ -382,6 +398,29 @@ def _lossless_scan(parts, scan, samples, h: int, w: int,
             break
     if mcu < n_mcus:
         raise ValueError("truncated lossless JPEG scan")
+
+
+def _hier_expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference expansion: doubling along a dimension
+    copies existing samples to even positions and fills odd positions
+    with the rounded mean of the neighbours ((a + b + 1) >> 1, edge
+    replicated).  eh/ev are the EXP marker's doubling flags."""
+    p = plane.astype(np.int32)
+    if ev:
+        nxt = np.vstack([p[1:], p[-1:]])
+        odd = (p + nxt + 1) >> 1
+        out = np.empty((p.shape[0] * 2, p.shape[1]), dtype=np.int32)
+        out[0::2] = p
+        out[1::2] = odd
+        p = out
+    if eh:
+        nxt = np.hstack([p[:, 1:], p[:, -1:]])
+        odd = (p + nxt + 1) >> 1
+        out = np.empty((p.shape[0], p.shape[1] * 2), dtype=np.int32)
+        out[:, 0::2] = p
+        out[:, 1::2] = odd
+        p = out
+    return p
 
 
 def _split_scan_arith(data: bytes, pos: int):
@@ -657,17 +696,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_cond: dict[int, tuple] = {}   # DAC: table id -> (L, U)
     ac_cond: dict[int, int] = {}     # DAC: table id -> Kx
     restart = 0
+    pending_exp = None   # EXP marker contents awaiting a diff frame
+    reference = None     # per-component reference planes (SOF7)
     planes: dict[int, np.ndarray] = {}  # component id -> coef blocks
     pos = 2
     while pos < len(data):
         marker, seg, nxt = _next_segment(data, pos)
         pos = nxt
-        if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3, 0xC7):
             # SOF0/1 seq, SOF2 prog (Huffman); SOF9 seq, SOF10 prog
-            # (arithmetic); SOF3 lossless (Huffman DPCM)
+            # (arithmetic); SOF3 lossless (Huffman DPCM); SOF7
+            # differential lossless (hierarchical, Annex J)
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
+            lossless = marker in (0xC3, 0xC7)
+            differential = marker == 0xC7
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(
@@ -677,11 +720,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
+            if differential:
+                # build the reference: expand the reconstruction so
+                # far per the pending EXP marker, crop to this
+                # frame's dims (expansion of a ceil(n/2) plane can
+                # overshoot odd dims by one)
+                eh, ev = pending_exp if pending_exp else (0, 0)
+                pending_exp = None
+                reference = {}
+                for cid, _ch, _cv, _tq in comps:
+                    if cid not in samples:
+                        raise ValueError(
+                            "differential frame without a reference")
+                    reference[cid] = _hier_expand(
+                        samples[cid], eh, ev)[:h, :w]
+                    samples[cid] = np.zeros((h, w), dtype=np.int32)
+            else:
+                reference = None
+        elif marker == 0xDE:  # DHP: hierarchical sequence header
+            # syntax == SOF with the FULL image dims; frames follow
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {prec} not supported (8 only)")
+            # dims/components repeated (authoritatively) per frame
+        elif marker == 0xDF:  # EXP: expand reference before next diff
+            pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
+        elif marker in (0xC5, 0xC6, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (arithmetic-lossless/"
-                "hierarchical) not supported")
+                f"JPEG SOF{marker - 0xC0} (DCT-differential/"
+                "arithmetic-differential) not supported")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
             while p < len(seg):
@@ -743,7 +812,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         cid, np.zeros((h, w), dtype=np.int32))
                 parts, pos2 = _split_scan(data, nxt)
                 _lossless_scan(parts, scan, samples, h, w,
-                               ss, al, restart)
+                               ss, al, restart,
+                               reference=reference)
                 pos = pos2
                 continue
             hmax = max(c[1] for c in comps)
@@ -1059,12 +1129,118 @@ def _encode_lossless(img: np.ndarray, predictor: int,
     return bytes(out)
 
 
+def _hier_downsample(p: np.ndarray) -> np.ndarray:
+    """Encoder-side 2x downsampling (rounded 2x2 mean, odd edges
+    replicated).  T.81 deliberately leaves the downsampling filter to
+    the encoder (J.1.1.1 note); only the EXPANSION filter is
+    normative, and reconstruction exactness never depends on this
+    choice because the differential frame codes the residual."""
+    h, w = p.shape
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    p = (p[:, 0::2] + p[:, 1::2] + 1) >> 1
+    if h % 2:
+        p = np.vstack([p, p[-1:]])
+    return (p[0::2] + p[1::2] + 1) >> 1
+
+
+def _encode_lossless_hier(img: np.ndarray, predictor: int,
+                          levels: int) -> bytes:
+    """Hierarchical LOSSLESS JPEG (T.81 Annex J over the Annex H
+    process): DHP header, a reduced-resolution SOF3 base frame coded
+    with DPCM ``predictor``, then per level an EXP marker and an
+    SOF7 differential frame coding (input - expanded reference)
+    modulo 2^16.  Every stage is lossless, so decode reproduces the
+    input bit-exactly — the same round-trip conformance contract as
+    the flat SOF3 path."""
+    global _LL_CODES
+    if _LL_CODES is None:
+        _LL_CODES = _huff_codes(_LL_BITS, _LL_VALS)
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    if levels < 2:
+        raise ValueError("hierarchical needs >= 2 levels")
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and a.shape[2] != 3:
+        raise ValueError("lossless wants (H,W) or (H,W,3) uint8")
+    h, w = a.shape[:2]
+    planes = [a.astype(np.int32)] if gray else [
+        a[..., i].astype(np.int32) for i in range(3)]
+    cids = [1] if gray else [1, 2, 3]
+
+    pyramid = [planes]
+    for _ in range(levels - 1):
+        planes = [_hier_downsample(p) for p in planes]
+        pyramid.append(planes)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2) + body
+
+    def sof_body(fh: int, fw: int) -> bytes:
+        body = struct.pack(">BHHB", 8, fh, fw, len(cids))
+        for cid in cids:
+            body += bytes([cid, 0x11, 0])
+        return body
+
+    def sos_seg(ss: int) -> bytes:
+        body = bytes([len(cids)])
+        for cid in cids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, 0, 0]))
+
+    def entropy(frame_planes, reference) -> bytes:
+        fh, fw = frame_planes[0].shape
+        wtr = _BitWriter()
+        fresh = True
+        for m in range(fh * fw):
+            ri, ci = m // fw, m % fw
+            for ci_idx, sp in enumerate(frame_planes):
+                if reference is not None:
+                    pred = int(reference[ci_idx][ri, ci])
+                else:
+                    pred = (128 if fresh
+                            else _predict(sp, ri, ci, predictor, 128))
+                diff = int(sp[ri, ci]) - pred
+                s = _category(diff)
+                code, ln = _LL_CODES[s]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(
+                        diff if diff >= 0 else diff + (1 << s) - 1, s)
+            fresh = False
+        wtr.flush()
+        return bytes(wtr.out)
+
+    out = bytearray(JPEG_SIG)
+    out += seg(0xDE, sof_body(h, w))                # DHP: full dims
+    out += seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + _LL_VALS)
+    base = pyramid[-1]
+    bh, bw = base[0].shape
+    out += seg(0xC3, sof_body(bh, bw))
+    out += sos_seg(predictor)
+    out += entropy(base, None)
+    cur = base
+    for level in reversed(pyramid[:-1]):
+        th, tw = level[0].shape
+        ref = [_hier_expand(c, 1, 1)[:th, :tw] for c in cur]
+        out += seg(0xDF, bytes([0x11]))             # EXP: 2x both
+        out += seg(0xC7, sof_body(th, tw))
+        out += sos_seg(0)
+        out += entropy(level, ref)
+        cur = level
+    out += bytes([0xFF, 0xD9])
+    return bytes(out)
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
                 restart_interval: int = 0,
                 arithmetic: bool = False,
                 progressive: bool = False,
-                lossless: int = 0) -> bytes:
+                lossless: int = 0,
+                hierarchical: int = 0) -> bytes:
     """(H, W) or (H, W, 3) uint8 -> baseline JFIF JPEG bytes.
 
     ``subsampling``: '444' or '420' (3-channel input only).
@@ -1082,7 +1258,15 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     predictor — EXACT pixel round trip (quality/subsampling ignored;
     RGB components are coded as-is, no color transform, per T.81
     Annex H).  Losslessness IS the conformance check: any predictor
-    or entropy defect breaks bit-exact identity."""
+    or entropy defect breaks bit-exact identity.
+    ``hierarchical`` (with ``lossless``): a pyramid depth >= 2 emits
+    the Annex J hierarchical sequence — DHP, a reduced-resolution
+    SOF3 base frame, then EXP + SOF7 differential frames up to full
+    resolution, all stages lossless so the round trip stays
+    bit-exact."""
+    if lossless and hierarchical:
+        return _encode_lossless_hier(img, int(lossless),
+                                     int(hierarchical))
     if lossless:
         return _encode_lossless(img, int(lossless), restart_interval)
     a = np.asarray(img, dtype=np.uint8)

@@ -20,8 +20,10 @@ layer is split by what the container can honestly do:
     :mod:`tildener_spark.functions.mp4`) for MJPEG tracks, and
     MS-RLE (BI_RLE8) decodes as a true inter-frame codec
     (:mod:`tildener_spark.functions.msrle`);
-  * hierarchical JPEG / perceptual audio (Ogg, MP3) / predictive-
-    codec video (H.264/VP9/AV1, WebM) raise a declared
+  * hierarchical lossless JPEG (Annex J: DHP/EXP/SOF7 pyramid)
+    decodes for real since round 4 (bit-exact round trips,
+    tests/test_jpeg_hier.py); perceptual audio (Ogg, MP3) and
+    predictive-codec video (H.264/VP9/AV1, WebM) raise a declared
     ``NotImplementedError`` (they require external codecs absent in
     this environment);
   * ``fake_decode=True`` substitutes a deterministic fake whose
