@@ -128,3 +128,27 @@ def test_supersede_manifest_filters_uncollected_epochs(spark,
     state = KGState(spark, str(d))
     assert [os.path.basename(p) for p in state.epochs()] \
         == ["epoch_00002"]
+
+
+def test_epoch_time_travel(spark, tmp_path):
+    import pytest as _pytest
+    corpus = corpus_df(spark, 30).cache()
+    pages, *_ = split_gold(corpus)
+    pages = pages.select("url", "warc_ts", "text", "lang").cache()
+    gaz = gazetteer_df(spark)
+    num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+
+    state = KGState(spark, str(tmp_path / "state"))
+    state.merge_batch(pages.filter(num < 20), gaz)
+    at_e0 = _rows(state.canonical_triples(), CANON_COLS)
+    state.merge_batch(pages.filter(num >= 20), gaz)
+
+    # epoch 0's view is still readable and equals what it was then
+    assert _rows(state.canonical_triples(epoch=0), CANON_COLS) \
+        == at_e0
+    # current view covers the full corpus
+    full = run_pipeline(spark, pages, gaz, EngineConfig())
+    assert _rows(state.canonical_triples(), CANON_COLS) \
+        == _rows(full.canonical_triples, CANON_COLS)
+    with _pytest.raises(ValueError, match="not committed"):
+        state.canonical_triples(epoch=9)

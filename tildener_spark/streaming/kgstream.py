@@ -106,9 +106,23 @@ class KGState:
                 self.spark, eps[-1], "hub_components")
         return prior
 
-    def canonical_triples(self) -> DataFrame:
-        return read_stage(self.spark, self.epochs()[-1],
-                          "canonical_triples")
+    def canonical_triples(self, epoch: int | None = None) -> DataFrame:
+        """The canonical KG view — current by default, or TIME
+        TRAVEL to the state as of an earlier committed epoch (each
+        epoch retains the merged view it produced; compaction carries
+        only the newest forward, so travel reaches back to the last
+        compaction point)."""
+        eps = self.epochs()
+        if epoch is None:
+            return read_stage(self.spark, eps[-1],
+                              "canonical_triples")
+        for e in eps:
+            n = int(_EPOCH_RE.match(os.path.basename(e)).group(1))
+            if n == epoch:
+                return read_stage(self.spark, e, "canonical_triples")
+        raise ValueError(
+            f"epoch {epoch} not committed in {self.dir} "
+            f"(have {[os.path.basename(e) for e in eps]})")
 
     def merge_batch(self, pages: DataFrame, gazetteer: DataFrame,
                     cfg: EngineConfig | None = None) -> None:
