@@ -3892,6 +3892,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .alias("precision"))
         )
 
+    def kg_provenance(spark, sf):
+        # per-edge provenance cards (operators/graphstats.py
+        # edge_provenance): evidence volume, doc support, top-3
+        # supporting urls in (count desc, url asc) rank order
+        from tildener_spark.operators.graphstats import (
+            edge_provenance)
+        m = _kg_materialized(spark)
+        return edge_provenance(m["canon_triples"], k=3)
+
+    def kg_conflicts(spark, sf):
+        # functional-dependency conflict triage (operators/
+        # graphstats.py relation_conflicts): empirically-functional
+        # predicates decided by integer cross-multiplication, then
+        # violating subjects with their rank-ordered object sets
+        from tildener_spark.operators.graphstats import (
+            relation_conflicts)
+        m = _kg_materialized(spark)
+        return relation_conflicts(m["canon_triples"])
+
     def kg_ntriples(spark, sf):
         # W3C N-Triples export of the canonical KG (operators/rdf.py):
         # rdf:type per endpoint, one line per distinct edge, evidence
@@ -4307,6 +4326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": kg_walks,
         "kg_pattern": kg_pattern,
         "kg_bottleneck": kg_bottleneck,
+        "kg_provenance": kg_provenance,
+        "kg_conflicts": kg_conflicts,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -7237,6 +7258,107 @@ def oracle_sql() -> dict[str, str]:
         # widest path: all-integer monotone fixpoint, 6 unrolled
         # relaxation rounds
         "kg_bottleneck": _kg_bottleneck_sql(),
+        # provenance: same (edge, url) partial agg, same rank-ordered
+        # string_agg top-3
+        "kg_provenance": f"""
+            with ct as materialized (
+                select * from read_parquet(
+                    '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+            ),
+            by_url as materialized (
+                select subj_type, subj_canonical, pred,
+                       obj_type, obj_canonical, url,
+                       count(*) as c
+                from ct group by 1, 2, 3, 4, 5, 6
+            ),
+            totals as (
+                select subj_type, subj_canonical, pred,
+                       obj_type, obj_canonical,
+                       cast(sum(c) as bigint) as n_evidence,
+                       cast(count(*) as bigint) as n_docs
+                from by_url group by 1, 2, 3, 4, 5
+            ),
+            top as (
+                select subj_type, subj_canonical, pred,
+                       obj_type, obj_canonical,
+                       string_agg(url, '|' order by rn) as top_urls
+                from (
+                    select *,
+                           row_number() over (
+                               partition by subj_type,
+                                   subj_canonical, pred,
+                                   obj_type, obj_canonical
+                               order by c desc, url asc) as rn
+                    from by_url
+                ) where rn <= 3
+                group by 1, 2, 3, 4, 5
+            )
+            select t.subj_type, t.subj_canonical, t.pred,
+                   t.obj_type, t.obj_canonical,
+                   t.n_evidence, t.n_docs, p.top_urls
+            from totals t
+            join top p using (subj_type, subj_canonical, pred,
+                              obj_type, obj_canonical)
+        """,
+        # conflicts: same integer cross-multiplied functionality
+        # decision, same rank-ordered object sets
+        "kg_conflicts": f"""
+            with ct as materialized (
+                select * from read_parquet(
+                    '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+            ),
+            per_subj as materialized (
+                select pred, subj_type, subj_canonical,
+                       count(distinct obj_type || chr(31)
+                             || obj_canonical) as n_objs
+                from ct group by 1, 2, 3
+            ),
+            per_pred as (
+                select pred, count(*) as n_subjects,
+                       sum(case when n_objs = 1 then 1 else 0 end)
+                           as n_single
+                from per_subj group by 1
+            ),
+            functional as (
+                select pred from per_pred
+                where n_subjects >= 10
+                  and n_single * 1000000
+                      >= n_subjects * {int(round(0.8 * 1_000_000))}
+            ),
+            viol as (
+                select s.pred, s.subj_type, s.subj_canonical,
+                       s.n_objs
+                from per_subj s join functional using (pred)
+                where s.n_objs >= 2
+            ),
+            obj_ev as (
+                select pred, subj_type, subj_canonical,
+                       obj_type, obj_canonical, count(*) as c
+                from ct group by 1, 2, 3, 4, 5
+            ),
+            objs as (
+                select pred, subj_type, subj_canonical,
+                       string_agg(obj_type || '␟' || obj_canonical,
+                                  '|' order by rn) as objs
+                from (
+                    select o.*,
+                           row_number() over (
+                               partition by o.pred, o.subj_type,
+                                   o.subj_canonical
+                               order by o.c desc, o.obj_type asc,
+                                        o.obj_canonical asc) as rn
+                    from obj_ev o
+                    join viol v on v.pred = o.pred
+                     and v.subj_type = o.subj_type
+                     and v.subj_canonical = o.subj_canonical
+                ) where rn <= 5
+                group by 1, 2, 3
+            )
+            select v.pred, v.subj_type, v.subj_canonical,
+                   cast(v.n_objs as bigint) as n_objs, o.objs
+            from viol v
+            join objs o using (pred, subj_type, subj_canonical)
+        """,
         # pattern query: the equivalent relational join of the two
         # triple patterns with identical pushed filters and dedups
         "kg_pattern": f"""

@@ -549,3 +549,53 @@ def test_bottleneck_matches_bruteforce(spark):
                         for a, b in zip(path, path[1:])))
         typ, can = target.split(SEP)
         assert got[(typ, can)][0] == best, target
+
+
+def test_edge_provenance_ranks_urls(spark):
+    from tildener_spark.operators.graphstats import edge_provenance
+    t = _full_triples(spark, [
+        ("u1", "PER", "a", "p", "ORG", "b"),
+        ("u1", "PER", "a", "p", "ORG", "b"),
+        ("u2", "PER", "a", "p", "ORG", "b"),
+        ("u3", "PER", "a", "p", "ORG", "b"),
+        ("u4", "PER", "a", "p", "ORG", "b"),
+    ])
+    [r] = edge_provenance(t, k=3).collect()
+    assert (r["n_evidence"], r["n_docs"]) == (5, 4)
+    # u1 (2 hits) first; ties at 1 hit break url-asc; k=3 cap
+    assert r["top_urls"] == "u1|u2|u3"
+
+
+def test_relation_conflicts_flags_functional_violations(spark):
+    from tildener_spark.operators.graphstats import (
+        SEP, relation_conflicts)
+    rows = []
+    # 'born_in' is functional: 10 subjects with 1 object, 1 with 2
+    for i in range(10):
+        rows.append(("u", "PER", f"p{i}", "born_in", "LOC", f"l{i}"))
+    rows += [("u", "PER", "dup", "born_in", "LOC", "x"),
+             ("u", "PER", "dup", "born_in", "LOC", "x"),
+             ("u", "PER", "dup", "born_in", "LOC", "y")]
+    # 'knows' is many-valued: every subject has 3 objects (share 0)
+    for i in range(12):
+        for j in range(3):
+            rows.append(("u", "PER", f"k{i}", "knows",
+                         "PER", f"q{j}"))
+    t = _full_triples(spark, rows)
+    got = relation_conflicts(t, func_share=0.8,
+                             min_subjects=10).collect()
+    assert len(got) == 1
+    [r] = got
+    assert (r["pred"], r["subj_canonical"], r["n_objs"]) \
+        == ("born_in", "dup", 2)
+    # x has 2 evidence hits, y 1 -> x first
+    assert r["objs"] == f"LOC{SEP}x|LOC{SEP}y"
+
+
+def test_relation_conflicts_min_subjects_gate(spark):
+    from tildener_spark.operators.graphstats import relation_conflicts
+    rows = [("u", "PER", "a", "rare", "LOC", "x"),
+            ("u", "PER", "a", "rare", "LOC", "y")]
+    t = _full_triples(spark, rows)
+    # only 1 subject: below min_subjects, never reported
+    assert relation_conflicts(t, min_subjects=10).count() == 0

@@ -550,6 +550,103 @@ def metapath_profile(canon_triples: DataFrame,
     )
 
 
+def edge_provenance(canon_triples: DataFrame, k: int = 3) -> DataFrame:
+    """Per-edge provenance card: every distinct canonical relation
+    with its evidence volume, document support, and the top-k
+    supporting urls as a rank-ordered list — the "why do we believe
+    this edge" lookup a KG consumer audits against.
+
+    Determinism: the url list is the (count desc, url asc) top-k
+    prefix concatenated in rank order via sorted structs (the
+    entity_cards recipe).  Scale shape: one (edge, url)-keyed partial
+    agg + one edge-keyed rollup + one top-k window over the
+    (edge, url) table — all bounded by evidence volume with map-side
+    combine, never wider than the triple stream.
+    """
+    by_url = (canon_triples
+              .groupBy("subj_type", "subj_canonical", "pred",
+                       "obj_type", "obj_canonical", "url")
+              .agg(F.count(F.lit(1)).alias("c")))
+    edge_cols = ["subj_type", "subj_canonical", "pred",
+                 "obj_type", "obj_canonical"]
+    w = Window.partitionBy(*edge_cols).orderBy(
+        F.desc("c"), F.asc("url"))
+    top = (by_url.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= k)
+           .groupBy(*edge_cols)
+           .agg(F.array_join(
+               F.transform(
+                   F.sort_array(F.collect_list(
+                       F.struct("rn", F.col("url").alias("v")))),
+                   lambda s: s["v"]),
+               "|").alias("top_urls")))
+    totals = (by_url.groupBy(*edge_cols).agg(
+        F.sum("c").cast("long").alias("n_evidence"),
+        F.count(F.lit(1)).cast("long").alias("n_docs")))
+    return totals.join(top, edge_cols).select(
+        *edge_cols, "n_evidence", "n_docs", "top_urls")
+
+
+def relation_conflicts(canon_triples: DataFrame,
+                       func_share: float = 0.8,
+                       min_subjects: int = 10,
+                       k: int = 5) -> DataFrame:
+    """Functional-dependency conflict report: for predicates that are
+    empirically functional (>= ``func_share`` of subjects carry
+    exactly one distinct object, over >= ``min_subjects`` subjects),
+    emit the violating subjects with their conflicting object set —
+    the extraction-error / genuine-ambiguity triage list.
+
+    Determinism: integer counts decide functionality (share compared
+    as n_single * 10^6 >= func_share * 10^6 * n_subjects — integer
+    cross-multiplication, no float division at the decision); the
+    object list is (evidence desc, obj asc) top-k rank-ordered.
+    Scale shape: all aggregations are keyed partial aggs over
+    (pred, subj[, obj]) — vocabulary-bounded outputs, with map-side
+    combine absorbing head predicates.
+    """
+    thr = int(round(func_share * 1_000_000))
+    per_subj = (canon_triples
+                .groupBy("pred", "subj_type", "subj_canonical")
+                .agg(F.countDistinct("obj_type", "obj_canonical")
+                     .alias("n_objs")))
+    per_pred = (per_subj.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum(F.when(F.col("n_objs") == 1, 1).otherwise(0))
+        .alias("n_single")))
+    functional = per_pred.filter(
+        (F.col("n_subjects") >= min_subjects)
+        & (F.col("n_single") * F.lit(1_000_000)
+           >= F.col("n_subjects") * F.lit(thr))).select("pred")
+    viol = (per_subj.join(F.broadcast(functional), "pred")
+            .filter(F.col("n_objs") >= 2))
+    obj_ev = (canon_triples
+              .groupBy("pred", "subj_type", "subj_canonical",
+                       "obj_type", "obj_canonical")
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("pred", "subj_type", "subj_canonical") \
+        .orderBy(F.desc("c"), F.asc("obj_type"),
+                 F.asc("obj_canonical"))
+    objs = (obj_ev.join(
+        viol.select("pred", "subj_type", "subj_canonical"),
+        ["pred", "subj_type", "subj_canonical"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("pred", "subj_type", "subj_canonical")
+        .agg(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    "rn",
+                    F.concat_ws(SEP, "obj_type", "obj_canonical")
+                    .alias("v")))),
+                lambda s: s["v"]),
+            "|").alias("objs")))
+    return (viol.join(objs, ["pred", "subj_type", "subj_canonical"])
+            .select("pred", "subj_type", "subj_canonical",
+                    F.col("n_objs").cast("long").alias("n_objs"),
+                    "objs"))
+
+
 def entity_communities(edges: DataFrame,
                        iterations: int = 4) -> DataFrame:
     """Deterministic synchronous label propagation over the
