@@ -234,3 +234,21 @@ def test_range_join_matches_bruteforce_randomized(spark):
             spark.createDataFrame(pts_pd),
             ["k"], "s", "e", "pts", bucket_s=300).collect()}
     assert got == expect
+
+
+def test_empty_sides(spark):
+    left = _mk(spark, [], LEFT_SCHEMA)
+    right = _mk(spark, [("a", _ts("2024-01-01 10:00:00"), 1)],
+                RIGHT_SCHEMA)
+    assert asof_join(left, right, ["k"], "lts", "rts",
+                     ["rv"]).count() == 0
+    one = _mk(spark, [("a", _ts("2024-01-01 10:00:00"), 1)],
+              LEFT_SCHEMA)
+    empty_r = _mk(spark, [], RIGHT_SCHEMA)
+    out = asof_join(one, empty_r, ["k"], "lts", "rts",
+                    ["rv"]).collect()
+    assert len(out) == 1 and out[0]["rv_r"] is None
+    assert range_join(
+        _mk(spark, [], "k string, s timestamp, e timestamp"),
+        _mk(spark, [], "k string, pts timestamp"),
+        ["k"], "s", "e", "pts").count() == 0

@@ -85,3 +85,8 @@ def test_disjoint_sets(spark):
     assert r["inter_exact"] == 0
     assert r["inter_est"] == 0.0
     assert r["jaccard_est"] == 0.0
+
+
+def test_empty_corpus(spark):
+    docs = spark.createDataFrame([], "source string, text string")
+    assert kmv_set_ops(docs).count() == 0

@@ -93,3 +93,10 @@ def test_unbound_select_raises(graph):
 def test_no_patterns_raises(graph):
     with pytest.raises(ValueError, match="no match"):
         KGQuery(graph).select("?x")
+
+
+def test_empty_graph(spark):
+    empty = _ct(spark, [])
+    assert (KGQuery(empty)
+            .match("?x", "works", "?y")
+            .select("?x", "?y").count()) == 0
