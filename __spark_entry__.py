@@ -3892,6 +3892,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .alias("precision"))
         )
 
+    def kg_asof(spark, sf):
+        # temporal KG snapshot at the integer-ms corpus midpoint
+        # (operators/graphstats.py kg_snapshot_asof): one min/max agg
+        # broadcast back, url-co-partitioned evidence join, two
+        # edge-keyed partial aggs
+        from tildener_spark.operators.graphstats import (
+            kg_snapshot_asof)
+        m = _kg_materialized(spark)
+        return kg_snapshot_asof(m["canon_triples"], m["pages"])
+
     def kg_provenance(spark, sf):
         # per-edge provenance cards (operators/graphstats.py
         # edge_provenance): evidence volume, doc support, top-3
@@ -4328,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bottleneck": kg_bottleneck,
         "kg_provenance": kg_provenance,
         "kg_conflicts": kg_conflicts,
+        "kg_asof": kg_asof,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -7258,6 +7269,55 @@ def oracle_sql() -> dict[str, str]:
         # widest path: all-integer monotone fixpoint, 6 unrolled
         # relaxation rounds
         "kg_bottleneck": _kg_bottleneck_sql(),
+        # as-of snapshot: same integer-ms midpoint (floor division on
+        # both engines), same evidence join and aggregates
+        "kg_asof": f"""
+            with ct as materialized (
+                select * from read_parquet(
+                    '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+            ),
+            pages as (
+                select url, warc_ts from read_parquet(
+                    '{_KG_CACHE}/pages.parquet/*.parquet')
+            ),
+            cut as (
+                select cast(floor((epoch_ms(min(warc_ts))
+                                   + epoch_ms(max(warc_ts))) / 2)
+                            as bigint) as cut_ms
+                from pages
+            ),
+            tr as materialized (
+                select t.subj_type, t.subj_canonical, t.pred,
+                       t.obj_type, t.obj_canonical, t.url,
+                       epoch_ms(p.warc_ts) as ts_ms
+                from ct t join pages p using (url)
+            ),
+            tot as (
+                select subj_type, subj_canonical, pred, obj_type,
+                       obj_canonical,
+                       cast(count(*) as bigint) as n_total
+                from tr group by 1, 2, 3, 4, 5
+            ),
+            snap as (
+                select subj_type, subj_canonical, pred, obj_type,
+                       obj_canonical,
+                       cast(count(*) as bigint) as n_evidence_asof,
+                       cast(count(distinct url) as bigint)
+                           as n_docs_asof
+                from tr, cut
+                where tr.ts_ms <= cut.cut_ms
+                group by 1, 2, 3, 4, 5
+            )
+            select a.subj_type, a.subj_canonical, a.pred,
+                   a.obj_type, a.obj_canonical,
+                   a.n_evidence_asof, a.n_docs_asof, t.n_total,
+                   round(cast(a.n_evidence_asof as double)
+                         / cast(t.n_total as double), 6)
+                       as share_of_final
+            from snap a
+            join tot t using (subj_type, subj_canonical, pred,
+                              obj_type, obj_canonical)
+        """,
         # provenance: same (edge, url) partial agg, same rank-ordered
         # string_agg top-3
         "kg_provenance": f"""

@@ -550,6 +550,52 @@ def metapath_profile(canon_triples: DataFrame,
     )
 
 
+def kg_snapshot_asof(canon_triples: DataFrame,
+                     pages: DataFrame) -> DataFrame:
+    """Temporal KG snapshot: the edge set as of the corpus midpoint
+    timestamp — only evidence fetched at or before the cutoff counts,
+    edges first sighted later are absent — plus each edge's share of
+    its final evidence, the "how much of today's KG existed at time
+    T" view behind freshness dashboards and retro-evaluations.
+
+    The cutoff is the integer-millisecond midpoint of (min, max)
+    fetch time: ONE partial min/max aggregate broadcast back — never
+    a global sort or rank over the page table (a percentile cutoff
+    would scan-and-sort the corpus; as-of semantics are naturally
+    parameterized by a timestamp, so the snapshot rule must stay
+    O(agg)).  Floor-divided so both engines truncate identically.
+
+    Scale shape: one url-keyed co-partitioned join (triples ⋈ page
+    timestamps), two edge-keyed partial aggs, one broadcast of the
+    1-row cutoff.
+    """
+    ms = lambda c: F.unix_millis(  # noqa: E731
+        F.col(c).cast("timestamp_ltz"))
+    cut = pages.agg(
+        F.min("warc_ts").alias("t0"), F.max("warc_ts").alias("t1"),
+    ).select(
+        F.floor((ms("t0") + ms("t1")) / 2).cast("long")
+        .alias("cut_ms"))
+    edge = ["subj_type", "subj_canonical", "pred",
+            "obj_type", "obj_canonical"]
+    tr = (canon_triples
+          .join(pages.select("url", "warc_ts"), "url")
+          .crossJoin(F.broadcast(cut)))
+    tot = tr.groupBy(*edge).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"))
+    asof = (tr.filter(ms("warc_ts") <= F.col("cut_ms"))
+            .groupBy(*edge)
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_evidence_asof"),
+                 F.countDistinct("url").cast("long")
+                 .alias("n_docs_asof")))
+    return (asof.join(tot, edge).select(
+        *edge, "n_evidence_asof", "n_docs_asof", "n_total",
+        F.round(F.col("n_evidence_asof").cast("double")
+                / F.col("n_total").cast("double"), 6)
+        .alias("share_of_final")))
+
+
 def edge_provenance(canon_triples: DataFrame, k: int = 3) -> DataFrame:
     """Per-edge provenance card: every distinct canonical relation
     with its evidence volume, document support, and the top-k
