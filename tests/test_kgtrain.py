@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from tildener_spark.operators.graphstats import SEP
 from tildener_spark.operators.kgtrain import (
-    negative_sampling, random_walks)
+    negative_sampling, random_walks, train_transe)
 
 
 def _triples(spark, rows):
@@ -115,3 +115,36 @@ def test_walks_deterministic_and_counted(spark):
     # n_seeds * walks_per_seed rows when the graph has >= n_seeds
     # nodes (this one does: 6 PER + 3 ORG + 2 LOC)
     assert len(a) == 8 * 4
+
+
+def test_negatives_keep_original_pairs(spark):
+    t = _corpus(spark)
+    negs = negative_sampling(t, keep_original=True).collect()
+    assert negs
+    for r in negs:
+        if r["slot"] == "subj":
+            assert r["subj"] != r["orig_subj"]   # corrupted slot moved
+            assert r["obj"] == r["orig_obj"]     # other slot intact
+        else:
+            assert r["obj"] != r["orig_obj"]
+            assert r["subj"] == r["orig_subj"]
+
+
+def test_transe_loss_decreases_and_is_deterministic(spark):
+    t = _corpus(spark)
+    res = train_transe(spark, t, dim=4, epochs=3)
+    losses = res["loss_by_epoch"]
+    assert len(losses) == 4
+    assert losses[-1] < losses[0]          # training actually trains
+    emb = sorted(map(tuple, res["embeddings"].collect()))
+    res2 = train_transe(spark, t.repartition(7), dim=4, epochs=3)
+    assert res2["loss_by_epoch"] == losses
+    assert sorted(map(tuple, res2["embeddings"].collect())) == emb
+
+
+def test_transe_zero_epochs_returns_init(spark):
+    t = _corpus(spark)
+    res = train_transe(spark, t, dim=4, epochs=0)
+    assert len(res["loss_by_epoch"]) == 1
+    for r in res["embeddings"].collect():
+        assert -100 <= r["v"] <= 100        # untouched init range

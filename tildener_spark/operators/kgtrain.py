@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from tildener_spark.operators.graphstats import SEP
 
-__all__ = ["negative_sampling", "random_walks"]
+__all__ = ["negative_sampling", "random_walks", "train_transe"]
 
 US = "\x1f"  # md5-key field separator (never inside surfaces)
 
@@ -47,7 +47,8 @@ def _h32(*cols):
 
 
 def negative_sampling(canon_triples: DataFrame,
-                      seed: str = "neg42") -> DataFrame:
+                      seed: str = "neg42",
+                      keep_original: bool = False) -> DataFrame:
     """One corrupted triple per (positive, slot) pair, type-consistent
     and filtered (Bordes et al. 2013 semantics, deterministic).
 
@@ -62,7 +63,11 @@ def negative_sampling(canon_triples: DataFrame,
     "filtered" sampling, so the trainer never sees a false negative.
 
     Returns (slot, subj_type, subj, pred, obj_type, obj) —
-    corrupted field already substituted.
+    corrupted field already substituted.  ``keep_original=True``
+    additionally returns ``orig_subj``/``orig_obj`` (the positive's
+    own entities), pairing each corruption with its positive — the
+    (pos, neg) pair shape a margin-loss trainer consumes
+    (:func:`train_transe`).
     """
     pos = canon_triples.select(
         F.col("subj_type").alias("s_type"),
@@ -125,7 +130,9 @@ def negative_sampling(canon_triples: DataFrame,
                 F.col("repl").alias("subj"),
                 "pred",
                 F.col("o_type").alias("obj_type"),
-                F.col("o").alias("obj"))
+                F.col("o").alias("obj"),
+                F.col("s").alias("orig_subj"),
+                F.col("o").alias("orig_obj"))
         else:
             out = repl.select(
                 F.lit("obj").alias("slot"),
@@ -133,7 +140,9 @@ def negative_sampling(canon_triples: DataFrame,
                 F.col("s").alias("subj"),
                 "pred",
                 F.col("o_type").alias("obj_type"),
-                F.col("repl").alias("obj"))
+                F.col("repl").alias("obj"),
+                F.col("s").alias("orig_subj"),
+                F.col("o").alias("orig_obj"))
         return out
 
     negs = corrupt("subj").unionByName(corrupt("obj"))
@@ -141,10 +150,13 @@ def negative_sampling(canon_triples: DataFrame,
         F.col("s_type").alias("subj_type"), F.col("s").alias("subj"),
         "pred",
         F.col("o_type").alias("obj_type"), F.col("o").alias("obj"))
-    return negs.join(
+    out = negs.join(
         exists, ["subj_type", "subj", "pred", "obj_type", "obj"],
-        "left_anti",
-    ).select("slot", "subj_type", "subj", "pred", "obj_type", "obj")
+        "left_anti")
+    cols = ["slot", "subj_type", "subj", "pred", "obj_type", "obj"]
+    if keep_original:
+        cols += ["orig_subj", "orig_obj"]
+    return out.select(*cols)
 
 
 def random_walks(canon_triples: DataFrame, n_seeds: int = 8,
@@ -238,3 +250,166 @@ def random_walks(canon_triples: DataFrame, n_seeds: int = 8,
         "walk_id", "path",
         (F.size(F.split("path", ">")) - 1).cast("long")
         .alias("n_steps"))
+
+
+def _node(typ_col: str, ent_col: str):
+    return F.concat_ws(SEP, typ_col, ent_col)
+
+
+def _init_val(kind: str, name_col, d_col, seed: str):
+    """Deterministic integer init in [-100, 100]: md5 of
+    (seed, kind, name, dim) mod 201 - 100 — replayed verbatim by the
+    oracle."""
+    return (F.pmod(_h32(F.lit(seed), F.lit(kind), name_col,
+                        d_col.cast("string")),
+                   F.lit(201)) - 100).cast("long")
+
+
+def _sign(c):
+    return (F.when(c > 0, 1).when(c < 0, -1).otherwise(0)
+            .cast("long"))
+
+
+def train_transe(spark, canon_triples: DataFrame, dim: int = 8,
+                 epochs: int = 3, margin: int = 4, lr: int = 3,
+                 seed: str = "emb42") -> dict:
+    """Deterministic ALL-INTEGER TransE training (Bordes et al. 2013
+    L1 form) over the canonical KG — the embedding half of the
+    training-prep stack, composing :func:`negative_sampling` for its
+    (positive, corruption) pairs.
+
+    Every float source of nondeterminism is removed: integer md5
+    init, L1 scores (integer sums), sign gradients, and a clamped
+    integer update ``v -= clamp(sum of signed contributions, ±lr)``
+    per (parameter, dim) — synchronous full-batch epochs, so the
+    whole run replays bitwise on any engine/partitioning and the
+    driver's oracle gate can value-hash a TRAINING run end to end
+    (normally untestable territory).
+
+    Scale shape per epoch: five (name, dim)-keyed equi-joins of the
+    pair table against the |V|x dim / |preds|x dim parameter tables,
+    one pair-keyed score agg, one parameter-keyed gradient agg, one
+    update join — all partial-agg shuffles; the one driver-side value
+    is the scalar epoch loss (an integer sum, collected like
+    pagerank's dangling mass).
+
+    Returns {"embeddings": DataFrame(kind, name, d, v),
+    "loss_by_epoch": [int, ...]} — loss_by_epoch[0] is the
+    pre-training loss.
+    """
+    from tildener_spark.materialize import materialize_once, release
+
+    negs = negative_sampling(canon_triples, keep_original=True)
+    pairs = negs.select(
+        F.concat_ws(US, "slot", "subj_type", "subj", "pred",
+                    "obj_type", "obj").alias("pk"),
+        _node("subj_type", "orig_subj").alias("ps"),
+        F.col("pred").alias("pp"),
+        _node("obj_type", "orig_obj").alias("po"),
+        _node("subj_type", "subj").alias("ns"),
+        _node("obj_type", "obj").alias("no"),
+    ).persist()
+    pairs.count()
+
+    nodes = (canon_triples.select(
+        _node("subj_type", "subj_canonical").alias("name"))
+        .unionByName(canon_triples.select(
+            _node("obj_type", "obj_canonical").alias("name")))
+        .distinct())
+    preds = canon_triples.select(
+        F.col("pred").alias("name")).distinct()
+    dims = spark.range(dim).select(F.col("id").cast("int").alias("d"))
+
+    emb_e = materialize_once(nodes.crossJoin(dims).select(
+        "name", "d", _init_val("E", F.col("name"), F.col("d"), seed)
+        .alias("v")))
+    emb_r = materialize_once(preds.crossJoin(dims).select(
+        "name", "d", _init_val("R", F.col("name"), F.col("d"), seed)
+        .alias("v")))
+
+    losses = []
+    for _ep in range(epochs + 1):
+        j = pairs.join(
+            emb_e.select(F.col("name").alias("_n0"), "d",
+                         F.col("v").alias("v_ps")),
+            F.col("ps") == F.col("_n0")).drop("_n0")
+        for role, table in (("po", emb_e), ("ns", emb_e),
+                            ("no", emb_e), ("pp", emb_r)):
+            t = table.select(F.col("name").alias(f"_n_{role}"),
+                             F.col("d").alias(f"_d_{role}"),
+                             F.col("v").alias(f"v_{role}"))
+            j = j.join(
+                t, (F.col(role) == F.col(f"_n_{role}"))
+                & (F.col("d") == F.col(f"_d_{role}"))
+            ).drop(f"_n_{role}", f"_d_{role}")
+        j = j.withColumn("dpos", F.col("v_ps") + F.col("v_pp")
+                         - F.col("v_po")) \
+             .withColumn("dneg", F.col("v_ns") + F.col("v_pp")
+                         - F.col("v_no"))
+        scores = j.groupBy("pk").agg(
+            F.sum(F.abs("dpos")).alias("spos"),
+            F.sum(F.abs("dneg")).alias("sneg"))
+        loss = scores.agg(F.sum(
+            F.greatest(F.lit(0),
+                       F.lit(margin) + F.col("spos")
+                       - F.col("sneg"))).cast("long")
+            .alias("l")).collect()[0]["l"]
+        losses.append(int(loss or 0))
+        if _ep == epochs:
+            break
+        active = scores.filter(
+            F.lit(margin) + F.col("spos") - F.col("sneg") > 0
+        ).select("pk")
+        contrib = (
+            j.join(active, "pk")
+            .select("d", F.explode(F.array(
+                F.struct(F.lit("E").alias("kind"),
+                         F.col("ps").alias("name"),
+                         _sign(F.col("dpos")).alias("g")),
+                F.struct(F.lit("R").alias("kind"),
+                         F.col("pp").alias("name"),
+                         (_sign(F.col("dpos"))
+                          - _sign(F.col("dneg"))).alias("g")),
+                F.struct(F.lit("E").alias("kind"),
+                         F.col("po").alias("name"),
+                         (-_sign(F.col("dpos"))).alias("g")),
+                F.struct(F.lit("E").alias("kind"),
+                         F.col("ns").alias("name"),
+                         (-_sign(F.col("dneg"))).alias("g")),
+                F.struct(F.lit("E").alias("kind"),
+                         F.col("no").alias("name"),
+                         _sign(F.col("dneg")).alias("g")),
+            )).alias("c"))
+            .select("d", "c.kind", "c.name", "c.g")
+        )
+        grads = contrib.groupBy("kind", "name", "d").agg(
+            F.sum("g").alias("gsum"))
+        upd = grads.select(
+            "kind", "name", "d",
+            F.greatest(F.lit(-lr),
+                       F.least(F.lit(lr), F.col("gsum")))
+            .cast("long").alias("u"))
+        new_e = materialize_once(
+            emb_e.join(upd.filter(F.col("kind") == "E")
+                       .drop("kind"), ["name", "d"], "left")
+            .select("name", "d",
+                    (F.col("v") - F.coalesce("u", F.lit(0)))
+                    .cast("long").alias("v")))
+        new_r = materialize_once(
+            emb_r.join(upd.filter(F.col("kind") == "R")
+                       .drop("kind"), ["name", "d"], "left")
+            .select("name", "d",
+                    (F.col("v") - F.coalesce("u", F.lit(0)))
+                    .cast("long").alias("v")))
+        release(emb_e)
+        release(emb_r)
+        emb_e, emb_r = new_e, new_r
+
+    out = (emb_e.select(F.lit("E").alias("kind"), "name",
+                        F.col("d").cast("long").alias("d"), "v")
+           .unionByName(
+               emb_r.select(F.lit("R").alias("kind"), "name",
+                            F.col("d").cast("long").alias("d"),
+                            "v")))
+    pairs.unpersist()
+    return {"embeddings": out, "loss_by_epoch": losses}
