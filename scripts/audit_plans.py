@@ -146,9 +146,12 @@ def main() -> None:
         if a["cartesian"] or a["bnlj"]:
             # benign cases: q18/q19 declared exact baselines; q59's
             # src_a < src_b matrix join over per-source TOTALS (one
-            # row per source, S^2 output by definition); and pure
-            # scalar-aggregate broadcasts (every BNLJ covered by a
-            # 1-row keys=[] aggregate, no CartesianProduct) — the
+            # row per source, S^2 output by definition); q75's
+            # src_a < src_b pair join over per-source KMV SKETCHES
+            # (one k-array row per source — bounded by construction,
+            # the sketch's whole point); and pure scalar-aggregate
+            # broadcasts (every BNLJ covered by a 1-row keys=[]
+            # aggregate, no CartesianProduct) — the
             # crossJoin(broadcast(df.agg(...))) corpus-totals idiom
             # (q51 n_docs/avgdl, q52 target/raw totals)
             scalar_only = (not a["cartesian"]
@@ -156,7 +159,7 @@ def main() -> None:
             flags.append("CROSS-JOIN" + (
                 " (declared ok)" if name in (
                     "q18_embedding_topk", "q19_embedding_neardup",
-                    "q59_source_overlap")
+                    "q59_source_overlap", "q75_kmv_setops")
                 else (" (scalar-broadcast ok)" if scalar_only
                       else "!")))
         if a["smj"] and not a["bhj"]:
