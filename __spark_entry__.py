@@ -92,6 +92,11 @@ _U64 = "18446744073709551616::HUGEINT"  # 2^64 — the uint64 wrap modulus
 _KG_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".kg_oracle_cache")
 
+# Committed media-decode fixtures (scripts/gen_media_fixtures.py):
+# q83's input assets + the expected decode summary its oracle hashes.
+_MEDIA_FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "fixtures", "media")
+
 # In-process memo of the fused kg pipeline run (see _kg in queries()):
 # {applicationId: (PipelineResult, gold_mentions, gold_triples,
 # gold_links)}.  Cleared whenever a different Spark application asks.
@@ -2086,7 +2091,8 @@ def _kg_embed_sql(dim: int = 8, epochs: int = 3, margin: int = 4,
         pairs as materialized (
             select slot || chr(31) || subj_type || chr(31) || subj
                    || chr(31) || pred || chr(31) || obj_type
-                   || chr(31) || obj as pk,
+                   || chr(31) || obj || chr(31) || orig_subj
+                   || chr(31) || orig_obj as pk,
                    subj_type || '␟' || orig_subj as ps,
                    pred as pp,
                    obj_type || '␟' || orig_obj as po,
@@ -2330,7 +2336,8 @@ def _kmv_oracle_sql() -> str:
     space = repr(float(full))
     return rf"""
         with toks as (
-            select source as grp, {kmv_hash_sql('tok')} as h from (
+            select source as grp, tok, {kmv_hash_sql('tok')} as h
+            from (
                 select source,
                        unnest(string_split_regex(
                            lower(text), '[ \t\n\x0b\f\r]+')) as tok
@@ -2338,6 +2345,7 @@ def _kmv_oracle_sql() -> str:
             ) where tok <> ''
         ),
         d as materialized (select distinct grp, h from toks),
+        dt as materialized (select distinct grp, tok from toks),
         bk as materialized (
             select grp, h from (
                 select grp, h,
@@ -2373,12 +2381,12 @@ def _kmv_oracle_sql() -> str:
         ),
         sizes as (
             select grp, cast(count(*) as bigint) as n
-            from d group by 1
+            from dt group by 1
         ),
         ie as (
             select a.grp as sa, b.grp as sb,
                    cast(count(*) as bigint) as icnt_e
-            from d a join d b on a.h = b.h and a.grp < b.grp
+            from dt a join dt b on a.tok = b.tok and a.grp < b.grp
             group by 1, 2
         )
         select u.sa as src_a, u.sb as src_b,
@@ -3127,6 +3135,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id",
             *[F.coalesce(F.col(t), F.lit(0)).cast("bigint")
               .alias(f"n_{t}") for t in types])
+
+    def q83_multimodal_decode(spark, sf):
+        # driver-visible face of the codec suite (r4 verdict item 3):
+        # a committed binary-asset table covering EVERY real decode
+        # path (PNG; JPEG SOF0 444/420+RST, SOF2 progressive, SOF3
+        # lossless, SOF9/SOF10 arithmetic, hierarchical; WAV
+        # PCM/mu-law/A-law/IMA/MS-ADPCM; FLAC; MJPEG-AVI; MS-RLE AVI;
+        # MJPEG-MP4) runs through the Arrow-batched mapInPandas
+        # decoders and reports decoded geometry + a sha256 over the
+        # decoded content bytes; the oracle hashes the pre-committed
+        # expected outputs (scripts/gen_media_fixtures.py), so any
+        # codec regression flips this gate row
+        from tildener_spark.operators.multimodal import (
+            decode_media_summary)
+        media = spark.read.parquet(
+            os.path.join(_MEDIA_FIX, "media_assets.parquet"))
+        return decode_media_summary(media)
 
     def q80_salted_join(spark, sf):
         # salted skew-defused equi-join (operators/skew.py): the
@@ -4620,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_salted_join": q80_salted_join,
         "q81_json_props": q81_json_props,
         "q82_pivot": q82_pivot,
+        "q83_multimodal_decode": q83_multimodal_decode,
         "kg_calibration": kg_calibration,
     }
 
@@ -5071,6 +5097,17 @@ def oracle_sql() -> dict[str, str]:
                        as n_view
             from events
             group by user_id
+        """,
+        # codec conformance: the expected decode summary is COMMITTED
+        # (scripts/gen_media_fixtures.py ran the repo's decoders at
+        # generation time); the Spark side re-decodes every payload
+        # through mapInPandas, so a regression in any codec breaks
+        # the value hash against this pinned table
+        "q83_multimodal_decode": f"""
+            select asset_id, codec, kind, d1, d2, n_units,
+                   content_sha
+            from read_parquet(
+                '{_MEDIA_FIX}/media_expected.parquet')
         """,
         # salted join: salting changes the shuffle, not the answer —
         # the oracle is the plain join + rollup

@@ -88,7 +88,14 @@ def main() -> None:
         from tildener_spark.session import noise_probe
         times: list[float] = []
         probes: list[dict] = []
-        max_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "6"))
+        # probe acceptance ≤115 ms against the ~105-110 ms idle
+        # calibration: round 4's ≤135 gate accepted a 124.7 ms
+        # "clean" window and recorded a contention-inflated 19.7 s
+        # as the artifact of record (r4 verdict item 1) — mildly
+        # contended readings must keep trialing instead
+        max_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "9"))
+        probe_gate = float(os.environ.get("SPARK_GRAFT_PROBE_MS",
+                                          "115"))
         while len(times) < max_trials:
             spark.catalog.clearCache()
             pr0 = noise_probe()
@@ -101,7 +108,7 @@ def main() -> None:
             best_probe = probes[times.index(min(times))]
             if (len(times) >= 2
                     and sorted(times)[1] <= min(times) * 1.2
-                    and best_probe["probe_cpu_ms"] <= 135):
+                    and best_probe["probe_cpu_ms"] <= probe_gate):
                 break
         kg_sec = min(times)
         kg_probe = probes[times.index(kg_sec)]
@@ -118,14 +125,27 @@ def main() -> None:
     # whose floor is 4.4 s), so keep trialing until the two fastest
     # agree within 20% (cap 4) — same discipline as the kg stage;
     # sub-second queries converge on the first pair
-    def timed(fn) -> float:
+    # probe-gated like the kg stage (r4: a best-of-2 "agreement"
+    # inside one contended episode recorded 1.5-1.8x floors for q21
+    # and q11) — a trial counts as convergent only when its probe
+    # window read near-idle
+    from tildener_spark.session import noise_probe as _probe
+
+    def timed(fn, max_trials: int = 6) -> float:
         times: list[float] = []
-        while len(times) < 4:
+        clean: list[float] = []
+        while len(times) < max_trials:
+            pr0 = _probe()
             t0 = time.perf_counter()
             fn()
             times.append(time.perf_counter() - t0)
-            if (len(times) >= 2
-                    and sorted(times)[1] <= min(times) * 1.2):
+            pr1 = _probe()
+            if max(pr0["probe_cpu_ms"], pr1["probe_cpu_ms"]) \
+                    <= probe_gate:
+                clean.append(times[-1])
+            if (clean and len(times) >= 2
+                    and sorted(times)[1] <= min(times) * 1.2
+                    and min(clean) <= min(times) * 1.2):
                 break
         return round(min(times), 3)
 
@@ -144,6 +164,58 @@ def main() -> None:
         lambda: similarity.embedding_near_duplicates_lsh(
             emb, threshold=0.45, n_bits=5, n_tables=24).count())
 
+    # ---- tier 2: regression tripwires for the round-4 heavy
+    # families (r4 verdict item 6).  Reported under a separate key so
+    # the headline total stays composition-comparable across rounds.
+    tier2: dict[str, float] = {}
+    tier2["q60_bpe_train"] = timed(
+        lambda: queries["q60_bpe_train"](spark, SF_DIR).count(),
+        max_trials=3)
+    tier2["q75_kmv_setops"] = timed(
+        lambda: queries["q75_kmv_setops"](spark, SF_DIR).count(),
+        max_trials=3)
+
+    # KG maintenance + embedding-training tripwires at N_DOCS/4
+    # (regression detection, not absolute throughput — the absolute
+    # numbers live in scripts/incremental_bench.py at 200k docs)
+    from tildener_spark.operators.kgtrain import train_transe
+    from tildener_spark.plans.incremental import (
+        read_stage, run_pipeline_incremental)
+    from pyspark.sql import functions as F
+    work2 = tempfile.mkdtemp(prefix="tildener_bench_t2_")
+    try:
+        n2 = max(N_DOCS // 4, 4000)
+        p2_path = os.path.join(work2, "pages")
+        pages_df(spark, n2, partitions=max(CPUS, 8)) \
+            .write.parquet(p2_path)
+        p2 = spark.read.parquet(p2_path)
+        is_delta = F.pmod(F.xxhash64("url"), F.lit(10)) == 0
+        base, delta = p2.filter(~is_delta), p2.filter(is_delta)
+        prior_dir = os.path.join(work2, "prior")
+        # prior state: built once per deployment epoch (untimed)
+        run_pipeline(spark, base, gaz,
+                     EngineConfig(checkpoint_dir=prior_dir,
+                                  checkpoint_slices=8))
+        spark.catalog.clearCache()
+
+        def incr_once():
+            r2 = run_pipeline_incremental(spark, prior_dir, delta,
+                                          gaz, EngineConfig())
+            r2["canonical_triples"].count()
+            for c in r2["caches"]:
+                c.unpersist()
+
+        tier2["kg_incremental_merge"] = timed(incr_once,
+                                              max_trials=3)
+        spark.catalog.clearCache()
+        ct2 = read_stage(spark, prior_dir, "canonical_triples")
+        tier2["kg_embed_epoch"] = timed(
+            lambda: train_transe(spark, ct2, dim=8, epochs=1)
+            ["embeddings"].count(), max_trials=3)
+        spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(work2, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     docs_per_hour = round(N_DOCS / kg_sec * 3600, 1)
     print(json.dumps({
@@ -151,6 +223,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "tier2": tier2,
+        "tier2_total_sec": round(sum(tier2.values()), 3),
+        "tier2_kg_docs": max(N_DOCS // 4, 4000),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_hour": docs_per_hour,
         "kg_docs": N_DOCS,

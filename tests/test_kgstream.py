@@ -130,6 +130,47 @@ def test_supersede_manifest_filters_uncollected_epochs(spark,
         == ["epoch_00002"]
 
 
+def test_batch_id_replay_is_skipped(spark, tmp_path):
+    """The foreachBatch crash window: epoch ``_SUCCESS`` written but
+    the stream's offsets not yet committed — the replayed batch
+    carries the SAME batch_id and must be a no-op, not a duplicate
+    epoch (round-4 advisor, medium)."""
+    corpus = corpus_df(spark, 20).cache()
+    pages, *_ = split_gold(corpus)
+    pages = pages.select("url", "warc_ts", "text", "lang").cache()
+    gaz = gazetteer_df(spark)
+    num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+    b0, b1 = pages.filter(num < 10), pages.filter(num >= 10)
+
+    state = KGState(spark, str(tmp_path / "state"))
+    state.merge_batch(b0, gaz, batch_id=0)
+    state.merge_batch(b1, gaz, batch_id=1)
+    assert len(state.epochs()) == 2
+    assert state.committed_batch_ids() == {0, 1}
+    before = _rows(state.canonical_triples(), CANON_COLS)
+    n_docs_before = state.read()["docs"].count()
+
+    # replay of batch 1 (same id): no new epoch, no double facts
+    state.merge_batch(b1, gaz, batch_id=1)
+    assert len(state.epochs()) == 2
+    assert state.read()["docs"].count() == n_docs_before
+    assert _rows(state.canonical_triples(), CANON_COLS) == before
+
+    # compaction carries the committed-id set forward, so replays
+    # stay no-ops after the superseded epochs are gone
+    state.compact()
+    assert state.committed_batch_ids() == {0, 1}
+    state.merge_batch(b1, gaz, batch_id=1)
+    assert len(state.epochs()) == 1
+    assert _rows(state.canonical_triples(), CANON_COLS) == before
+
+    # a genuinely new batch id still commits
+    state.merge_batch(b1.limit(0), gaz, batch_id=2)  # empty: no-op
+    state.merge_batch(b0.limit(3), gaz, batch_id=2)
+    assert len(state.epochs()) == 2
+    assert state.committed_batch_ids() == {0, 1, 2}
+
+
 def test_epoch_time_travel(spark, tmp_path):
     import pytest as _pytest
     corpus = corpus_df(spark, 30).cache()

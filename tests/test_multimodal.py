@@ -107,3 +107,38 @@ def test_audio_windows_plan(spark):
         starts = sorted(starts)
         assert starts[0] == 0
         assert all(b - a == 1000 for a, b in zip(starts, starts[1:]))
+
+
+def test_decode_media_summary_matches_committed_expected(spark):
+    """q83's contract: the Arrow-batched decode of the committed
+    asset table reproduces the committed expected summary exactly —
+    every real codec path (PNG, all six JPEG modes + hierarchical,
+    five WAV families, FLAC, MJPEG-AVI/MP4, MS-RLE) in one pass."""
+    import os
+
+    from tildener_spark.operators.multimodal import (
+        decode_media_summary)
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "media")
+    media = spark.read.parquet(
+        os.path.join(fix, "media_assets.parquet"))
+    got = {r["asset_id"]: tuple(r)
+           for r in decode_media_summary(media).collect()}
+    want = {r["asset_id"]: tuple(r) for r in spark.read.parquet(
+        os.path.join(fix, "media_expected.parquet")).collect()}
+    assert got == want
+    codecs_seen = {t[1] for t in got.values()}
+    assert {"png", "jpeg_sof0", "jpeg_sof2", "jpeg_sof3",
+            "jpeg_sof9", "jpeg_sof10", "jpeg_hier", "wav_pcm",
+            "wav_mulaw", "wav_alaw", "wav_ima_adpcm", "wav_ms_adpcm",
+            "flac", "avi_mjpeg", "avi_msrle",
+            "mp4_mjpeg"} <= codecs_seen
+
+
+def test_huffman_progressive_encode_rejected():
+    import numpy as np
+    import pytest
+
+    from tildener_spark.functions.jpeg import encode_jpeg
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="progressive"):
+        encode_jpeg(img, progressive=True)

@@ -90,6 +90,17 @@ def test_unbound_select_raises(graph):
         KGQuery(graph).match("?x", "works", "?y").select("?q")
 
 
+def test_node_and_predicate_position_var_raises(graph):
+    # node vars bind `type SEP canonical` keys, predicate vars bind
+    # raw predicate strings — the domains are disjoint, so a shared
+    # variable can never unify and must be rejected (r4 advisor)
+    with pytest.raises(ValueError, match="node and predicate"):
+        KGQuery(graph).match("?x", "?x", "?y").select("?y")
+    with pytest.raises(ValueError, match="node and predicate"):
+        (KGQuery(graph).match("?a", "works", "?y")
+         .match("?x", "?a", "?z").select("?y"))
+
+
 def test_no_patterns_raises(graph):
     with pytest.raises(ValueError, match="no match"):
         KGQuery(graph).select("?x")

@@ -1269,6 +1269,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                                      int(hierarchical))
     if lossless:
         return _encode_lossless(img, int(lossless), restart_interval)
+    if progressive and not arithmetic:
+        # Huffman progressive (SOF2) ENCODING is not implemented —
+        # only decoding (conformance-tested against javax.imageio
+        # bitstreams); silently emitting SOF0 here misled a caller
+        # expecting a progressive stream
+        raise ValueError(
+            "progressive=True requires arithmetic=True (SOF10); "
+            "Huffman progressive encoding is not implemented")
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and a.shape[2] != 3:

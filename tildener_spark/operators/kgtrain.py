@@ -300,9 +300,14 @@ def train_transe(spark, canon_triples: DataFrame, dim: int = 8,
     from tildener_spark.materialize import materialize_once, release
 
     negs = negative_sampling(canon_triples, keep_original=True)
+    # pk carries the ORIGINAL entities too: two different positives
+    # can draw the same corruption (the draw is mod n_type), and a
+    # pk keyed on the corrupted triple alone would sum both pairs'
+    # L1 scores into one hinge (round-4 advisor finding)
     pairs = negs.select(
         F.concat_ws(US, "slot", "subj_type", "subj", "pred",
-                    "obj_type", "obj").alias("pk"),
+                    "obj_type", "obj", "orig_subj", "orig_obj")
+        .alias("pk"),
         _node("subj_type", "orig_subj").alias("ps"),
         F.col("pred").alias("pp"),
         _node("obj_type", "orig_obj").alias("po"),

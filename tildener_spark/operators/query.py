@@ -133,6 +133,23 @@ class KGQuery:
     def select(self, *out_vars: str) -> DataFrame:
         if not self._patterns:
             raise ValueError("no match() patterns")
+        # a variable bound in BOTH a node slot and the predicate
+        # slot can never unify: node vars carry `type SEP canonical`
+        # keys, predicate vars carry raw predicate strings — the
+        # domains are disjoint, so silently deduplicating the column
+        # (the old behavior) returned rows where the two occurrences
+        # differ.  Reject it loudly instead (round-4 advisor).
+        node_vars = {t for p in self._patterns
+                     for t in (p.subj, p.obj) if _is_var(t)}
+        pred_vars = {p.pred for p in self._patterns
+                     if _is_var(p.pred)}
+        both = node_vars & pred_vars
+        if both:
+            raise ValueError(
+                "variable(s) used in both node and predicate "
+                f"positions: {sorted(both)} — node variables bind "
+                "`type␟ canonical` keys, predicate variables "
+                "bind predicate strings; the domains are disjoint")
         plan = self._plan()
         # greedy: always join the next pattern that shares a bound
         # variable; patterns with no shared variable wait (a final

@@ -305,8 +305,10 @@ def kmv_set_ops(docs: DataFrame, group_col: str = "source",
 
     Returns (src_a, src_b, union_est, inter_est, jaccard_est,
     union_exact, inter_exact) for src_a < src_b.  The exact columns
-    are small-scale validators (the distinct-token join the sketch
-    replaces).
+    are small-scale validators — the distinct-TOKEN join the sketch
+    replaces, computed over the token strings themselves (not their
+    60-bit hashes, which a cross-source collision would inflate;
+    round-4 advisor finding).
     """
     toks = (
         docs
@@ -314,7 +316,7 @@ def kmv_set_ops(docs: DataFrame, group_col: str = "source",
                 F.explode(F.split(F.lower(text_col), WS_RE))
                 .alias("tok"))
         .filter(F.col("tok") != "")
-        .select("grp", _kmv_hash(F.col("tok")).alias("h"))
+        .select("grp", "tok", _kmv_hash(F.col("tok")).alias("h"))
     )
     bk = bottom_k_hashes(toks, k)
     sk = (
@@ -353,11 +355,11 @@ def kmv_set_ops(docs: DataFrame, group_col: str = "source",
                              F.lit(1)).cast("double"), 6)
             .alias("jaccard_est"))
     )
-    d = toks.distinct()
-    da = d.select(F.col("grp").alias("src_a"), "h")
-    db = d.select(F.col("grp").alias("src_b"), "h")
+    d = toks.select("grp", "tok").distinct()
+    da = d.select(F.col("grp").alias("src_a"), "tok")
+    db = d.select(F.col("grp").alias("src_b"), "tok")
     inter_exact = (
-        da.join(db, "h")
+        da.join(db, "tok")
         .filter(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))

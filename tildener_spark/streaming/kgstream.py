@@ -85,6 +85,31 @@ class KGState:
         return os.path.join(
             self.dir, f"epoch_{(max(nums) + 1 if nums else 0):05d}")
 
+    def committed_batch_ids(self) -> set[int]:
+        """Stream batch ids already merged into committed epochs.
+
+        Each epoch records the batch ids it absorbed in a
+        ``_BATCH_IDS`` file (one id per line; compaction unions
+        them), written before ``_SUCCESS`` so the set reflects only
+        durable commits.  ``merge_batch`` consults this to make a
+        foreachBatch replay a no-op: if the process dies after an
+        epoch's ``_SUCCESS`` but before Structured Streaming commits
+        the batch's offsets, the replayed batch would otherwise be
+        merged again as a NEW epoch and its facts double-counted in
+        every future view."""
+        ids: set[int] = set()
+        for e in self.epochs():
+            manifest = os.path.join(e, "_BATCH_IDS")
+            if os.path.exists(manifest):
+                ids.update(int(line) for line in
+                           open(manifest).read().split() if line)
+        return ids
+
+    @staticmethod
+    def _write_batch_ids(path: str, ids) -> None:
+        with open(os.path.join(path, "_BATCH_IDS"), "w") as f:
+            f.write("\n".join(str(i) for i in sorted(ids)))
+
     def read(self) -> dict:
         """Prior tables for the next merge: append-only facts from
         every epoch, current view from the newest."""
@@ -125,12 +150,23 @@ class KGState:
             f"(have {[os.path.basename(e) for e in eps]})")
 
     def merge_batch(self, pages: DataFrame, gazetteer: DataFrame,
-                    cfg: EngineConfig | None = None) -> None:
+                    cfg: EngineConfig | None = None,
+                    batch_id: int | None = None) -> None:
         """Commit one batch: full checkpointed run for the first
         epoch, incremental merge + epoch commit afterwards.  Writes
-        the ``_SUCCESS`` marker last (commit atomicity)."""
+        the ``_SUCCESS`` marker last (commit atomicity).
+
+        ``batch_id`` (the Structured Streaming micro-batch id) makes
+        the commit idempotent under replay: a batch whose id is
+        already recorded in a committed epoch's ``_BATCH_IDS`` is
+        skipped — the standard foreachBatch exactly-once recipe for
+        the crash window between epoch ``_SUCCESS`` and the stream's
+        offset commit."""
         cfg = cfg or EngineConfig()
         if pages.isEmpty():
+            return
+        if batch_id is not None and batch_id in \
+                self.committed_batch_ids():
             return
         path = self._next_path()
         if not self.epochs():
@@ -140,6 +176,8 @@ class KGState:
                                              checkpoint_dir=path))
             # run_pipeline's stage tables carry their own markers;
             # the epoch marker seals the whole layout
+            if batch_id is not None:
+                self._write_batch_ids(path, [batch_id])
             with open(os.path.join(path, "_SUCCESS"), "w") as f:
                 f.write("")
             return
@@ -160,6 +198,8 @@ class KGState:
             os.path.join(path, "canonical_triples"))
         for c in res["caches"]:
             c.unpersist()
+        if batch_id is not None:
+            self._write_batch_ids(path, [batch_id])
         with open(os.path.join(path, "_SUCCESS"), "w") as f:
             f.write("")
 
@@ -180,6 +220,7 @@ class KGState:
         eps = self.epochs()
         if len(eps) <= 1:
             return
+        batch_ids = self.committed_batch_ids()
         prior = self.read()
         newest = eps[-1]
         path = self._next_path()
@@ -195,6 +236,8 @@ class KGState:
                 read_stage(self.spark, newest, view) \
                     .write.mode("overwrite").parquet(
                     os.path.join(path, view))
+        if batch_ids:
+            self._write_batch_ids(path, batch_ids)
         with open(os.path.join(path, "_SUPERSEDES"), "w") as f:
             f.write("\n".join(os.path.basename(e) for e in eps))
         with open(os.path.join(path, "_SUCCESS"), "w") as f:
@@ -225,7 +268,8 @@ def kg_maintenance_query(spark: SparkSession, pages_stream: DataFrame,
     gaz_cached.count()
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        state.merge_batch(batch_df, gaz_cached, cfg)
+        state.merge_batch(batch_df, gaz_cached, cfg,
+                          batch_id=batch_id)
 
     return (pages_stream.writeStream
             .foreachBatch(_merge)
