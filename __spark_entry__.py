@@ -2324,6 +2324,202 @@ def _hll_oracle_sql() -> str:
     """
 
 
+def _kg_embed_mb_sql(dim: int = 8, epochs: int = 2,
+                     batches: int = 3, margin: int = 4, lr: int = 3,
+                     emb_seed: str = "emb42") -> str:
+    """DuckDB replay of kgtrain.train_transe_minibatch: per-epoch
+    negative re-draws (seed ``neg42|ep{k}``), md5-bucketed
+    mini-batches, and one unrolled join/score/grad/update block per
+    (epoch, batch) step — the FULL SGD trajectory, parameter updates
+    visible to the very next bucket, hashes bitwise."""
+    def h32(key: str) -> str:
+        return f"(('0x' || substring(md5({key}), 1, 8))::bigint)"
+
+    def negdraw(slot: str, seed: str) -> str:
+        key = (f"'{seed}' || chr(31) || s_type || chr(31) || s"
+               " || chr(31) || pred || chr(31) || o_type"
+               f" || chr(31) || o || chr(31) || '{slot}'")
+        return f"({h32(key)} % z.n_type)"
+
+    def sgn(x: str) -> str:
+        return (f"(case when {x} > 0 then 1 when {x} < 0 then -1"
+                " else 0 end)")
+
+    def init(kind: str, src: str) -> str:
+        key = (f"'{emb_seed}' || chr(31) || '{kind}' || chr(31)"
+               " || name || chr(31) || cast(d as varchar)")
+        return f"""
+        select name, d,
+               cast((({h32(key)} % 201) - 100) as bigint) as v
+        from {src} cross join dims"""
+
+    def pair_blocks(k: int) -> str:
+        seed = f"neg42|ep{k}"
+        bkey = (f"'{emb_seed}' || chr(31) || 'batch' || chr(31)"
+                " || pk")
+        return f"""
+        sneg{k} as (
+            select 'subj' as slot, p.s_type as subj_type,
+                   e2.ent as subj, p.pred,
+                   p.o_type as obj_type, p.o as obj,
+                   p.s as orig_subj, p.o as orig_obj
+            from pos p
+            join sizes z on z.ne_type = p.s_type and z.n_type > 1
+            join vents eo on eo.ne_type = p.s_type and eo.ent = p.s
+            join vents e2 on e2.ne_type = p.s_type
+             and e2.idx = (case when {negdraw('subj', seed)} = eo.idx
+                                then ({negdraw('subj', seed)} + 1)
+                                     % z.n_type
+                                else {negdraw('subj', seed)} end)
+        ),
+        oneg{k} as (
+            select 'obj' as slot, p.s_type as subj_type,
+                   p.s as subj, p.pred,
+                   p.o_type as obj_type, e2.ent as obj,
+                   p.s as orig_subj, p.o as orig_obj
+            from pos p
+            join sizes z on z.ne_type = p.o_type and z.n_type > 1
+            join vents eo on eo.ne_type = p.o_type and eo.ent = p.o
+            join vents e2 on e2.ne_type = p.o_type
+             and e2.idx = (case when {negdraw('obj', seed)} = eo.idx
+                                then ({negdraw('obj', seed)} + 1)
+                                     % z.n_type
+                                else {negdraw('obj', seed)} end)
+        ),
+        pairs{k} as materialized (
+            select pk, ps, pp, po, ns, no,
+                   ({h32(bkey)} % {batches}) as b
+            from (
+                select slot || chr(31) || subj_type || chr(31)
+                       || subj || chr(31) || pred || chr(31)
+                       || obj_type || chr(31) || obj || chr(31)
+                       || orig_subj || chr(31) || orig_obj as pk,
+                       subj_type || '␟' || orig_subj as ps,
+                       pred as pp,
+                       obj_type || '␟' || orig_obj as po,
+                       subj_type || '␟' || subj as ns,
+                       obj_type || '␟' || obj as no
+                from (
+                    select n.* from (
+                        select * from sneg{k}
+                        union all select * from oneg{k}
+                    ) n
+                    where not exists (
+                        select 1 from pos p
+                        where p.s_type = n.subj_type
+                          and p.s = n.subj and p.pred = n.pred
+                          and p.o_type = n.obj_type
+                          and p.o = n.obj)
+                )
+            )
+        )"""
+
+    blocks = []
+    t = 0
+    for k in range(epochs):
+        blocks.append(pair_blocks(k))
+        for b in range(batches):
+            blocks.append(f"""
+        j{t} as materialized (
+            select p.pk, p.ps, p.pp, p.po, p.ns, p.no, eps.d,
+                   eps.v + rp.v - epo.v as dpos,
+                   ens.v + rp.v - eno.v as dneg
+            from (select * from pairs{k} where b = {b}) p
+            join e{t} eps on eps.name = p.ps
+            join e{t} epo on epo.name = p.po and epo.d = eps.d
+            join e{t} ens on ens.name = p.ns and ens.d = eps.d
+            join e{t} eno on eno.name = p.no and eno.d = eps.d
+            join r{t} rp on rp.name = p.pp and rp.d = eps.d
+        ),
+        a{t} as materialized (
+            select pk from (
+                select pk, sum(abs(dpos)) as spos,
+                       sum(abs(dneg)) as sneg
+                from j{t} group by 1
+            ) where {margin} + spos - sneg > 0
+        ),
+        g{t} as materialized (
+            select kind, name, d, sum(g) as gsum from (
+                select 'E' as kind, j.ps as name, j.d,
+                       {sgn('j.dpos')} as g
+                from j{t} j join a{t} using (pk)
+                union all
+                select 'R', j.pp, j.d,
+                       {sgn('j.dpos')} - {sgn('j.dneg')}
+                from j{t} j join a{t} using (pk)
+                union all
+                select 'E', j.po, j.d, -{sgn('j.dpos')}
+                from j{t} j join a{t} using (pk)
+                union all
+                select 'E', j.ns, j.d, -{sgn('j.dneg')}
+                from j{t} j join a{t} using (pk)
+                union all
+                select 'E', j.no, j.d, {sgn('j.dneg')}
+                from j{t} j join a{t} using (pk)
+            ) group by 1, 2, 3
+        ),
+        e{t + 1} as materialized (
+            select e.name, e.d,
+                   cast(e.v - greatest(-{lr}, least({lr},
+                       coalesce(g.gsum, 0))) as bigint) as v
+            from e{t} e
+            left join g{t} g on g.kind = 'E' and g.name = e.name
+                            and g.d = e.d
+        ),
+        r{t + 1} as materialized (
+            select r.name, r.d,
+                   cast(r.v - greatest(-{lr}, least({lr},
+                       coalesce(g.gsum, 0))) as bigint) as v
+            from r{t} r
+            left join g{t} g on g.kind = 'R' and g.name = r.name
+                            and g.d = r.d
+        )""")
+            t += 1
+    final = t
+    return f"""
+        with ct as materialized (
+            select * from read_parquet(
+                '{_KG_CACHE}/canon_triples.parquet/*.parquet')
+        ),
+        pos as materialized (
+            select distinct subj_type as s_type,
+                   subj_canonical as s, pred,
+                   obj_type as o_type, obj_canonical as o
+            from ct
+        ),
+        vents as materialized (
+            select ne_type, ent,
+                   row_number() over (partition by ne_type
+                                      order by ent asc) - 1 as idx
+            from (
+                select distinct subj_type as ne_type,
+                       subj_canonical as ent from ct
+                union
+                select distinct obj_type, obj_canonical from ct
+            )
+        ),
+        sizes as materialized (
+            select ne_type, count(*) as n_type from vents group by 1
+        ),
+        nodes as materialized (
+            select distinct subj_type || '␟' || subj_canonical
+                   as name from ct
+            union
+            select distinct obj_type || '␟' || obj_canonical from ct
+        ),
+        rnames as (select distinct pred as name from ct),
+        dims as (select unnest(range({dim})) as d),
+        e0 as materialized ({init('E', 'nodes')}
+        ),
+        r0 as materialized ({init('R', 'rnames')}
+        ),{','.join(blocks)}
+        select 'E' as kind, name, cast(d as bigint) as d, v
+        from e{final}
+        union all
+        select 'R', name, cast(d as bigint), v from r{final}
+    """
+
+
 def _kmv_oracle_sql() -> str:
     """DuckDB mirror of sketches.kmv_set_ops: identical 60-bit md5
     hash, bottom-k distinct per source (row_number over distinct ==
@@ -4116,6 +4312,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = _kg_materialized(spark)
         return train_transe(spark, m["canon_triples"])["embeddings"]
 
+    def kg_embed_mb(spark, sf):
+        # mini-batch TransE (operators/kgtrain.py
+        # train_transe_minibatch): per-epoch negative re-draws +
+        # md5-bucketed mini-batches with updates visible to the next
+        # bucket — the 10^9-triple training shape (r4 verdict item
+        # 4); the whole SGD trajectory replays bitwise in the
+        # unrolled (epoch x batch) oracle
+        from tildener_spark.operators.kgtrain import (
+            train_transe_minibatch)
+        m = _kg_materialized(spark)
+        return train_transe_minibatch(
+            spark, m["canon_triples"])["embeddings"]
+
     def kg_provenance(spark, sf):
         # per-edge provenance cards (operators/graphstats.py
         # edge_provenance): evidence volume, doc support, top-3
@@ -4554,6 +4763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conflicts": kg_conflicts,
         "kg_asof": kg_asof,
         "kg_embed": kg_embed,
+        "kg_embed_mb": kg_embed_mb,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -7498,6 +7708,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bottleneck": _kg_bottleneck_sql(),
         # embedding training: the whole 3-epoch integer run unrolled
         "kg_embed": _kg_embed_sql(),
+        "kg_embed_mb": _kg_embed_mb_sql(),
         # as-of snapshot: same integer-ms midpoint (floor division on
         # both engines), same evidence join and aggregates
         "kg_asof": f"""

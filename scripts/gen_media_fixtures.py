@@ -7,7 +7,8 @@ Writes two single-file parquets under tests/fixtures/media/:
                           SOF0 444/420+RST, SOF2 progressive, SOF3
                           lossless, SOF9 arithmetic, hierarchical;
                           WAV PCM / mu-law / A-law / IMA / MS-ADPCM;
-                          FLAC; MJPEG-AVI; MS-RLE AVI; MJPEG-MP4)
+                          FLAC; Ogg Vorbis; MJPEG-AVI; MS-RLE AVI;
+                          MJPEG-MP4)
   media_expected.parquet  the decode summary those payloads must
                           produce (operators/multimodal.py
                           decode_media_summary columns)
@@ -106,6 +107,8 @@ def build_assets() -> list[tuple[int, bytes]]:
     add(codecs.encode_wav_ms_adpcm(_pcm(1000, "ms"), 8000))
     add(flac.encode_flac(_pcm(2048, "flac", 2), 8000,
                          stereo_mode="mid_side"))
+    from tildener_spark.functions import vorbis
+    add(vorbis.encode_vorbis(_pcm(1700, "vorbis", 2), 8000))
 
     # --- video: MJPEG in both containers + MS-RLE inter-frame
     add(avi.encode_avi_mjpeg(_clip(4, 32, 24, "avi"), fps=8.0))

@@ -148,3 +148,38 @@ def test_transe_zero_epochs_returns_init(spark):
     assert len(res["loss_by_epoch"]) == 1
     for r in res["embeddings"].collect():
         assert -100 <= r["v"] <= 100        # untouched init range
+
+
+def test_transe_minibatch_trains_and_is_partition_invariant(spark):
+    from tildener_spark.operators.kgtrain import train_transe_minibatch
+    t = _corpus(spark)
+    res = train_transe_minibatch(spark, t, dim=4, epochs=1, batches=3)
+    losses = res["loss_by_epoch"]
+    assert len(losses) == 2      # one per epoch's own draw + final
+    assert losses[-1] < losses[0]
+    emb = sorted(map(tuple, res["embeddings"].collect()))
+    res2 = train_transe_minibatch(spark, t.repartition(7), dim=4,
+                                  epochs=1, batches=3)
+    assert res2["loss_by_epoch"] == losses
+    assert sorted(map(tuple, res2["embeddings"].collect())) == emb
+
+
+def test_transe_minibatch_differs_from_single_batch(spark):
+    """batches>1 must change the trajectory — later buckets see the
+    earlier buckets' updates, a single bucket does not."""
+    from tildener_spark.operators.kgtrain import train_transe_minibatch
+    t = _corpus(spark)
+    one = train_transe_minibatch(spark, t, dim=4, epochs=2, batches=1)
+    many = train_transe_minibatch(spark, t, dim=4, epochs=2, batches=4)
+    e1 = sorted(map(tuple, one["embeddings"].collect()))
+    e4 = sorted(map(tuple, many["embeddings"].collect()))
+    assert e1 != e4
+
+
+def test_transe_minibatch_zero_epochs_returns_init(spark):
+    from tildener_spark.operators.kgtrain import train_transe_minibatch
+    t = _corpus(spark)
+    res = train_transe_minibatch(spark, t, dim=4, epochs=0)
+    assert res["loss_by_epoch"] == [0]
+    for r in res["embeddings"].collect():
+        assert -100 <= r["v"] <= 100

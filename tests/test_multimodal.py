@@ -33,9 +33,10 @@ def test_declared_stubs_raise():
             b"\x11\x00")
     with pytest.raises(NotImplementedError):
         decode_image(sof5)
-    # FLAC decodes for real since round 4 (functions/flac.py) — the
-    # remaining audio stubs are the lossy codecs
-    with pytest.raises(NotImplementedError):
+    # FLAC (round 4) and Ogg Vorbis (round 5, functions/vorbis.py)
+    # decode for real — MP3 is the remaining declared audio stub,
+    # and a truncated Ogg is a parse error, not a stub
+    with pytest.raises(ValueError):
         decode_audio(b"OggS....")
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04...")
@@ -130,7 +131,7 @@ def test_decode_media_summary_matches_committed_expected(spark):
     assert {"png", "jpeg_sof0", "jpeg_sof2", "jpeg_sof3",
             "jpeg_sof9", "jpeg_sof10", "jpeg_hier", "wav_pcm",
             "wav_mulaw", "wav_alaw", "wav_ima_adpcm", "wav_ms_adpcm",
-            "flac", "avi_mjpeg", "avi_msrle",
+            "flac", "ogg_vorbis", "avi_mjpeg", "avi_msrle",
             "mp4_mjpeg"} <= codecs_seen
 
 

@@ -64,6 +64,30 @@ def test_lsh_topk_recall_gate(spark):
     assert recall >= 0.8, recall
 
 
+def test_lsh_topk_recall_gate_uniform_corpus(spark):
+    """Same defaults, OPPOSITE corpus shape: seeded uniform unit
+    vectors (no cluster structure for the buckets to exploit — the
+    ANN worst case).  Sign-LSH collision probability depends only on
+    the pair angle, so the (5, 24) knee should hold here too
+    (measured 0.882 in BENCH/ANN_SWEEP.md); gating BOTH shapes
+    pins that distribution-independence (r4 verdict item 7)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((400, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>")
+    bf = {(r["vec_id"], r["neighbor_id"])
+          for r in brute_force_topk(emb, k=5).collect()}
+    ann = {(r["vec_id"], r["neighbor_id"])
+           for r in lsh_topk(emb, k=5, n_bits=5,
+                             n_tables=24).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.8, recall
+
+
 def test_near_duplicates_lsh_agrees_with_exact(spark):
     """Bucketed near-dup variant vs the exact crossJoin baseline on a
     corpus with planted near-duplicates (cos >= 0.95)."""

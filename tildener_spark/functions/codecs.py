@@ -6,11 +6,14 @@ per-scanline filters, and WAV PCM is a plain RIFF header over raw
 samples.  These decoders make the multimodal operators' *real* decode
 path exercisable end-to-end (VERDICT r02 next-round item 6); JPEG has
 its own pure-numpy codec (functions/jpeg.py), FLAC likewise
-(functions/flac.py), and compressed WAV payloads route to
+(functions/flac.py), compressed WAV payloads route to
 functions/g711.py (mu-law/A-law, fmt tags 7/6) and
-functions/adpcm.py (IMA/MS ADPCM, fmt tags 0x11/2), so the declared
-NotImplementedError stubs now cover only perceptual audio (Ogg/MP3)
-and inter-frame video containers.
+functions/adpcm.py (IMA/MS ADPCM, fmt tags 0x11/2), and Ogg Vorbis
+decodes for real since round 5 (functions/vorbis.py — stream-embedded
+codebooks, floor1, residue 0/1/2, IMDCT), so the declared
+NotImplementedError stubs now cover only MP3 (spec-literal Huffman
+tables unverifiable in this container — see functions/vorbis.py
+module doc) and inter-frame video codecs (H.264/VP9/AV1).
 
 Scale note: in production these UDFs would call an optimized codec
 (PIL/opencv/ffmpeg) loaded once per worker; this module is the

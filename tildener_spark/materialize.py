@@ -24,6 +24,11 @@ its ONLY copy), an ``unpersist()`` for the cluster path.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
@@ -39,10 +44,57 @@ def materialize_once(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def materialize_step(df: DataFrame, tag: str = "step") -> DataFrame:
+    """HARD materialization barrier for iterative parameter tables
+    (train_transe's mini-batch loop): write to parquet, read back.
+
+    Neither in-memory option survives a long step chain there:
+
+    * ``localCheckpoint`` truncates the plan but the LogicalRDD
+      carries the ORIGIN plan's statistics forward, so each step's
+      join-product sizeInBytes estimate compounds on the previous
+      step's (bit-length multiplying ~6x per step through the five
+      keyed joins) and by ~8 chained steps Catalyst's stats visitor
+      is multiplying million-bit BigIntegers — measured: step walls
+      3-6 s flat, then 55 s, then unbounded;
+    * ``persist()+count()`` reports real cached stats, but
+      unpersisting the PRIOR step's entry cascades a re-cache of the
+      dependent entry, rebuilding the full un-truncated lineage —
+      measured straight to a driver OOM.
+
+    A parquet round trip severs plan, stats, and cache ancestry
+    completely and reports real file-size statistics — the same
+    thing a production distributed trainer does when it snapshots
+    parameters per step.  Files live under a session-scoped temp dir
+    cleaned up at exit; each call writes a fresh subdir."""
+    global _STEP_SEQ
+    spark = df.sparkSession
+    base = _step_dir()
+    _STEP_SEQ += 1
+    path = os.path.join(base, f"{tag}_{_STEP_SEQ:06d}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+_STEP_BASE: str | None = None
+_STEP_SEQ = 0
+
+
+def _step_dir() -> str:
+    global _STEP_BASE
+    if _STEP_BASE is None:
+        _STEP_BASE = tempfile.mkdtemp(prefix="tildener_steps_")
+        atexit.register(shutil.rmtree, _STEP_BASE,
+                        ignore_errors=True)
+    return _STEP_BASE
+
+
 def release(df: DataFrame) -> None:
     """Free a :func:`materialize_once` result after its last consumer
     has run.  Safe to skip — the cluster path is also ContextCleaner-
-    freed on GC — but explicit release keeps long-lived sessions lean."""
+    freed on GC — but explicit release keeps long-lived sessions lean.
+    :func:`materialize_step` results need no release (their files go
+    with the session temp dir)."""
     if not _is_local(df):
         df.unpersist()
 

@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from tildener_spark.operators.graphstats import SEP
 
-__all__ = ["negative_sampling", "random_walks", "train_transe"]
+__all__ = ["negative_sampling", "random_walks", "train_transe",
+           "train_transe_minibatch"]
 
 US = "\x1f"  # md5-key field separator (never inside surfaces)
 
@@ -270,6 +271,109 @@ def _sign(c):
             .cast("long"))
 
 
+def _pair_table(canon_triples: DataFrame, seed: str) -> DataFrame:
+    """(positive, corruption) pairs keyed for one-hinge-per-pair:
+    pk carries the corrupted triple AND the original entities (two
+    positives can draw the same corruption)."""
+    negs = negative_sampling(canon_triples, seed=seed,
+                             keep_original=True)
+    return negs.select(
+        F.concat_ws(US, "slot", "subj_type", "subj", "pred",
+                    "obj_type", "obj", "orig_subj", "orig_obj")
+        .alias("pk"),
+        _node("subj_type", "orig_subj").alias("ps"),
+        F.col("pred").alias("pp"),
+        _node("obj_type", "orig_obj").alias("po"),
+        _node("subj_type", "subj").alias("ns"),
+        _node("obj_type", "obj").alias("no"),
+    )
+
+
+def _score_join(pairs: DataFrame, emb_e: DataFrame,
+                emb_r: DataFrame) -> DataFrame:
+    """Five (name, dim)-keyed equi-joins of the pair table against
+    the parameter tables + the per-dim L1 terms."""
+    j = pairs.join(
+        emb_e.select(F.col("name").alias("_n0"), "d",
+                     F.col("v").alias("v_ps")),
+        F.col("ps") == F.col("_n0")).drop("_n0")
+    for role, table in (("po", emb_e), ("ns", emb_e),
+                        ("no", emb_e), ("pp", emb_r)):
+        t = table.select(F.col("name").alias(f"_n_{role}"),
+                         F.col("d").alias(f"_d_{role}"),
+                         F.col("v").alias(f"v_{role}"))
+        j = j.join(
+            t, (F.col(role) == F.col(f"_n_{role}"))
+            & (F.col("d") == F.col(f"_d_{role}"))
+        ).drop(f"_n_{role}", f"_d_{role}")
+    return (j.withColumn("dpos", F.col("v_ps") + F.col("v_pp")
+                         - F.col("v_po"))
+             .withColumn("dneg", F.col("v_ns") + F.col("v_pp")
+                         - F.col("v_no")))
+
+
+def _pair_scores(j: DataFrame) -> DataFrame:
+    return j.groupBy("pk").agg(
+        F.sum(F.abs("dpos")).alias("spos"),
+        F.sum(F.abs("dneg")).alias("sneg"))
+
+
+def _hinge_loss(scores: DataFrame, margin: int) -> int:
+    loss = scores.agg(F.sum(
+        F.greatest(F.lit(0),
+                   F.lit(margin) + F.col("spos")
+                   - F.col("sneg"))).cast("long")
+        .alias("l")).collect()[0]["l"]
+    return int(loss or 0)
+
+
+def _grad_update(j: DataFrame, scores: DataFrame, margin: int,
+                 lr: int) -> DataFrame:
+    """Sign gradients over the active (margin-violating) pairs,
+    summed per (kind, name, d) and clamped to ±lr."""
+    active = scores.filter(
+        F.lit(margin) + F.col("spos") - F.col("sneg") > 0
+    ).select("pk")
+    contrib = (
+        j.join(active, "pk")
+        .select("d", F.explode(F.array(
+            F.struct(F.lit("E").alias("kind"),
+                     F.col("ps").alias("name"),
+                     _sign(F.col("dpos")).alias("g")),
+            F.struct(F.lit("R").alias("kind"),
+                     F.col("pp").alias("name"),
+                     (_sign(F.col("dpos"))
+                      - _sign(F.col("dneg"))).alias("g")),
+            F.struct(F.lit("E").alias("kind"),
+                     F.col("po").alias("name"),
+                     (-_sign(F.col("dpos"))).alias("g")),
+            F.struct(F.lit("E").alias("kind"),
+                     F.col("ns").alias("name"),
+                     (-_sign(F.col("dneg"))).alias("g")),
+            F.struct(F.lit("E").alias("kind"),
+                     F.col("no").alias("name"),
+                     _sign(F.col("dneg")).alias("g")),
+        )).alias("c"))
+        .select("d", "c.kind", "c.name", "c.g")
+    )
+    grads = contrib.groupBy("kind", "name", "d").agg(
+        F.sum("g").alias("gsum"))
+    return grads.select(
+        "kind", "name", "d",
+        F.greatest(F.lit(-lr),
+                   F.least(F.lit(lr), F.col("gsum")))
+        .cast("long").alias("u"))
+
+
+def _apply_update(emb: DataFrame, upd: DataFrame,
+                  kind: str) -> DataFrame:
+    return (emb.join(upd.filter(F.col("kind") == kind)
+                     .drop("kind"), ["name", "d"], "left")
+            .select("name", "d",
+                    (F.col("v") - F.coalesce("u", F.lit(0)))
+                    .cast("long").alias("v")))
+
+
 def train_transe(spark, canon_triples: DataFrame, dim: int = 8,
                  epochs: int = 3, margin: int = 4, lr: int = 3,
                  seed: str = "emb42") -> dict:
@@ -299,21 +403,7 @@ def train_transe(spark, canon_triples: DataFrame, dim: int = 8,
     """
     from tildener_spark.materialize import materialize_once, release
 
-    negs = negative_sampling(canon_triples, keep_original=True)
-    # pk carries the ORIGINAL entities too: two different positives
-    # can draw the same corruption (the draw is mod n_type), and a
-    # pk keyed on the corrupted triple alone would sum both pairs'
-    # L1 scores into one hinge (round-4 advisor finding)
-    pairs = negs.select(
-        F.concat_ws(US, "slot", "subj_type", "subj", "pred",
-                    "obj_type", "obj", "orig_subj", "orig_obj")
-        .alias("pk"),
-        _node("subj_type", "orig_subj").alias("ps"),
-        F.col("pred").alias("pp"),
-        _node("obj_type", "orig_obj").alias("po"),
-        _node("subj_type", "subj").alias("ns"),
-        _node("obj_type", "obj").alias("no"),
-    ).persist()
+    pairs = _pair_table(canon_triples, "neg42").persist()
     pairs.count()
 
     nodes = (canon_triples.select(
@@ -334,78 +424,14 @@ def train_transe(spark, canon_triples: DataFrame, dim: int = 8,
 
     losses = []
     for _ep in range(epochs + 1):
-        j = pairs.join(
-            emb_e.select(F.col("name").alias("_n0"), "d",
-                         F.col("v").alias("v_ps")),
-            F.col("ps") == F.col("_n0")).drop("_n0")
-        for role, table in (("po", emb_e), ("ns", emb_e),
-                            ("no", emb_e), ("pp", emb_r)):
-            t = table.select(F.col("name").alias(f"_n_{role}"),
-                             F.col("d").alias(f"_d_{role}"),
-                             F.col("v").alias(f"v_{role}"))
-            j = j.join(
-                t, (F.col(role) == F.col(f"_n_{role}"))
-                & (F.col("d") == F.col(f"_d_{role}"))
-            ).drop(f"_n_{role}", f"_d_{role}")
-        j = j.withColumn("dpos", F.col("v_ps") + F.col("v_pp")
-                         - F.col("v_po")) \
-             .withColumn("dneg", F.col("v_ns") + F.col("v_pp")
-                         - F.col("v_no"))
-        scores = j.groupBy("pk").agg(
-            F.sum(F.abs("dpos")).alias("spos"),
-            F.sum(F.abs("dneg")).alias("sneg"))
-        loss = scores.agg(F.sum(
-            F.greatest(F.lit(0),
-                       F.lit(margin) + F.col("spos")
-                       - F.col("sneg"))).cast("long")
-            .alias("l")).collect()[0]["l"]
-        losses.append(int(loss or 0))
+        j = _score_join(pairs, emb_e, emb_r)
+        scores = _pair_scores(j)
+        losses.append(_hinge_loss(scores, margin))
         if _ep == epochs:
             break
-        active = scores.filter(
-            F.lit(margin) + F.col("spos") - F.col("sneg") > 0
-        ).select("pk")
-        contrib = (
-            j.join(active, "pk")
-            .select("d", F.explode(F.array(
-                F.struct(F.lit("E").alias("kind"),
-                         F.col("ps").alias("name"),
-                         _sign(F.col("dpos")).alias("g")),
-                F.struct(F.lit("R").alias("kind"),
-                         F.col("pp").alias("name"),
-                         (_sign(F.col("dpos"))
-                          - _sign(F.col("dneg"))).alias("g")),
-                F.struct(F.lit("E").alias("kind"),
-                         F.col("po").alias("name"),
-                         (-_sign(F.col("dpos"))).alias("g")),
-                F.struct(F.lit("E").alias("kind"),
-                         F.col("ns").alias("name"),
-                         (-_sign(F.col("dneg"))).alias("g")),
-                F.struct(F.lit("E").alias("kind"),
-                         F.col("no").alias("name"),
-                         _sign(F.col("dneg")).alias("g")),
-            )).alias("c"))
-            .select("d", "c.kind", "c.name", "c.g")
-        )
-        grads = contrib.groupBy("kind", "name", "d").agg(
-            F.sum("g").alias("gsum"))
-        upd = grads.select(
-            "kind", "name", "d",
-            F.greatest(F.lit(-lr),
-                       F.least(F.lit(lr), F.col("gsum")))
-            .cast("long").alias("u"))
-        new_e = materialize_once(
-            emb_e.join(upd.filter(F.col("kind") == "E")
-                       .drop("kind"), ["name", "d"], "left")
-            .select("name", "d",
-                    (F.col("v") - F.coalesce("u", F.lit(0)))
-                    .cast("long").alias("v")))
-        new_r = materialize_once(
-            emb_r.join(upd.filter(F.col("kind") == "R")
-                       .drop("kind"), ["name", "d"], "left")
-            .select("name", "d",
-                    (F.col("v") - F.coalesce("u", F.lit(0)))
-                    .cast("long").alias("v")))
+        upd = _grad_update(j, scores, margin, lr)
+        new_e = materialize_once(_apply_update(emb_e, upd, "E"))
+        new_r = materialize_once(_apply_update(emb_r, upd, "R"))
         release(emb_e)
         release(emb_r)
         emb_e, emb_r = new_e, new_r
@@ -417,4 +443,96 @@ def train_transe(spark, canon_triples: DataFrame, dim: int = 8,
                             F.col("d").cast("long").alias("d"),
                             "v")))
     pairs.unpersist()
+    return {"embeddings": out, "loss_by_epoch": losses}
+
+
+def train_transe_minibatch(spark, canon_triples: DataFrame,
+                           dim: int = 8, epochs: int = 2,
+                           batches: int = 3, margin: int = 4,
+                           lr: int = 3,
+                           seed: str = "emb42") -> dict:
+    """Mini-batch TransE: the shape a 10^9-triple graph actually
+    trains at (r4 verdict item 4), with the SAME all-integer
+    determinism contract as :func:`train_transe`.
+
+    Two things change vs the full-batch form, both md5-derived so the
+    whole trajectory still replays bitwise in an unrolled oracle:
+
+    * **negative re-sampling per epoch** — epoch ``k`` draws its
+      corruptions with seed ``neg42|ep{k}``, so the trainer sees
+      fresh negatives every pass (Bordes et al. resample per epoch;
+      full-batch reuses one draw forever);
+    * **md5-bucketed mini-batches** — each (positive, corruption)
+      pair lands in bucket ``md5(seed, 'batch', pk) mod batches``
+      and parameters update after EVERY bucket, so within one epoch
+      later batches see the earlier batches' updates (true SGD
+      staleness semantics, not one giant synchronous step).
+
+    Scale shape: per update step the five keyed joins touch only
+    ``|pairs|/batches`` rows; parameter tables stay |V| x dim.  At
+    10^9 triples ``batches`` grows so each bucket fits the cluster's
+    shuffle budget — the bucket count is the only knob, nothing else
+    about the plan changes.
+
+    Returns {"embeddings": ..., "loss_by_epoch": [int, ...]}:
+    entry k < epochs is epoch k's loss over ITS OWN pair draw before
+    its updates; the last entry is the final loss over the last
+    epoch's pairs after all updates.
+    """
+    from tildener_spark.materialize import (
+        materialize_once, materialize_step)
+
+    nodes = (canon_triples.select(
+        _node("subj_type", "subj_canonical").alias("name"))
+        .unionByName(canon_triples.select(
+            _node("obj_type", "obj_canonical").alias("name")))
+        .distinct())
+    preds = canon_triples.select(
+        F.col("pred").alias("name")).distinct()
+    dims = spark.range(dim).select(F.col("id").cast("int").alias("d"))
+
+    emb_e = materialize_once(nodes.crossJoin(dims).select(
+        "name", "d", _init_val("E", F.col("name"), F.col("d"), seed)
+        .alias("v")))
+    emb_r = materialize_once(preds.crossJoin(dims).select(
+        "name", "d", _init_val("R", F.col("name"), F.col("d"), seed)
+        .alias("v")))
+
+    losses = []
+    pairs = None
+    for ep in range(epochs):
+        if pairs is not None:
+            pairs.unpersist()
+        pairs = _pair_table(canon_triples, f"neg42|ep{ep}") \
+            .withColumn("b", F.pmod(
+                _h32(F.lit(seed), F.lit("batch"), F.col("pk")),
+                F.lit(batches))).persist()
+        pairs.count()
+        losses.append(_hinge_loss(
+            _pair_scores(_score_join(pairs, emb_e, emb_r)), margin))
+        for b in range(batches):
+            sub = pairs.filter(F.col("b") == b).drop("b")
+            j = _score_join(sub, emb_e, emb_r)
+            upd = _grad_update(j, _pair_scores(j), margin, lr)
+            # HARD parquet barrier per step (materialize_step doc):
+            # in-memory materialization compounds either Catalyst
+            # size statistics (localCheckpoint) or cache-rebuild
+            # lineage (persist/unpersist) across the step chain —
+            # both measured unbounded by ~8 chained steps
+            emb_e = materialize_step(
+                _apply_update(emb_e, upd, "E"), "emb_e")
+            emb_r = materialize_step(
+                _apply_update(emb_r, upd, "R"), "emb_r")
+    losses.append(_hinge_loss(
+        _pair_scores(_score_join(pairs, emb_e, emb_r)), margin)
+        if pairs is not None else 0)
+
+    out = (emb_e.select(F.lit("E").alias("kind"), "name",
+                        F.col("d").cast("long").alias("d"), "v")
+           .unionByName(
+               emb_r.select(F.lit("R").alias("kind"), "name",
+                            F.col("d").cast("long").alias("d"),
+                            "v")))
+    if pairs is not None:
+        pairs.unpersist()
     return {"embeddings": out, "loss_by_epoch": losses}

@@ -22,10 +22,12 @@ layer is split by what the container can honestly do:
     (:mod:`tildener_spark.functions.msrle`);
   * hierarchical lossless JPEG (Annex J: DHP/EXP/SOF7 pyramid)
     decodes for real since round 4 (bit-exact round trips,
-    tests/test_jpeg_hier.py); perceptual audio (Ogg, MP3) and
-    predictive-codec video (H.264/VP9/AV1, WebM) raise a declared
-    ``NotImplementedError`` (they require external codecs absent in
-    this environment);
+    tests/test_jpeg_hier.py); Ogg Vorbis decodes AND encodes for
+    real since round 5 (:mod:`tildener_spark.functions.vorbis` —
+    stream-embedded codebooks, floor1, residue 0/1/2, IMDCT);
+    MP3 and predictive-codec video (H.264/VP9/AV1, WebM) raise a
+    declared ``NotImplementedError`` (verification impossible /
+    external codecs absent in this environment);
   * ``fake_decode=True`` substitutes a deterministic fake whose
     outputs are pure functions of the payload bytes, for plumbing
     tests independent of any format.
@@ -96,19 +98,25 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     functions/g711.py, conformance-tested vs javax.sound.sampled)
     and IMA/MS ADPCM (fmt 0x11/2, functions/adpcm.py,
     spec-differential tested), plus FLAC (pure-numpy RFC 9639 codec,
-    functions/flac.py); perceptual transform codecs (Ogg/Vorbis,
-    MP3) are the remaining declared stub."""
+    functions/flac.py) and Ogg Vorbis (functions/vorbis.py:
+    stream-embedded codebooks, floor1, residue 0/1/2, IMDCT,
+    round-trip conformance-tested); MP3 is the remaining declared
+    perceptual-audio stub (its spec-literal Huffman tables cannot be
+    verified in this container — functions/vorbis.py module doc)."""
     raw = bytes(payload or b"")
     if raw[:4] == b"RIFF":
         return codecs.decode_wav(raw)
     if raw[:4] == flac.FLAC_SIG:
         samples, rate = flac.decode_flac(raw)
         return samples.astype(np.int16), rate
-    if raw[:4] == b"OggS" or raw[:3] == b"ID3":
+    if raw[:4] == b"OggS":
+        from tildener_spark.functions import vorbis
+        return vorbis.decode_vorbis(raw)
+    if raw[:3] == b"ID3" or raw[:2] == b"\xff\xfb":
         raise NotImplementedError(  # pragma: no cover - declared stub
-            "perceptual transform audio (Ogg/Vorbis, MP3) requires an "
-            "external codec (absent in this env); use WAV (PCM, G.711, "
-            "ADPCM), FLAC, or fake_decode=True")
+            "MP3 requires spec-literal Huffman tables that cannot be "
+            "verified in this environment; use WAV (PCM, G.711, "
+            "ADPCM), FLAC, Ogg Vorbis, or fake_decode=True")
     raise ValueError("unrecognized audio format")
 
 
@@ -320,6 +328,8 @@ def sniff_codec(raw: bytes) -> tuple[str, str]:
         return f"wav_{_WAV_FMT_NAMES.get(tag, hex(tag))}", "audio"
     if raw[:4] == flac.FLAC_SIG:
         return "flac", "audio"
+    if raw[:4] == b"OggS":
+        return "ogg_vorbis", "audio"
     if raw[:4] == avi.AVI_SIG and raw[8:12] == b"AVI ":
         i = raw.find(b"vids")
         fourcc = raw[i + 4:i + 8] if i >= 0 else b""
