@@ -436,7 +436,7 @@ def _kg_links_sql() -> str:
         """
 
 
-def _kg_graph_sql(cross: bool) -> str:
+def _kg_graph_sql(cross: bool, base: str | None = None) -> str:
     """DuckDB mirror of the graph canonicalization stage
     (operators/graph.py build_entity_graph join path +
     operators/components.py) over the materialized mention/link
@@ -457,6 +457,7 @@ def _kg_graph_sql(cross: bool) -> str:
     _JW_SRC translate; the boost-threshold difference is invisible
     above 0.94 — see _JW_SRC note)."""
     from tildener_spark.operators.graph import _ACCENTS, _ACCENTS_FOLDED
+    base = base or _KG_CACHE
     pairs_rel = "all_pairs" if cross else "hub_pairs"
     cross_ctes = f"""
             vocab as (
@@ -515,12 +516,12 @@ def _kg_graph_sql(cross: bool) -> str:
             with recursive links as materialized (
                 select url, ne_type, alias, canonical
                 from read_parquet(
-                    '{_KG_CACHE}/links.parquet/*.parquet')
+                    '{base}/links.parquet/*.parquet')
             ),
             groups as (
                 select distinct url, ne_type, surface
                 from read_parquet(
-                    '{_KG_CACHE}/mentions.parquet/*.parquet')
+                    '{base}/mentions.parquet/*.parquet')
             ),
             resolved as materialized (
                 select g.url, g.ne_type, g.surface,
@@ -4660,6 +4661,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             c.unpersist()
         return ent
 
+    def kg_recrawl(spark, sf):
+        # url re-crawl supersedence (plans/incremental.py): the
+        # delta batch consists of NEW VERSIONS of urls 60-89 (texts
+        # of docs 90-119 under the old urls — deterministic), merged
+        # into the same checkpointed 0-89 prior kg_incremental uses.
+        # The new version replaces the old at the fact level, so the
+        # merged entity table must hash against the full-batch
+        # relational derivation over the LATEST corpus (docs 0-59 v1
+        # + urls 60-89 v2) — materialized at _KG_CACHE/recrawl, same
+        # oracle SQL as kg_incremental but over those files.
+        # Hash-green therefore proves stale facts drop and evidence
+        # never double-counts, bit-for-bit.
+        import shutil
+
+        from tildener_spark.config import EngineConfig
+        from tildener_spark.datagen import gazetteer_df
+        from tildener_spark.materialize import materialize_once
+        from tildener_spark.plans.incremental import (
+            run_pipeline_incremental)
+        from tildener_spark.plans.pipeline import run_pipeline
+        m = _kg_materialized(spark)
+        pages = m["pages"]
+        num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+        gaz = gazetteer_df(spark)
+        stamp = _kg_source_stamp()
+
+        v2 = pages.filter(num >= 90).withColumn("n", num - 30)
+        urls = pages.filter((num >= 60) & (num < 90)).select(
+            F.col("url").alias("new_url"), num.alias("n"))
+        delta = (v2.join(urls, "n")
+                 .select(F.col("new_url").alias("url"), "warc_ts",
+                         "text", "lang"))
+
+        # prior: the same stamped 0-89 checkpoint kg_incremental uses
+        prior = os.path.join(_KG_CACHE, "incr_prior")
+        marker = os.path.join(prior, "_PRIOR_STAMP")
+        if not (os.path.exists(marker)
+                and open(marker).read() == stamp):
+            shutil.rmtree(prior, ignore_errors=True)
+            run_pipeline(spark, pages.filter(num < 90), gaz,
+                         EngineConfig(checkpoint_dir=prior))
+            with open(marker, "w") as f:
+                f.write(stamp)
+
+        # oracle ground truth: full batch over the latest corpus
+        rc = os.path.join(_KG_CACHE, "recrawl")
+        rmarker = os.path.join(rc, "_STAMP")
+        if not (os.path.exists(rmarker)
+                and open(rmarker).read() == stamp):
+            shutil.rmtree(rc, ignore_errors=True)
+            os.makedirs(rc, exist_ok=True)
+            latest = pages.filter(num < 60).unionByName(delta)
+            res = run_pipeline(spark, latest, gaz, EngineConfig())
+            res.mentions.write.mode("overwrite").parquet(
+                f"{rc}/mentions.parquet")
+            res.links.write.mode("overwrite").parquet(
+                f"{rc}/links.parquet")
+            with open(rmarker, "w") as f:
+                f.write(stamp)
+
+        inc = run_pipeline_incremental(spark, prior, delta, gaz,
+                                       EngineConfig())
+        ent = materialize_once(inc["entities"].select(
+            "component", "ne_type", "canonical",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_surfaces").cast("long").alias("n_surfaces")))
+        for c in inc["caches"]:
+            c.unpersist()
+        return ent
+
     def _kg_bootstrap_materialized(spark):
         """Two self-training iterations with the positive-iteration
         gate (plans/bootstrap.py; BootstrapNEModel.pl:206-357), run
@@ -4743,6 +4814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_stage": kg_graph_stage,
         "kg_entities_stage": kg_entities_stage,
         "kg_incremental": kg_incremental,
+        "kg_recrawl": kg_recrawl,
         "kg_bootstrap": kg_bootstrap,
         "kg_pagerank": kg_pagerank,
         "kg_ppr": kg_ppr,
@@ -7675,6 +7747,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle is deliberately identical to kg_entities_stage's —
         # hash-green == merge/batch bit-identity proven in DuckDB
         "kg_incremental": _kg_graph_sql(cross=True),
+        "kg_recrawl": _kg_graph_sql(
+            cross=True,
+            base=os.path.join(_KG_CACHE, "recrawl")),
         # the FUSED graph fast path (per-document surfaces/hub_pairs
         # from the Arrow pass + broadcast-correction canonicalization,
         # graph.py:200-251) against the same recursive-CTE mirror —

@@ -80,3 +80,52 @@ def test_incremental_merges_cross_batch_entities(spark, tmp_path):
     assert inc["counters"]["vocab_delta"]["rows_out"] > 0
     for c in inc["caches"]:
         c.unpersist()
+
+
+def test_recrawl_supersedes_prior_version(spark, tmp_path):
+    """Re-crawl semantics: a delta whose urls ALREADY exist in the
+    prior state replaces those pages at the fact level — the merged
+    result must equal a full-batch run over the LATEST version of
+    every url (no stale triples, no double-counted evidence)."""
+    corpus = corpus_df(spark, 50).cache()
+    pages, *_ = split_gold(corpus)
+    pages = pages.select("url", "warc_ts", "text", "lang").cache()
+    gaz = gazetteer_df(spark)
+
+    base = pages.filter(_doc_num(F.col("url")) < 30)
+    # v2 of urls 20-29: same urls, DIFFERENT content (texts of docs
+    # 30-39 swapped in — deterministic, same corpus distribution)
+    v2_src = (pages.filter((_doc_num(F.col("url")) >= 30)
+                           & (_doc_num(F.col("url")) < 40))
+              .withColumn("n", _doc_num(F.col("url")) - 10))
+    url_of = (pages.filter((_doc_num(F.col("url")) >= 20)
+                           & (_doc_num(F.col("url")) < 30))
+              .select(F.col("url").alias("new_url"),
+                      _doc_num(F.col("url")).alias("n")))
+    delta = (v2_src.join(url_of, "n")
+             .select(F.col("new_url").alias("url"), "warc_ts",
+                     "text", "lang").cache())
+    assert delta.count() == 10
+
+    # ground truth: full batch over docs 0-19 (v1) + the v2 pages
+    latest = base.filter(_doc_num(F.col("url")) < 20) \
+        .unionByName(delta)
+    full = run_pipeline(spark, latest, gaz, EngineConfig())
+
+    ckpt = str(tmp_path / "prior")
+    run_pipeline(spark, base, gaz, EngineConfig(checkpoint_dir=ckpt))
+    inc = run_pipeline_incremental(spark, ckpt, delta, gaz,
+                                   EngineConfig())
+
+    canon_cols = ["url", "sent_id", "subj", "subj_canonical",
+                  "subj_type", "pred", "obj", "obj_canonical",
+                  "obj_type", "prob", "kind"]
+    assert _rows(inc["canonical_triples"], canon_cols) \
+        == _rows(full.canonical_triples, canon_cols)
+    assert _rows(inc["entities"]) == _rows(full.entities)
+    # superseded facts really gone: every re-crawled url carries
+    # exactly one version in the merged fact table
+    n_urls = (inc["triples_dc"].select("url").distinct().count())
+    assert n_urls <= 30
+    for c in inc["caches"]:
+        c.unpersist()

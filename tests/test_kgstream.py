@@ -171,6 +171,43 @@ def test_batch_id_replay_is_skipped(spark, tmp_path):
     assert state.committed_batch_ids() == {0, 1, 2}
 
 
+def test_recrawl_batch_supersedes_epoch_facts(spark, tmp_path):
+    """A later batch re-crawling urls from an earlier epoch must
+    replace those pages in every future view: the canonical KG after
+    the re-crawl equals a full-batch run over the LATEST version of
+    each url, and compaction preserves that."""
+    corpus = corpus_df(spark, 40).cache()
+    pages, *_ = split_gold(corpus)
+    pages = pages.select("url", "warc_ts", "text", "lang").cache()
+    gaz = gazetteer_df(spark)
+    num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+
+    # v2 of urls 10-19: texts of docs 30-39 under the old urls
+    v2_src = pages.filter((num >= 30) & (num < 40)) \
+        .withColumn("n", num - 20)
+    url_of = pages.filter((num >= 10) & (num < 20)).select(
+        F.col("url").alias("new_url"), num.alias("n"))
+    recrawl = (v2_src.join(url_of, "n")
+               .select(F.col("new_url").alias("url"), "warc_ts",
+                       "text", "lang").cache())
+    assert recrawl.count() == 10
+
+    state = KGState(spark, str(tmp_path / "state"))
+    state.merge_batch(pages.filter(num < 20), gaz, batch_id=0)
+    state.merge_batch(recrawl, gaz, batch_id=1)
+
+    latest = pages.filter(num < 10).unionByName(recrawl)
+    full = run_pipeline(spark, latest, gaz, EngineConfig())
+    want = _rows(full.canonical_triples, CANON_COLS)
+    assert _rows(state.canonical_triples(), CANON_COLS) == want
+    # the fact union exposes exactly one version per url
+    assert state.read()["docs"].count() == 20
+
+    state.compact()
+    assert _rows(state.canonical_triples(), CANON_COLS) == want
+    assert state.read()["docs"].count() == 20
+
+
 def test_epoch_time_travel(spark, tmp_path):
     import pytest as _pytest
     corpus = corpus_df(spark, 30).cache()

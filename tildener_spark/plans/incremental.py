@@ -114,6 +114,27 @@ def run_pipeline_incremental(
         triples_dc_prior = prior["triples_dc"]
         mapping_prior = prior["mapping"]
         hub_components = prior.get("hub_components")
+
+    # ---- url supersedence (re-crawl semantics) -------------------
+    # A delta url already present in the prior state is a RE-CRAWL:
+    # the new version REPLACES the old at the fact level — prior
+    # docs/triples rows for that url drop, so stale triples vanish
+    # and per-url evidence never double-counts.  The broadcast
+    # anti-joins ride the same jobs that already scan the prior
+    # tables (resolved_all / triples_dc_all), so this costs no
+    # extra corpus-sized pass and no counter is recorded (counting
+    # superseded rows WOULD cost one).  Entity-merge decisions in
+    # the prior component partition stay STICKY — un-merging a
+    # cluster whose only evidence was a superseded page version
+    # needs decremental connected components, which no incremental
+    # path does exactly; merges are re-derived from scratch at the
+    # next full rebuild/compaction (the standard production-KG
+    # trade-off, pinned in tests/test_incremental.py).
+    delta_urls = pages_delta.select("url").distinct()
+    docs_prior = docs_prior.join(
+        F.broadcast(delta_urls), "url", "left_anti")
+    triples_dc_prior = triples_dc_prior.join(
+        F.broadcast(delta_urls), "url", "left_anti")
     resolved_prior = _resolved(docs_prior)
 
     # prior partition as pre-collapsed star edges: every prior hub

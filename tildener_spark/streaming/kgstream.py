@@ -111,18 +111,28 @@ class KGState:
             f.write("\n".join(str(i) for i in sorted(ids)))
 
     def read(self) -> dict:
-        """Prior tables for the next merge: append-only facts from
-        every epoch, current view from the newest."""
+        """Prior tables for the next merge: per-url LAST-WINS union
+        of every epoch's facts (a later batch re-crawling a url
+        supersedes the earlier version — without this, a re-crawled
+        page's stale docs/triples rows would re-enter every future
+        merge), current view from the newest epoch.  Epoch count is
+        bounded by compaction, so the chain of broadcast anti-joins
+        stays shallow."""
         eps = self.epochs()
         if not eps:
             raise ValueError(f"no committed epochs in {self.dir}")
-        docs = read_stage(self.spark, eps[0], "docs")
-        tdc = read_stage(self.spark, eps[0], "triples_dc")
-        for e in eps[1:]:
-            docs = docs.unionByName(
-                read_stage(self.spark, e, "docs"))
-            tdc = tdc.unionByName(
-                read_stage(self.spark, e, "triples_dc"))
+        docs = tdc = None
+        for e in eps:                       # oldest -> newest
+            d = read_stage(self.spark, e, "docs")
+            t = read_stage(self.spark, e, "triples_dc")
+            if docs is None:
+                docs, tdc = d, t
+            else:
+                urls = d.select("url").distinct()
+                docs = docs.join(F.broadcast(urls), "url",
+                                 "left_anti").unionByName(d)
+                tdc = tdc.join(F.broadcast(urls), "url",
+                               "left_anti").unionByName(t)
         prior = {"docs": docs, "triples_dc": tdc,
                  "mapping": read_stage(self.spark, eps[-1],
                                        "mapping")}
