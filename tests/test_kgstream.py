@@ -208,6 +208,57 @@ def test_recrawl_batch_supersedes_epoch_facts(spark, tmp_path):
     assert state.read()["docs"].count() == 20
 
 
+def test_deep_compaction_rebuilds_from_facts(spark, tmp_path):
+    """compact(rebuild=True) re-derives linking/CC from the
+    compacted facts alone — the nightly job that closes the
+    incremental path's sticky-merge boundary.  Invariant: after ANY
+    merge/re-crawl sequence, the rebuilt state's mapping AND
+    canonical view are bit-identical to a full-batch run over the
+    latest version of every url."""
+    corpus = corpus_df(spark, 40).cache()
+    pages, *_ = split_gold(corpus)
+    pages = pages.select("url", "warc_ts", "text", "lang").cache()
+    gaz = gazetteer_df(spark)
+    num = F.regexp_extract("url", r"doc/([0-9]+)$", 1).cast("int")
+
+    v2_src = pages.filter((num >= 30) & (num < 40)) \
+        .withColumn("n", num - 25)
+    url_of = pages.filter((num >= 5) & (num < 15)).select(
+        F.col("url").alias("new_url"), num.alias("n"))
+    recrawl = (v2_src.join(url_of, "n")
+               .select(F.col("new_url").alias("url"), "warc_ts",
+                       "text", "lang").cache())
+
+    state = KGState(spark, str(tmp_path / "state"))
+    state.merge_batch(pages.filter(num < 15), gaz, batch_id=0)
+    state.merge_batch(pages.filter((num >= 15) & (num < 25)), gaz,
+                      batch_id=1)
+    state.merge_batch(recrawl, gaz, batch_id=2)
+
+    state.compact(rebuild=True)
+    assert len(state.epochs()) == 1
+
+    latest = pages.filter(num < 5) \
+        .unionByName(pages.filter((num >= 15) & (num < 25))) \
+        .unionByName(recrawl)
+    full = run_pipeline(spark, latest, gaz, EngineConfig())
+    assert _rows(state.canonical_triples(), CANON_COLS) \
+        == _rows(full.canonical_triples, CANON_COLS)
+    mp_cols = ["url", "ne_type", "surface", "canonical"]
+    got_map = spark.read.parquet(
+        str(tmp_path / "state" / "epoch_00003" / "mapping"))
+    assert _rows(got_map.select(*mp_cols), mp_cols) \
+        == _rows(full.mapping.select(*mp_cols), mp_cols)
+    # merging continues correctly off the rebuilt epoch
+    state.merge_batch(pages.filter((num >= 25) & (num < 30)), gaz,
+                      batch_id=3)
+    latest2 = latest.unionByName(
+        pages.filter((num >= 25) & (num < 30)))
+    full2 = run_pipeline(spark, latest2, gaz, EngineConfig())
+    assert _rows(state.canonical_triples(), CANON_COLS) \
+        == _rows(full2.canonical_triples, CANON_COLS)
+
+
 def test_epoch_time_travel(spark, tmp_path):
     import pytest as _pytest
     corpus = corpus_df(spark, 30).cache()

@@ -54,7 +54,8 @@ from tildener_spark.operators.graph import (
     fused_canonical_tables, score_cross_pairs)
 from tildener_spark.operators.linking import lsh_candidate_pairs
 
-__all__ = ["read_stage", "run_pipeline_incremental"]
+__all__ = ["read_stage", "rebuild_graph_stage",
+           "run_pipeline_incremental"]
 
 
 def read_stage(spark: SparkSession, checkpoint_dir: str,
@@ -73,6 +74,68 @@ def _resolved(docs: DataFrame) -> DataFrame:
     return (docs.select("url", F.explode("doc.surfaces").alias("x"))
             .select("url", "x.*")
             .select("url", "ne_type", "surface", "doc_canonical"))
+
+
+def rebuild_graph_stage(spark: SparkSession, docs: DataFrame,
+                        triples_dc: DataFrame,
+                        cfg: EngineConfig | None = None) -> dict:
+    """Re-derive linking, connected components, and canonicalization
+    from the FACT tables alone — no prior partition enters, so every
+    entity-merge decision is made fresh from the current corpus.
+
+    This is the deep-compaction path that closes the incremental
+    path's documented sticky-merge boundary: merges whose only
+    evidence was a superseded page version persist through
+    :func:`run_pipeline_incremental` (un-merging exactly would need
+    decremental connected components) but vanish here, because the
+    superseded facts are already gone from ``docs``/``triples_dc``.
+    After this rebuild the state is bit-identical to a full-batch
+    ``run_pipeline`` over the latest version of every url — the
+    invariant ``tests/test_kgstream.py`` pins.
+
+    Cost shape: everything downstream of the per-document pass (the
+    >95% cost center, NOT re-run) — |V|-sized LSH banding + pair
+    scoring, CC over hub edges, one corpus-sized mapping/canonical
+    rewrite.  Exactly what a production deployment schedules nightly
+    or weekly while per-batch merges stay incremental.
+
+    Returns {"mapping", "components", "entities",
+    "canonical_triples"}.
+    """
+    cfg = cfg or EngineConfig()
+    counters: dict[str, dict] = {}
+    resolved = _resolved(docs)
+    hub_pairs = (docs.select(F.explode("doc.hub_pairs").alias("x"))
+                 .select("x.*").select("src", "dst").distinct())
+    vocab = (resolved
+             .select("ne_type",
+                     F.col("doc_canonical").alias("surface"))
+             .filter(F.length("surface") >= cfg.cross_doc_min_len)
+             .distinct())
+    handles: list = []
+    cand = lsh_candidate_pairs(vocab, cfg, handles=handles,
+                               counters=counters)
+    cross = score_cross_pairs(cand, cfg).select(
+        _hub_node(F.col("ne_type"), F.col("a")).alias("src"),
+        _hub_node(F.col("ne_type"), F.col("b")).alias("dst"))
+    hub_cc = connected_components(
+        hub_pairs.unionByName(cross), cfg)
+    for h in handles:
+        h.unpersist()
+    corr = corrections_from_cc(hub_cc)
+    mention_hub = resolved.select(
+        "url", "ne_type", "surface",
+        _hub_node(F.col("ne_type"), F.col("doc_canonical"))
+        .alias("hub"))
+    mapping, components = fused_canonical_tables(mention_hub, corr)
+    canon = canonicalize_triples_fused(triples_dc, corr)
+    entities = (
+        mapping.groupBy("component", "ne_type", "canonical")
+        .agg(F.countDistinct("url").alias("n_docs"),
+             F.countDistinct("surface").alias("n_surfaces"))
+    )
+    return {"mapping": mapping, "components": components,
+            "entities": entities, "canonical_triples": canon}
 
 
 def run_pipeline_incremental(

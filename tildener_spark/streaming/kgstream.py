@@ -214,10 +214,18 @@ class KGState:
             f.write("")
 
 
-    def compact(self) -> None:
-        """Rewrite the multi-epoch state as one epoch: append-only
-        facts (docs, triples_dc) unioned, the current view (mapping,
-        hub_components, canonical_triples) carried from the newest.
+    def compact(self, rebuild: bool = False) -> None:
+        """Rewrite the multi-epoch state as one epoch: per-url
+        last-wins facts (docs, triples_dc), the current view
+        (mapping, hub_components, canonical_triples) carried from
+        the newest epoch — or, with ``rebuild=True``, RE-DERIVED
+        from the compacted facts via
+        :func:`~tildener_spark.plans.incremental.rebuild_graph_stage`
+        (deep compaction: entity merges whose only evidence was a
+        superseded page version are un-stuck, restoring bit-identity
+        with a full-batch run over the latest corpus — the nightly
+        job a production deployment pairs with per-batch incremental
+        merges).
 
         Crash-safe: the compacted epoch carries a ``_SUPERSEDES``
         manifest naming the epochs it replaces, written BEFORE its
@@ -239,13 +247,32 @@ class KGState:
             os.path.join(path, "docs"))
         prior["triples_dc"].write.mode("overwrite").parquet(
             os.path.join(path, "triples_dc"))
-        for view in ("mapping", "hub_components",
-                     "canonical_triples"):
-            src = os.path.join(newest, view)
-            if os.path.isdir(src):
-                read_stage(self.spark, newest, view) \
-                    .write.mode("overwrite").parquet(
-                    os.path.join(path, view))
+        if rebuild:
+            from tildener_spark.plans.incremental import (
+                rebuild_graph_stage)
+            docs_c = self.spark.read.parquet(
+                os.path.join(path, "docs"))
+            tdc_c = self.spark.read.parquet(
+                os.path.join(path, "triples_dc"))
+            res = rebuild_graph_stage(self.spark, docs_c, tdc_c)
+            res["mapping"].write.mode("overwrite").parquet(
+                os.path.join(path, "mapping"))
+            res["components"].filter(
+                F.col("node").startswith("g:")).select(
+                "node", "component").write.mode(
+                "overwrite").parquet(
+                os.path.join(path, "hub_components"))
+            res["canonical_triples"].write.mode(
+                "overwrite").parquet(
+                os.path.join(path, "canonical_triples"))
+        else:
+            for view in ("mapping", "hub_components",
+                         "canonical_triples"):
+                src = os.path.join(newest, view)
+                if os.path.isdir(src):
+                    read_stage(self.spark, newest, view) \
+                        .write.mode("overwrite").parquet(
+                        os.path.join(path, view))
         if batch_ids:
             self._write_batch_ids(path, batch_ids)
         with open(os.path.join(path, "_SUPERSEDES"), "w") as f:
