@@ -4836,6 +4836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof": kg_asof,
         "kg_embed": kg_embed,
         "kg_embed_mb": kg_embed_mb,
+        # q83 sits in the driver-visible priority window (50-entry
+        # cap): the codec-suite conformance row the r4 verdict asked
+        # to surface in CORRECTNESS_r05, not only in the self-gate
+        "q83_multimodal_decode": q83_multimodal_decode,
         "kg_communities": kg_communities,
         "kg_triangles": kg_triangles,
         "kg_linkpred": kg_linkpred,
@@ -4927,7 +4931,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_salted_join": q80_salted_join,
         "q81_json_props": q81_json_props,
         "q82_pivot": q82_pivot,
-        "q83_multimodal_decode": q83_multimodal_decode,
         "kg_calibration": kg_calibration,
     }
 
